@@ -1,0 +1,50 @@
+"""Readers for the driver's parquet fixtures (TESTDATA.md).
+
+Parquet single-file tables; Catalyst gives predicate pushdown + column
+pruning on these scans for free.  The one quirk: ``events.parquet`` stores
+TIMESTAMP(NANOS) which the Spark parquet reader rejects — we read nanos as
+long (legacy conf) and rebuild a microsecond timestamp with *integer*
+division (ns-since-epoch ≈ 1.7e18 > 2^53, so float division would corrupt
+microseconds).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import apply_runtime_confs
+
+TPCH_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem",
+)
+EXTRA_TABLES = ("events", "documents", "embeddings")
+ALL_TABLES = TPCH_TABLES + EXTRA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        apply_runtime_confs(spark)  # needs nanosAsLong on the live session
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=ALL_TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_base_views(spark: SparkSession, sf_dir: str, names=ALL_TABLES) -> dict[str, DataFrame]:
+    """Register each fixture table as a temp view (same names DuckDB uses)."""
+    tables = load_tables(spark, sf_dir, names)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+Local-mode defaults sized for the test container (local[N], one JVM), but
+every conf here is cluster-safe: AQE for runtime re-planning (partition
+coalescing, broadcast conversion, skew-join splitting), shuffle partitions
+sized to cores locally (override on a real cluster), UTC session timezone
+so timestamp semantics match the DuckDB oracle, and Arrow enabled for the
+Pandas-UDF paths.
+
+Replaces the reference's psycopg2 connection factory
+(`utils/db_connection.py:18-58` in /root/reference) — there is no
+connection pool to manage; the session owns all IO.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied defensively to *any* session we are
+# handed (the verify driver creates its own session; these must not be
+# build-time-only).  nanosAsLong: the driver's events.parquet stores
+# TIMESTAMP(NANOS) which Spark cannot read natively — read as long and
+# convert (io.load_events).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # dynamic partition overwrite == the reference's scoped delete-then-
+    # insert sinks (SURVEY.md §2.1 S4) without rewriting the whole table
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Best-effort apply of runtime confs to an externally created session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked by the host
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "etl-gamma-spark", cpus: str | None = None) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # ~cores, not the 200 default: local shuffles are driver-disk bound
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)
