@@ -1,0 +1,727 @@
+"""Query registry: every implemented operator as a (spark, sf_dir) ->
+DataFrame callable plus its DuckDB oracle SQL.
+
+Consumed by __spark_entry__.py (the driver contract). Each query is pinned
+to a fixed as_of (asof.py) and mirrors a reference pipeline or operator
+from SURVEY.md §2; oracle SQL re-states the *semantics* independently so
+the differential test is meaningful (the gammadata model CTEs themselves
+are shared text — see model.py).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import asof
+from .functions.calendar import month_series
+from .model import register_model_views, with_model
+from .operators.responsibility import (
+    add_responsible_farmer,
+    client_farmer_periods,
+    filter_by_responsibility,
+)
+from .operators.snapshots import latest_snapshot_dates
+from .plans.fechamento import fechamento
+from .plans.receita_cliente import receita_cliente
+from .plans.receita_farmer_passado import receita_farmer_m_passado
+from .plans.receita_farmer_presente import (
+    COE_REVENUE_EXPR,
+    POS_COMMISSION_EXPR,
+    POS_REVENUE_EXPR,
+    receita_farmer_m_presente,
+)
+from .plans.receita_produto import receita_produto_f_m_passado
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            register_model_views(spark, sf_dir)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# receita_farmer_m_passado (flagship) — J1 A1 P2 P5 F1 F3 F5 F8
+# ---------------------------------------------------------------------------
+
+_RECEITA_FARMER_BODY = """
+SELECT CAST(date_trunc('month', r.record_date) AS DATE) AS mes,
+       strftime(CAST(date_trunc('month', r.record_date) AS DATE), '%m/%Y') AS mes_formatado,
+       CAST(c.farmer_id AS INTEGER) AS farmer_id,
+       e.name AS farmer_name,
+       CAST(SUM(r.gross_revenue) AS DECIMAL(18,2)) AS receita_bruta,
+       CAST(SUM(r.net_revenue) AS DECIMAL(18,2)) AS receita_liquida,
+       CAST(SUM(r.gross_commission) AS DECIMAL(18,2)) AS comissao_bruta,
+       CAST(ROUND(SUM(r.gross_commission * (1 - 0.195)), 2) AS DECIMAL(18,2)) AS comissao_liquida,
+       'historical' AS fonte
+FROM revenue_records_historical r
+JOIN clients c ON r.client_id = c.client_id
+JOIN employees e ON CAST(c.farmer_id AS INTEGER) = e.employee_id
+WHERE r.record_date >= CAST(date_trunc('month', {AS_OF}) - INTERVAL 11 MONTH AS DATE)
+  AND date_trunc('month', r.record_date) < date_trunc('month', {AS_OF})
+  {EXTRA}
+GROUP BY 1, 2, 3, 4
+"""
+
+_REV_TABLES = ("clients", "employees", "revenue_records_historical")
+
+
+@query(
+    "receita_farmer_m_passado",
+    with_model(_RECEITA_FARMER_BODY.format(AS_OF=asof.AS_OF_TPCH_SQL, EXTRA=""), *_REV_TABLES),
+)
+def q_receita_farmer_m_passado(spark, sf_dir):
+    return receita_farmer_m_passado(
+        spark.table("revenue_records_historical"),
+        spark.table("clients"),
+        spark.table("employees"),
+        as_of=asof.AS_OF_TPCH,
+        months_back=11,
+    )
+
+
+@query(
+    "receita_farmer_m_passado_one",
+    with_model(
+        _RECEITA_FARMER_BODY.format(
+            AS_OF=asof.AS_OF_TPCH_SQL, EXTRA="AND CAST(c.farmer_id AS INTEGER) = 7"
+        ),
+        *_REV_TABLES,
+    ),
+)
+def q_receita_farmer_m_passado_one(spark, sf_dir):
+    return receita_farmer_m_passado(
+        spark.table("revenue_records_historical"),
+        spark.table("clients"),
+        spark.table("employees"),
+        as_of=asof.AS_OF_TPCH,
+        months_back=11,
+        farmer_id=7,
+    )
+
+
+# ---------------------------------------------------------------------------
+# receita_produto_f_m_passado — A2 P7 P8 F10
+# ---------------------------------------------------------------------------
+
+_PRODUTO_BODY = """
+SELECT CAST(date_trunc('month', r.record_date) AS DATE) AS mes,
+       strftime(CAST(date_trunc('month', r.record_date) AS DATE), '%m/%Y') AS mes_formatado,
+       COALESCE(r.category, 'OUTROS') AS categoria,
+       COALESCE(r.product, 'OUTROS') AS produto,
+       CAST(c.farmer_id AS INTEGER) AS farmer_id,
+       e.name AS employee_name,
+       CAST(SUM(r.gross_revenue) AS DECIMAL(18,2)) AS receita_bruta,
+       CAST(SUM(r.net_revenue) AS DECIMAL(18,2)) AS receita_liquida,
+       CAST(SUM(r.gross_commission) AS DECIMAL(18,2)) AS comissao_bruta,
+       CAST(ROUND(SUM(r.gross_commission * (1 - 0.195)), 2) AS DECIMAL(18,2)) AS comissao_liquida
+FROM revenue_records_historical r
+JOIN clients c ON r.client_id = c.client_id
+JOIN employees e ON CAST(c.farmer_id AS INTEGER) = e.employee_id
+WHERE r.record_date >= CAST(date_trunc('month', {AS_OF}) - INTERVAL 11 MONTH AS DATE)
+  AND date_trunc('month', r.record_date) < date_trunc('month', {AS_OF})
+GROUP BY 1, 2, 3, 4, 5, 6
+HAVING CAST(SUM(r.gross_revenue) AS DECIMAL(18,2)) > 0
+"""
+
+
+@query(
+    "receita_produto_f_m_passado",
+    with_model(_PRODUTO_BODY.format(AS_OF=asof.AS_OF_TPCH_SQL), *_REV_TABLES),
+)
+def q_receita_produto(spark, sf_dir):
+    return receita_produto_f_m_passado(
+        spark.table("revenue_records_historical"),
+        spark.table("clients"),
+        spark.table("employees"),
+        as_of=asof.AS_OF_TPCH,
+        months_back=11,
+    )
+
+
+# ---------------------------------------------------------------------------
+# receita_farmer_m_presente — A3 A5 J2 F9
+# ---------------------------------------------------------------------------
+
+_PRESENTE_TABLES = (
+    "clients", "employees", "positivador_historical", "coe", "operacoes_estruturadas",
+)
+
+_PRESENTE_BODY = f"""
+, udm AS (
+    SELECT MAX(record_date) AS ultima_data
+    FROM positivador_historical
+    WHERE date_trunc('month', record_date) = date_trunc('month', {{AS_OF}})
+),
+pos_agg AS (
+    SELECT CAST(date_trunc('month', ph.record_date) AS DATE) AS mes,
+           SUM({POS_REVENUE_EXPR}) AS receita_pos,
+           SUM({POS_COMMISSION_EXPR}) AS comissao_pos
+    FROM positivador_historical ph
+    JOIN udm ON ph.record_date = udm.ultima_data
+    JOIN clients c ON ph.client_id = c.client_id
+    JOIN employees e ON CAST(c.farmer_id AS INTEGER) = e.employee_id
+    GROUP BY 1
+),
+coe_agg AS (
+    SELECT CAST(date_trunc('month', c.date) AS DATE) AS mes,
+           SUM({COE_REVENUE_EXPR}) AS receita_coe,
+           SUM(({COE_REVENUE_EXPR}) * 0.95) AS comissao_coe,
+           SUM(({COE_REVENUE_EXPR}) * 0.95 * 0.805) AS liquida_coe
+    FROM coe c
+    JOIN clients cl ON c.client_id = cl.client_id
+    JOIN employees e ON CAST(cl.farmer_id AS INTEGER) = e.employee_id
+    WHERE c.status = 'Liquidada' AND date_trunc('month', c.date) = date_trunc('month', {{AS_OF}})
+    GROUP BY 1
+),
+op_agg AS (
+    SELECT CAST(date_trunc('month', oe.data) AS DATE) AS mes,
+           SUM(comissao) AS receita_op,
+           SUM(comissao * 0.95) AS comissao_op,
+           SUM(comissao * 0.95 * 0.805) AS liquida_op
+    FROM operacoes_estruturadas oe
+    JOIN clients cl ON oe.client_id = cl.client_id
+    JOIN employees e ON CAST(cl.farmer_id AS INTEGER) = e.employee_id
+    WHERE oe.status_operacao != 'Cancelado'
+      AND date_trunc('month', oe.data) = date_trunc('month', {{AS_OF}})
+    GROUP BY 1
+)
+SELECT p.mes,
+       strftime(p.mes, '%m/%Y') AS mes_formatado,
+       CAST(ROUND(receita_pos + COALESCE(receita_coe, 0) + COALESCE(receita_op, 0), 2) AS DECIMAL(18,2)) AS receita_bruta,
+       CAST(NULL AS DECIMAL(18,2)) AS receita_liquida,
+       CAST(ROUND(comissao_pos + COALESCE(comissao_coe, 0) + COALESCE(comissao_op, 0), 2) AS DECIMAL(18,2)) AS comissao_bruta,
+       CAST(ROUND(comissao_pos * 0.805 + COALESCE(liquida_coe, 0) + COALESCE(liquida_op, 0), 2) AS DECIMAL(18,2)) AS comissao_liquida
+FROM pos_agg p
+LEFT JOIN coe_agg USING (mes)
+LEFT JOIN op_agg USING (mes)
+"""
+
+
+@query(
+    "receita_farmer_m_presente",
+    with_model(_PRESENTE_BODY.format(AS_OF=asof.AS_OF_EVENTS_SQL), *_PRESENTE_TABLES),
+)
+def q_receita_presente(spark, sf_dir):
+    return receita_farmer_m_presente(
+        spark.table("positivador_historical"),
+        spark.table("coe"),
+        spark.table("operacoes_estruturadas"),
+        spark.table("clients"),
+        spark.table("employees"),
+        as_of=asof.AS_OF_EVENTS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# receita_cliente — U2 O1 (multi-source union detail)
+# ---------------------------------------------------------------------------
+
+_CLIENTE_BODY = f"""
+, udm AS (
+    SELECT CAST(date_trunc('month', record_date) AS DATE) AS mes,
+           MAX(record_date) AS ultima_data
+    FROM positivador_historical
+    WHERE record_date BETWEEN {{INICIO}} AND {{FIM}}
+    GROUP BY 1
+),
+pos_b AS (
+    SELECT 'Positivador' AS tipo_operacao,
+           ph.record_date AS data_operacao,
+           c.client_id,
+           c.name AS nome_cliente,
+           CAST(c.farmer_id AS INTEGER) AS farmer_id,
+           e.name AS nome_farmer,
+           CAST(0 AS DECIMAL(18,2)) AS valor_financeiro,
+           CAST(0 AS DECIMAL(18,2)) AS percentual_comissao,
+           CAST(ROUND({POS_REVENUE_EXPR}, 2) AS DECIMAL(18,2)) AS receita_bruta,
+           CAST(ROUND({POS_COMMISSION_EXPR}, 2) AS DECIMAL(18,2)) AS comissao_bruta,
+           CAST(ROUND(({POS_COMMISSION_EXPR}) * 0.805, 2) AS DECIMAL(18,2)) AS comissao_liquida,
+           CAST(NULL AS STRING) AS status,
+           CAST(ph.churn AS DECIMAL(18,2)) AS churn,
+           CAST(ph.patrimony AS DECIMAL(18,2)) AS patrimony,
+           CAST(ph.net_capture AS DECIMAL(18,2)) AS net_capture
+    FROM positivador_historical ph
+    JOIN udm ON ph.record_date = udm.ultima_data
+    JOIN clients c ON ph.client_id = c.client_id
+    JOIN employees e ON CAST(c.farmer_id AS INTEGER) = e.employee_id
+    WHERE ph.record_date BETWEEN {{INICIO}} AND {{FIM}}
+),
+coe_b AS (
+    SELECT 'COE' AS tipo_operacao,
+           c.date AS data_operacao,
+           cl.client_id,
+           cl.name AS nome_cliente,
+           CAST(cl.farmer_id AS INTEGER) AS farmer_id,
+           e.name AS nome_farmer,
+           CAST(c.financial_value AS DECIMAL(18,2)) AS valor_financeiro,
+           CAST(c.commission_percentage AS DECIMAL(18,2)) AS percentual_comissao,
+           CAST(ROUND({COE_REVENUE_EXPR}, 2) AS DECIMAL(18,2)) AS receita_bruta,
+           CAST(ROUND(({COE_REVENUE_EXPR}) * 0.95, 2) AS DECIMAL(18,2)) AS comissao_bruta,
+           CAST(ROUND(({COE_REVENUE_EXPR}) * 0.95 * 0.805, 2) AS DECIMAL(18,2)) AS comissao_liquida,
+           c.status,
+           CAST(NULL AS DECIMAL(18,2)) AS churn,
+           CAST(NULL AS DECIMAL(18,2)) AS patrimony,
+           CAST(NULL AS DECIMAL(18,2)) AS net_capture
+    FROM coe c
+    JOIN clients cl ON c.client_id = cl.client_id
+    JOIN employees e ON CAST(cl.farmer_id AS INTEGER) = e.employee_id
+    WHERE c.status = 'Liquidada' AND c.date BETWEEN {{INICIO}} AND {{FIM}}
+),
+op_b AS (
+    SELECT 'Operação Estruturada' AS tipo_operacao,
+           oe.data AS data_operacao,
+           cl.client_id,
+           cl.name AS nome_cliente,
+           CAST(cl.farmer_id AS INTEGER) AS farmer_id,
+           e.name AS nome_farmer,
+           CAST(0 AS DECIMAL(18,2)) AS valor_financeiro,
+           CAST(0 AS DECIMAL(18,2)) AS percentual_comissao,
+           CAST(oe.comissao AS DECIMAL(18,2)) AS receita_bruta,
+           CAST(ROUND(oe.comissao * 0.95, 2) AS DECIMAL(18,2)) AS comissao_bruta,
+           CAST(ROUND(oe.comissao * 0.95 * 0.805, 2) AS DECIMAL(18,2)) AS comissao_liquida,
+           oe.status_operacao AS status,
+           CAST(NULL AS DECIMAL(18,2)) AS churn,
+           CAST(NULL AS DECIMAL(18,2)) AS patrimony,
+           CAST(NULL AS DECIMAL(18,2)) AS net_capture
+    FROM operacoes_estruturadas oe
+    JOIN clients cl ON oe.client_id = cl.client_id
+    JOIN employees e ON CAST(cl.farmer_id AS INTEGER) = e.employee_id
+    WHERE oe.status_operacao != 'Cancelado' AND oe.data BETWEEN {{INICIO}} AND {{FIM}}
+),
+unioned AS (
+    SELECT * FROM pos_b
+    UNION ALL SELECT * FROM coe_b
+    UNION ALL SELECT * FROM op_b
+)
+SELECT tipo_operacao, data_operacao, client_id, nome_cliente, farmer_id, nome_farmer,
+       COALESCE(valor_financeiro, CAST(0 AS DECIMAL(18,2))) AS valor_financeiro,
+       COALESCE(percentual_comissao, CAST(0 AS DECIMAL(18,2))) AS percentual_comissao,
+       COALESCE(receita_bruta, CAST(0 AS DECIMAL(18,2))) AS receita_bruta,
+       COALESCE(comissao_bruta, CAST(0 AS DECIMAL(18,2))) AS comissao_bruta,
+       COALESCE(comissao_liquida, CAST(0 AS DECIMAL(18,2))) AS comissao_liquida,
+       status,
+       COALESCE(churn, CAST(0 AS DECIMAL(18,2))) AS churn,
+       COALESCE(patrimony, CAST(0 AS DECIMAL(18,2))) AS patrimony,
+       COALESCE(net_capture, CAST(0 AS DECIMAL(18,2))) AS net_capture,
+       CAST(date_trunc('month', data_operacao) AS DATE) AS mes,
+       strftime(data_operacao, '%m/%Y') AS mes_formatado
+FROM unioned
+"""
+
+
+def _q_cliente(spark, inicio: dt.date, fim: dt.date) -> DataFrame:
+    return receita_cliente(
+        spark.table("positivador_historical"),
+        spark.table("coe"),
+        spark.table("operacoes_estruturadas"),
+        spark.table("clients"),
+        spark.table("employees"),
+        data_inicio=inicio,
+        data_fim=fim,
+    )
+
+
+@query(
+    "receita_cliente",
+    with_model(
+        _CLIENTE_BODY.format(INICIO="DATE '2000-07-01'", FIM="DATE '2001-06-30'"),
+        *_PRESENTE_TABLES,
+    ),
+)
+def q_receita_cliente(spark, sf_dir):
+    return _q_cliente(spark, dt.date(2000, 7, 1), dt.date(2001, 6, 30))
+
+
+@query(
+    "receita_cliente_presente",
+    with_model(
+        _CLIENTE_BODY.format(INICIO="DATE '2024-01-01'", FIM="DATE '2024-01-31'"),
+        *_PRESENTE_TABLES,
+    ),
+)
+def q_receita_cliente_presente(spark, sf_dir):
+    return _q_cliente(spark, dt.date(2024, 1, 1), dt.date(2024, 1, 31))
+
+
+# ---------------------------------------------------------------------------
+# responsibility periods + interval joins — W1 W2 U1 J4 J5 J6
+# ---------------------------------------------------------------------------
+
+_PERIODS_CTES = """
+, ft AS (SELECT * FROM client_transfers WHERE transfer_type = 'FARMER'),
+original_p AS (
+    SELECT c.client_id, CAST(c.farmer_id AS INTEGER) AS farmer_id,
+           c.creation_date AS start_date, CAST(NULL AS DATE) AS end_date
+    FROM clients c
+    WHERE NOT EXISTS (SELECT 1 FROM ft WHERE ft.client_id = c.client_id)
+),
+new_p AS (
+    SELECT client_id, CAST(new_farmer_id AS INTEGER) AS farmer_id,
+           transfer_date AS start_date,
+           LEAD(transfer_date) OVER (PARTITION BY client_id
+               ORDER BY transfer_date, new_farmer_id, old_farmer_id) AS end_date
+    FROM ft WHERE new_farmer_id IS NOT NULL
+),
+old_p AS (
+    SELECT ft.client_id, CAST(ft.old_farmer_id AS INTEGER) AS farmer_id,
+           COALESCE(LAG(ft.transfer_date) OVER (PARTITION BY ft.client_id
+               ORDER BY ft.transfer_date, ft.new_farmer_id, ft.old_farmer_id),
+               c.creation_date) AS start_date,
+           ft.transfer_date AS end_date
+    FROM ft JOIN clients c ON ft.client_id = c.client_id
+    WHERE ft.old_farmer_id IS NOT NULL
+),
+all_p AS (
+    SELECT * FROM original_p
+    UNION ALL SELECT * FROM new_p
+    UNION ALL SELECT * FROM old_p
+)
+"""
+
+_PERIOD_TABLES = ("clients", "employees", "client_transfers")
+
+
+@query(
+    "responsibility_periods",
+    with_model(
+        _PERIODS_CTES
+        + """
+SELECT ap.client_id, ap.farmer_id, ap.start_date, ap.end_date, e.name AS farmer_name
+FROM all_p ap LEFT JOIN employees e ON ap.farmer_id = e.employee_id
+""",
+        *_PERIOD_TABLES,
+    ),
+)
+def q_responsibility_periods(spark, sf_dir):
+    return client_farmer_periods(
+        spark.table("clients"),
+        spark.table("client_transfers"),
+        spark.table("employees"),
+    )
+
+
+@query(
+    "responsibility_filter",
+    with_model(
+        _PERIODS_CTES
+        + """
+SELECT r.*
+FROM revenue_records_historical r
+WHERE EXISTS (
+    SELECT 1 FROM all_p p
+    WHERE p.farmer_id = 7 AND p.client_id = r.client_id
+      AND p.start_date <= r.record_date
+      AND (p.end_date IS NULL OR r.record_date < p.end_date)
+)
+""",
+        *(_PERIOD_TABLES + ("revenue_records_historical",)),
+    ),
+)
+def q_responsibility_filter(spark, sf_dir):
+    periods = client_farmer_periods(spark.table("clients"), spark.table("client_transfers"))
+    return filter_by_responsibility(
+        spark.table("revenue_records_historical"), periods, "record_date", farmer_id=7
+    )
+
+
+@query(
+    "responsibility_enrich",
+    with_model(
+        _PERIODS_CTES
+        + """
+, named_p AS (
+    SELECT ap.*, e.name AS farmer_name
+    FROM all_p ap LEFT JOIN employees e ON ap.farmer_id = e.employee_id
+),
+keys AS (SELECT DISTINCT client_id, date FROM coe),
+matches AS (
+    SELECT k.client_id, k.date, p.farmer_id, p.farmer_name, p.start_date,
+           ROW_NUMBER() OVER (PARTITION BY k.client_id, k.date
+               ORDER BY p.start_date, p.farmer_id) AS rn
+    FROM keys k
+    JOIN named_p p ON p.client_id = k.client_id
+        AND p.start_date <= k.date
+        AND (p.end_date IS NULL OR k.date < p.end_date)
+)
+SELECT c.client_id, c.date, c.financial_value,
+       m.farmer_id AS responsible_farmer_id,
+       m.farmer_name AS responsible_farmer_name
+FROM coe c
+LEFT JOIN (SELECT * FROM matches WHERE rn = 1) m
+    ON m.client_id = c.client_id AND m.date = c.date
+""",
+        *(_PERIOD_TABLES + ("coe",)),
+    ),
+)
+def q_responsibility_enrich(spark, sf_dir):
+    periods = client_farmer_periods(
+        spark.table("clients"), spark.table("client_transfers"), spark.table("employees")
+    )
+    fact = spark.table("coe").select("client_id", "date", "financial_value")
+    return add_responsible_farmer(fact, periods, "date")
+
+
+@query(
+    "clients_never_transferred",
+    with_model(
+        """
+SELECT c.client_id, c.name, CAST(c.farmer_id AS INTEGER) AS farmer_id, c.creation_date
+FROM clients c
+WHERE NOT EXISTS (
+    SELECT 1 FROM client_transfers ct
+    WHERE ct.client_id = c.client_id AND ct.transfer_type = 'FARMER'
+)
+""",
+        "clients",
+        "client_transfers",
+    ),
+)
+def q_clients_never_transferred(spark, sf_dir):
+    clients = spark.table("clients")
+    ft = (
+        spark.table("client_transfers")
+        .filter(F.col("transfer_type") == "FARMER")
+        .select("client_id")
+        .distinct()
+    )
+    return clients.join(ft, "client_id", "left_anti").select(
+        "client_id", "name", F.col("farmer_id").cast("int").alias("farmer_id"), "creation_date"
+    )
+
+
+# ---------------------------------------------------------------------------
+# month series with empty months — F4 J8 A5
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ultimas_datas_meses",
+    with_model(
+        """
+, meses AS (
+    SELECT CAST(m AS DATE) AS mes
+    FROM generate_series(DATE '2023-02-01', DATE '2024-01-01', INTERVAL 1 MONTH) t(m)
+)
+SELECT m.mes, MAX(ph.record_date) AS ultima_data
+FROM meses m
+LEFT JOIN positivador_historical ph
+    ON CAST(date_trunc('month', ph.record_date) AS DATE) = m.mes
+GROUP BY m.mes
+""",
+        "positivador_historical",
+    ),
+)
+def q_ultimas_datas_meses(spark, sf_dir):
+    months = month_series(spark, dt.date(2023, 2, 1), dt.date(2024, 1, 1))
+    latest = latest_snapshot_dates(spark.table("positivador_historical"))
+    return months.join(latest, "mes", "left")
+
+
+# ---------------------------------------------------------------------------
+# fechamento — P6 P10 A4 A6 A7 F12 F13 J7 (parameterized month)
+# ---------------------------------------------------------------------------
+
+_FECHAMENTO_TABLES = (
+    "clients", "employees", "positivador_historical", "coe",
+    "operacoes_estruturadas", "client_transfers", "compensation",
+)
+
+_FECHAMENTO_BODY = (
+    _PERIODS_CTES
+    + f"""
+, snap AS (
+    SELECT * FROM positivador_historical
+    WHERE CAST(date_trunc('month', record_date) AS DATE) = {{MES}}
+),
+last_date AS (SELECT MAX(record_date) AS data_positivador FROM snap),
+pos_values AS (
+    SELECT CAST(c.farmer_id AS INTEGER) AS farmer_id,
+           SUM({POS_REVENUE_EXPR}) AS receita_pos,
+           SUM({POS_COMMISSION_EXPR}) AS comissao_pos
+    FROM snap ph
+    JOIN last_date ld ON ph.record_date = ld.data_positivador
+    JOIN clients c ON ph.client_id = c.client_id
+    GROUP BY 1
+),
+coe_values AS (
+    SELECT e.employee_id AS farmer_id,
+           SUM({COE_REVENUE_EXPR}) AS receita_coe,
+           SUM(({COE_REVENUE_EXPR}) * 0.95) AS comissao_coe
+    FROM coe c
+    JOIN clients cl ON c.client_id = cl.client_id
+    JOIN employees e ON CAST(cl.farmer_id AS INTEGER) = e.employee_id
+    WHERE c.status = 'Liquidada' AND CAST(date_trunc('month', c.date) AS DATE) = {{MES}}
+    GROUP BY 1
+),
+op_values AS (
+    SELECT e.employee_id AS farmer_id,
+           SUM(oe.comissao) AS receita_op,
+           SUM(oe.comissao * 0.95) AS comissao_op
+    FROM operacoes_estruturadas oe
+    JOIN clients cl ON oe.client_id = cl.client_id
+    JOIN employees e ON CAST(cl.farmer_id AS INTEGER) = e.employee_id
+    WHERE oe.status_operacao != 'Cancelado'
+      AND CAST(date_trunc('month', oe.data) AS DATE) = {{MES}}
+    GROUP BY 1
+),
+calculo AS (
+    SELECT pv.farmer_id,
+           pv.receita_pos + COALESCE(cv.receita_coe, 0) + COALESCE(ov.receita_op, 0) AS receita_total,
+           pv.comissao_pos + COALESCE(cv.comissao_coe, 0) + COALESCE(ov.comissao_op, 0) AS comissao_bruta_total
+    FROM pos_values pv
+    LEFT JOIN coe_values cv USING (farmer_id)
+    LEFT JOIN op_values ov USING (farmer_id)
+),
+totals AS (
+    SELECT CAST(c.farmer_id AS INTEGER) AS farmer_id,
+           SUM(ph.net_capture) AS captacao_total,
+           SUM(ph.churn) AS churn_total
+    FROM snap ph
+    JOIN last_date ld ON ph.record_date = ld.data_positivador
+    JOIN clients c ON ph.client_id = c.client_id
+    GROUP BY 1
+),
+periodo AS (
+    SELECT farmer_id, MIN(start_date) AS periodo_inicio,
+           COALESCE(MAX(end_date), {{AS_OF}}) AS periodo_fim
+    FROM all_p
+    GROUP BY farmer_id
+),
+emp AS (
+    SELECT employee_id AS farmer_id, name AS farmer_name, hierarchy_level
+    FROM employees
+    WHERE hierarchy_level IN ('junior', 'pleno') AND status = 'active' AND ({{SCOPE}})
+),
+comp AS (SELECT * FROM compensation WHERE target_date = {{MES}}),
+raw AS (
+    SELECT e.farmer_id, e.farmer_name, e.hierarchy_level,
+           ld.data_positivador,
+           p.periodo_inicio,
+           COALESCE(p.periodo_fim, {{AS_OF}}) AS periodo_fim,
+           t.churn_total, comp.target_churn,
+           CASE WHEN t.churn_total >= comp.target_churn THEN 'Batida' ELSE 'Não Batida' END AS status_churn,
+           CASE WHEN e.hierarchy_level = 'junior' THEN comp.junior_churn_bonus ELSE comp.pleno_churn_bonus END AS porcentagem_churn,
+           CASE WHEN t.churn_total >= comp.target_churn AND e.hierarchy_level = 'junior'
+                    THEN ROUND(cr.comissao_bruta_total * comp.junior_churn_bonus * 0.01, 2)
+                WHEN t.churn_total >= comp.target_churn AND e.hierarchy_level = 'pleno'
+                    THEN ROUND(cr.comissao_bruta_total * comp.pleno_churn_bonus * 0.01, 2)
+                ELSE 0 END AS bonus_churn,
+           t.captacao_total, comp.target_net_capture,
+           CASE WHEN t.captacao_total >= comp.target_net_capture THEN 'Batida' ELSE 'Não Batida' END AS status_captacao,
+           CASE WHEN e.hierarchy_level = 'junior' THEN comp.junior_referral_bonus ELSE comp.pleno_referral_bonus END AS porcentagem_captacao,
+           CASE WHEN t.captacao_total >= comp.target_net_capture AND e.hierarchy_level = 'junior'
+                    THEN ROUND(cr.comissao_bruta_total * comp.junior_referral_bonus * 0.01, 2)
+                WHEN t.captacao_total >= comp.target_net_capture AND e.hierarchy_level = 'pleno'
+                    THEN ROUND(cr.comissao_bruta_total * comp.pleno_referral_bonus * 0.01, 2)
+                ELSE 0 END AS bonus_captacao,
+           cr.receita_total, comp.target_revenue,
+           CASE WHEN cr.receita_total >= comp.target_revenue THEN 'Batida' ELSE 'Não Batida' END AS status_receita,
+           CASE WHEN e.hierarchy_level = 'junior' THEN comp.junior_revenue_bonus ELSE comp.pleno_revenue_bonus END AS porcentagem_receita,
+           CASE WHEN cr.receita_total >= comp.target_revenue AND e.hierarchy_level = 'junior'
+                    THEN ROUND(cr.comissao_bruta_total * comp.junior_revenue_bonus * 0.01, 2)
+                WHEN cr.receita_total >= comp.target_revenue AND e.hierarchy_level = 'pleno'
+                    THEN ROUND(cr.comissao_bruta_total * comp.pleno_revenue_bonus * 0.01, 2)
+                ELSE 0 END AS bonus_receita,
+           cr.comissao_bruta_total
+    FROM emp e
+    LEFT JOIN comp ON comp.employee_id = e.farmer_id
+    LEFT JOIN totals t ON t.farmer_id = e.farmer_id
+    LEFT JOIN calculo cr ON cr.farmer_id = e.farmer_id
+    LEFT JOIN periodo p ON p.farmer_id = e.farmer_id
+    CROSS JOIN last_date ld
+)
+SELECT farmer_id, farmer_name, hierarchy_level, data_positivador,
+       periodo_inicio, periodo_fim,
+       {{MES}} AS mes,
+       strftime({{MES}}, '%m/%Y') AS mes_formatado,
+       {{IS_CURRENT}} AS is_current_month,
+       CAST(ROUND(COALESCE(churn_total, 0), 2) AS DECIMAL(18,2)) AS churn_total,
+       CAST(ROUND(COALESCE(target_churn, 0), 2) AS DECIMAL(18,2)) AS meta_churn,
+       status_churn,
+       CAST(ROUND(COALESCE(porcentagem_churn, 0), 2) AS DECIMAL(18,2)) AS porcentagem_churn,
+       CAST(ROUND(COALESCE(bonus_churn, 0), 2) AS DECIMAL(18,2)) AS bonus_churn,
+       CAST(ROUND(COALESCE(captacao_total, 0), 2) AS DECIMAL(18,2)) AS captacao_total,
+       CAST(ROUND(COALESCE(target_net_capture, 0), 2) AS DECIMAL(18,2)) AS meta_captacao,
+       status_captacao,
+       CAST(ROUND(COALESCE(porcentagem_captacao, 0), 2) AS DECIMAL(18,2)) AS porcentagem_captacao,
+       CAST(ROUND(COALESCE(bonus_captacao, 0), 2) AS DECIMAL(18,2)) AS bonus_captacao,
+       CAST(ROUND(COALESCE(receita_total, 0), 2) AS DECIMAL(18,2)) AS receita_total,
+       CAST(ROUND(COALESCE(target_revenue, 0), 2) AS DECIMAL(18,2)) AS meta_receita,
+       status_receita,
+       CAST(ROUND(COALESCE(porcentagem_receita, 0), 2) AS DECIMAL(18,2)) AS porcentagem_receita,
+       CAST(ROUND(COALESCE(bonus_receita, 0), 2) AS DECIMAL(18,2)) AS bonus_receita,
+       CAST(ROUND(COALESCE(comissao_bruta_total, 0), 2) AS DECIMAL(18,2)) AS comissao_bruta_total,
+       CAST(ROUND(COALESCE(
+           COALESCE(bonus_churn, 0) + COALESCE(bonus_captacao, 0) + COALESCE(bonus_receita, 0),
+       0), 2) AS DECIMAL(18,2)) AS bonus_total
+FROM raw
+"""
+)
+
+
+@query(
+    "fechamento_m_presente",
+    with_model(
+        _FECHAMENTO_BODY.format(
+            MES="DATE '2024-01-01'",
+            AS_OF=asof.AS_OF_EVENTS_SQL,
+            SCOPE="TRUE",
+            IS_CURRENT="TRUE",
+        ),
+        *_FECHAMENTO_TABLES,
+    ),
+)
+def q_fechamento_presente(spark, sf_dir):
+    return fechamento(
+        spark.table("positivador_historical"),
+        spark.table("coe"),
+        spark.table("operacoes_estruturadas"),
+        spark.table("clients"),
+        spark.table("employees"),
+        spark.table("client_transfers"),
+        spark.table("compensation"),
+        as_of=asof.AS_OF_EVENTS,
+        scope="1. Gamma Capital",
+    )
+
+
+@query(
+    "fechamento_m_passado",
+    with_model(
+        _FECHAMENTO_BODY.format(
+            MES="DATE '2024-01-01'",
+            AS_OF="DATE '2024-02-15'",
+            SCOPE="group_id = 1",
+            IS_CURRENT="FALSE",
+        ),
+        *_FECHAMENTO_TABLES,
+    ),
+)
+def q_fechamento_passado(spark, sf_dir):
+    return fechamento(
+        spark.table("positivador_historical"),
+        spark.table("coe"),
+        spark.table("operacoes_estruturadas"),
+        spark.table("clients"),
+        spark.table("employees"),
+        spark.table("client_transfers"),
+        spark.table("compensation"),
+        as_of=dt.date(2024, 2, 15),
+        month=dt.date(2024, 1, 1),
+        scope="2. Farmers",
+    )
