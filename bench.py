@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is materialized with the noop writer (full execution, no
+driver-side collect). A small warmup query first absorbs session/JIT
+startup so per-query numbers reflect plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_gamma_spark.registry import QUERIES  # noqa: E402
+from etl_gamma_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# queries excluded from the bench loop (none currently); order matters only
+# for cache warmth, so run the flagship first
+BENCH_QUERIES = list(QUERIES)
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    spark = get_spark("etl-gamma-bench")
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    # warmup: touch every base table + codegen paths once
+    materialize(QUERIES["receita_farmer_m_passado"](spark, SF_DIR))
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        materialize(QUERIES[name](spark, SF_DIR))
+        secs = round(time.monotonic() - t0, 3)
+        per_query[name] = secs
+        total += secs
+
+    print(
+        json.dumps(
+            {
+                "metric": "etl_gamma_spark headline queries wall-clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,11 +39,23 @@ from .plans.receita_produto import receita_produto_f_m_passado
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# model views are session-scoped temp views; re-registering them for every
+# query call re-reads 10 parquet footers — memoize per (session, sf_dir)
+_REGISTERED: dict[tuple[int, str], bool] = {}
+
+
+def _ensure_model(spark: SparkSession, sf_dir: str) -> None:
+    key = (id(spark), sf_dir)
+    if not _REGISTERED.get(key):
+        register_model_views(spark, sf_dir)
+        _REGISTERED.clear()  # a session points at one sf_dir at a time
+        _REGISTERED[key] = True
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            register_model_views(spark, sf_dir)
+            _ensure_model(spark, sf_dir)
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped

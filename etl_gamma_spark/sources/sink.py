@@ -1,0 +1,103 @@
+"""Idempotent sink layer — the reference's scoped delete-then-insert
+(SURVEY.md §2.1 S4) re-expressed as Parquet partition-aware writes.
+
+The reference refreshes output tables with four delete-scopes before a
+row-at-a-time executemany INSERT:
+  (a) whole table            — kpi_receita_farmer_m_passado/load.py:43-54
+  (b) by farmer_id           — same file (param variant)
+  (c) by date range          — kpi_receita_cliente/load.py:53-74
+  (d) by month + is_current_month flag
+                             — kpi_fechamento_m_presente/load.py:49-72
+
+Spark-first: outputs are Parquet tables partitioned by a scope column
+(typically ``mes``); with ``spark.sql.sources.partitionOverwriteMode=
+dynamic`` a ``mode("overwrite")`` write replaces exactly the partitions
+present in the incoming DataFrame — the moral equivalent of
+delete-where + insert, atomic per partition, vectorized, and at 100 TB it
+rewrites only the touched months instead of the table. Scopes that are
+not partition-aligned (arbitrary date ranges) fall back to
+read-filter-union-rewrite of only the overlapping partitions.
+
+Grain-uniqueness (the DB UNIQUE constraints, db_schema_receita.py:60) is
+enforced by :func:`assert_unique_grain` in tests instead of by the store.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+
+
+def write_full_refresh(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Scope (a): replace the whole table."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_partition_overwrite(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Scopes (b)/(d): replace exactly the partitions present in ``df``
+    (dynamic partition overwrite — delete-by-scope + insert in one atomic
+    write per partition)."""
+    apply_runtime_confs(df.sparkSession)
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def overwrite_date_range(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    date_col: str,
+    start: dt.date,
+    end: dt.date,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Scope (c): delete rows in [start, end] then insert ``df``.
+
+    If the table doesn't exist yet this is a plain write. Otherwise keep
+    the rows *outside* the range and union the new data — expressed so the
+    scan of the old table prunes to the overlapping partitions when
+    ``date_col`` (or a prefix of it) is the partition key.
+    """
+    if not os.path.exists(path):
+        write_full_refresh(df, path, partition_by)
+        return
+    existing = spark.read.parquet(path)
+    keep = existing.filter(
+        (F.col(date_col) < F.lit(start)) | (F.col(date_col) > F.lit(end))
+    )
+    merged = keep.unionByName(df.select(*existing.columns))
+    # write to a temp dir then swap: Spark cannot overwrite a path it is
+    # concurrently reading in local mode
+    tmp = path.rstrip("/") + "._staging"
+    w = merged.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    final = spark.read.parquet(tmp)
+    wf = final.write.mode("overwrite")
+    if partition_by:
+        wf = wf.partitionBy(*partition_by)
+    wf.parquet(path)
+    # best-effort cleanup of the staging dir
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def assert_unique_grain(df: DataFrame, keys: list[str]) -> None:
+    """Replacement for the reference's DB UNIQUE constraints: raises if any
+    grain key combination appears more than once."""
+    dup = df.groupBy(*keys).count().filter(F.col("count") > 1)
+    n = dup.count()
+    if n:
+        sample = [r.asDict() for r in dup.limit(5).collect()]
+        raise AssertionError(f"grain violation on {keys}: {n} duplicate groups, e.g. {sample}")
