@@ -1,0 +1,90 @@
+"""Sink-layer tests: idempotence + grain uniqueness (SURVEY.md §5.3).
+
+The reference guarantees refresh idempotence operationally via
+delete-before-insert and DB UNIQUE constraints; here: run each write scope
+twice and assert identical table state, and assert the output grains the
+reference declares UNIQUE.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_gamma_spark import asof
+from etl_gamma_spark.registry import QUERIES
+from etl_gamma_spark.sources.sink import (
+    assert_unique_grain,
+    overwrite_date_range,
+    write_full_refresh,
+    write_partition_overwrite,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _snapshot(spark, path):
+    rows = spark.read.parquet(path).collect()
+    return sorted(tuple(str(v) for v in r) for r in rows)
+
+
+def test_full_refresh_idempotent(spark, tmp_path):
+    df = QUERIES["receita_farmer_m_passado"](spark, SF_SMOKE)
+    path = str(tmp_path / "t")
+    write_full_refresh(df, path, ["mes"])
+    first = _snapshot(spark, path)
+    write_full_refresh(df, path, ["mes"])
+    assert _snapshot(spark, path) == first
+
+
+def test_partition_overwrite_replaces_only_touched_months(spark, tmp_path):
+    df = QUERIES["receita_farmer_m_passado"](spark, SF_SMOKE).cache()
+    path = str(tmp_path / "t")
+    write_full_refresh(df, path, ["mes"])
+    baseline = _snapshot(spark, path)
+
+    # overwrite one month with modified rows → only that month changes
+    one_month = df.filter(F.col("mes") == dt.date(2001, 1, 1)).withColumn(
+        "receita_bruta", F.lit(0).cast("decimal(18,2)")
+    )
+    write_partition_overwrite(one_month, path, ["mes"])
+    after = spark.read.parquet(path)
+    changed = after.filter(F.col("mes") == dt.date(2001, 1, 1))
+    untouched = after.filter(F.col("mes") != dt.date(2001, 1, 1))
+    assert changed.select(F.sum("receita_bruta")).first()[0] == 0
+    assert sorted(
+        tuple(str(v) for v in r) for r in untouched.collect()
+    ) == sorted(t for t in baseline if "2001-01-01" not in t)
+
+    # idempotence: same scoped write twice → same state
+    write_partition_overwrite(one_month, path, ["mes"])
+    assert _snapshot(spark, path) == _snapshot(spark, path)
+
+
+def test_overwrite_date_range_idempotent(spark, tmp_path):
+    df = QUERIES["receita_cliente"](spark, SF_SMOKE).cache()
+    path = str(tmp_path / "t")
+    lo, hi = dt.date(2001, 1, 1), dt.date(2001, 6, 30)
+    in_range = df.filter(F.col("data_operacao").between(lo, hi))
+    write_full_refresh(df, path, ["mes"])
+    first = _snapshot(spark, path)
+    overwrite_date_range(spark, in_range, path, "data_operacao", lo, hi, ["mes"])
+    assert _snapshot(spark, path) == first
+    overwrite_date_range(spark, in_range, path, "data_operacao", lo, hi, ["mes"])
+    assert _snapshot(spark, path) == first
+
+
+def test_output_grains_unique(spark):
+    # grains per FIXTURES.md §A (reference UNIQUE constraints)
+    g = QUERIES["receita_farmer_m_passado"](spark, SF_SMOKE)
+    assert_unique_grain(g, ["mes", "fonte", "farmer_id"])
+    assert_unique_grain(
+        QUERIES["receita_produto_f_m_passado"](spark, SF_SMOKE),
+        ["mes", "categoria", "produto", "farmer_id"],
+    )
+    assert_unique_grain(QUERIES["fechamento_m_presente"](spark, SF_SMOKE), ["mes", "farmer_id"])
+
+
+def test_unique_grain_raises_on_duplicates(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    with pytest.raises(AssertionError, match="grain violation"):
+        assert_unique_grain(df, ["k"])
