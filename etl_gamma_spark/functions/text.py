@@ -1,0 +1,199 @@
+"""Text-analysis expression builders for large-scale training-data
+pipelines: tokenization, shingling, quality stats, language-ID heuristics,
+fingerprinting, MinHash primitives.
+
+Everything here is a *SQL expression generator* parameterized by dialect
+("spark" | "duck"): the engine evaluates the Spark form (JVM-side
+higher-order functions — no Python UDFs in the hot path), and the DuckDB
+oracle evaluates the duck form, so both sides are generated from the same
+code and cannot drift semantically.
+
+Determinism notes:
+  * string→int hashing goes through md5 (identical algorithm in both
+    engines) → first 15 hex chars → BIGINT (60 bits, overflow-free);
+  * MinHash uses (a*x + b) mod P with P = 4294967311 (prime > 2^32) and
+    small a/b so products stay < 2^38 — safe under Spark ANSI overflow
+    checking and identical in both engines.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duck"
+
+# --- dialect primitives ----------------------------------------------------
+
+
+def split_ws(text: str, d: str) -> str:
+    return f"split({text}, ' ')" if d == SPARK else f"string_split({text}, ' ')"
+
+
+def asize(arr: str, d: str) -> str:
+    return f"size({arr})" if d == SPARK else f"len({arr})"
+
+
+def elem(arr: str, i: str, d: str) -> str:  # 1-based in both dialects
+    return f"element_at({arr}, {i})" if d == SPARK else f"({arr})[{i}]"
+
+
+def seq(a: str, b: str, d: str) -> str:  # inclusive [a, b]
+    return f"sequence({a}, {b})" if d == SPARK else f"range({a}, ({b}) + 1)"
+
+
+def atransform(arr: str, var: str, body: str, d: str) -> str:
+    fn = "transform" if d == SPARK else "list_transform"
+    return f"{fn}({arr}, {var} -> {body})"
+
+
+def afilter(arr: str, var: str, body: str, d: str) -> str:
+    fn = "filter" if d == SPARK else "list_filter"
+    return f"{fn}({arr}, {var} -> {body})"
+
+
+def amin(arr: str, d: str) -> str:
+    return f"array_min({arr})" if d == SPARK else f"list_min({arr})"
+
+
+def adistinct(arr: str, d: str) -> str:
+    return f"array_distinct({arr})" if d == SPARK else f"list_distinct({arr})"
+
+
+def array_lit(x: str, d: str) -> str:
+    return f"array({x})" if d == SPARK else f"[{x}]"
+
+
+def hexint(s: str, d: str) -> str:
+    """Deterministic 60-bit integer hash of a string via md5 (engine-equal)."""
+    if d == SPARK:
+        return f"CAST(conv(substr(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def bit(h: str, i: int, d: str) -> str:
+    if d == SPARK:
+        return f"(shiftright({h}, {i}) & 1)"
+    return f"(({h} >> {i}) & 1)"
+
+
+# --- tokenization / shingling ---------------------------------------------
+
+# BPE-ish surface tokenizer: letter runs, digit runs, single punctuation
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(text: str, d: str) -> str:
+    if d == SPARK:
+        return f"size(regexp_extract_all({text}, '{BPE_PATTERN}', 0))"
+    return f"len(regexp_extract_all({text}, '{BPE_PATTERN}'))"
+
+
+def word_shingles(text: str, d: str, n: int = 3) -> str:
+    """Distinct n-word shingles of ``text`` (whitespace tokens); documents
+    shorter than n words shingle to the whole text."""
+    w = split_ws(text, d)
+    parts = ", ' ', ".join(elem("__w", f"__i + {k}" if k else "__i", d) for k in range(n))
+    shingle = f"concat({parts})"
+    gen = atransform(seq("1", f"{asize('__w', d)} - {n - 1}", d), "__i", shingle, d)
+    # bind __w via a transform-over-single-element trick is unreadable;
+    # instead inline the split expression (engines fold the duplicate scan)
+    gen = gen.replace("__w", w)
+    return (
+        f"CASE WHEN {asize(w, d)} >= {n} THEN {adistinct(gen, d)}"
+        f" ELSE {array_lit(text, d)} END"
+    )
+
+
+# --- MinHash ---------------------------------------------------------------
+
+MINHASH_P = 4294967311  # prime > 2^32
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4  # K / BANDS
+
+
+def minhash_params(j: int) -> tuple[int, int]:
+    return 2 * j + 3, j * j + 1
+
+
+def minhash_exprs(shingles_arr: str, d: str) -> list[str]:
+    """K minhash values over a shingle array: min_j over shingles of
+    (a_j * (h(s) mod P) + b_j) mod P."""
+    hashed = atransform(shingles_arr, "__s", f"{hexint('__s', d)} % {MINHASH_P}", d)
+    out = []
+    for j in range(MINHASH_K):
+        a, b = minhash_params(j)
+        perm = atransform(hashed, "__x", f"(({a} * __x + {b}) % {MINHASH_P})", d)
+        out.append(f"{amin(perm, d)} AS m{j}")
+    return out
+
+
+def band_key_exprs(d: str) -> list[str]:
+    """LSH band keys over materialized m0..m{K-1} columns."""
+    out = []
+    for band in range(MINHASH_BANDS):
+        cols = ", ".join(
+            f"m{band * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
+        )
+        out.append(f"md5(concat_ws(',', {cols})) AS band{band}")
+    return out
+
+
+# --- quality stats / language ID ------------------------------------------
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+
+def _in_list(var: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"{var} IN ({lst})"
+
+
+def stopword_count(text: str, d: str, words: tuple[str, ...] = EN_STOPWORDS) -> str:
+    arr = afilter(split_ws(f"lower({text})", d), "__t", _in_list("__t", words), d)
+    return asize(arr, d)
+
+
+def lang_scores(text: str, d: str) -> list[str]:
+    return [
+        f"{stopword_count(text, d, words)} AS score_{lang}"
+        for lang, words in LANG_MARKERS.items()
+    ]
+
+
+def lang_pick_expr() -> str:
+    """argmax over materialized score_<lang> columns, ties broken by the
+    fixed language order (en first)."""
+    langs = list(LANG_MARKERS)
+    gl = ", ".join(f"score_{lang}" for lang in langs)
+    clauses = " ".join(
+        f"WHEN score_{lang} >= greatest({gl}) THEN '{lang}'" for lang in langs
+    )
+    return f"CASE {clauses} ELSE 'und' END"
+
+
+def regex_strip(text: str, pattern: str, d: str) -> str:
+    """Remove every match of ``pattern`` (DuckDB needs the 'g' flag —
+    its regexp_replace is first-match-only by default, Spark's is global)."""
+    if d == SPARK:
+        return f"regexp_replace({text}, '{pattern}', '')"
+    return f"regexp_replace({text}, '{pattern}', '', 'g')"
+
+
+def punct_ratio(text: str, d: str) -> str:
+    # ratio of punctuation characters to total characters (double division,
+    # identical IEEE semantics in both engines)
+    punct = f"length({regex_strip(text, '[^.,;:!?]', d)})"
+    return f"CAST({punct} AS DOUBLE) / CAST(length({text}) AS DOUBLE)"
+
+
+def digit_ratio(text: str, d: str) -> str:
+    digits = f"length({regex_strip(text, '[^0-9]', d)})"
+    return f"CAST({digits} AS DOUBLE) / CAST(length({text}) AS DOUBLE)"

@@ -1,0 +1,173 @@
+"""Deduplication operators for training-data pipelines (extension surface;
+BASELINE.json north star): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All operators are pure DataFrame plans built from JVM-side higher-order
+functions (functions/text.py expression generators — no Python UDFs), so
+they scale with Tungsten codegen.
+
+Scale posture per operator:
+  * exact_dedup — one hash-aggregate shuffle on a 32-char fingerprint key;
+    map-side combine collapses most duplicates before the exchange.
+  * minhash signatures — embarrassingly parallel per-row (no shuffle);
+    shingling + K permutations happen inside one projection.
+  * LSH pairs — shuffle on (band, band_key) only; candidate verification
+    joins signatures (small per-doc payload), never the raw text. This is
+    the 100 TB path: the quadratic work is confined to same-bucket pairs.
+  * ngram_jaccard_pairs — exact O(pairs-sharing-a-shingle); use as the
+    verifier behind LSH at scale, or standalone at small scale.
+  * simhash — per-row signature; near-dup = Hamming distance on 16 bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+S = T.SPARK
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """md5 content fingerprint after whitespace/case normalization."""
+    norm = f"lower(regexp_replace(trim({text_col}), ' +', ' '))"
+    return docs.selectExpr(id_col, f"md5({norm}) AS fp")
+
+
+def exact_dedup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical (normalized) texts: (fp, n_docs, keeper=min id)."""
+    return (
+        fingerprint(docs, text_col, id_col)
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+def exact_dedup_keep(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivors of exact dedup (smallest id per fingerprint wins)."""
+    keepers = exact_dedup_groups(docs, text_col, id_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    return docs.join(keepers, id_col, "left_semi")
+
+
+def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct n-word shingles, exploded."""
+    arr = T.word_shingles(text_col, S, n)
+    return docs.selectExpr(id_col, f"{arr} AS shingles").select(
+        id_col, F.explode("shingles").alias("shingle")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc_id, m0..m15): K=16 MinHash values per document — a single
+    narrow projection, no shuffle."""
+    arr = T.word_shingles(text_col, S, n)
+    return docs.selectExpr(id_col, f"{arr} AS shingles").selectExpr(
+        id_col, *T.minhash_exprs("shingles", S)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over the MinHash
+    signature (4 bands × 4 rows), with the MinHash-estimated Jaccard.
+
+    Returns (doc_a, doc_b, est_jaccard) for pairs sharing ≥1 band bucket.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col, n).cache()
+    m_cols = [f"m{j}" for j in range(T.MINHASH_K)]
+
+    banded = sigs.selectExpr(id_col, *m_cols, *T.band_key_exprs(S))
+    bands = None
+    for band in range(T.MINHASH_BANDS):
+        b = banded.select(
+            F.col(id_col), F.lit(band).alias("band"), F.col(f"band{band}").alias("bkey")
+        )
+        bands = b if bands is None else bands.unionByName(b)
+
+    left = bands.select(F.col(id_col).alias("doc_a"), "band", "bkey")
+    right = bands.select(F.col(id_col).alias("doc_b"), "band", "bkey")
+    cand = (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sa = sigs.select(F.col(id_col).alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in m_cols])
+    sb = sigs.select(F.col(id_col).alias("doc_b"), *[F.col(c).alias(f"b_{c}") for c in m_cols])
+    matches = " + ".join(
+        f"CASE WHEN a_{c} = b_{c} THEN 1 ELSE 0 END" for c in m_cols
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"CAST(({matches}) AS DOUBLE) / {T.MINHASH_K}.0 AS est_jaccard",
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via a shingle inverted index:
+    |A∩B| from a self-join on shingle, |A∪B| = |A|+|B|-|A∩B|."""
+    sh = shingle_sets(docs, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(n_shared AS DOUBLE) / CAST(n_a + n_b - n_shared AS DOUBLE) AS jaccard",
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash over the word multiset — per-token
+    md5-derived bits, summed ±1 per position, sign-packed."""
+    tokens = docs.selectExpr(
+        id_col, f"explode({T.split_ws(f'lower({text_col})', S)}) AS tok"
+    ).selectExpr(id_col, f"{T.hexint('tok', S)} AS h")
+    sums = tokens.groupBy(id_col).agg(
+        *[
+            F.expr(f"SUM(CASE WHEN {T.bit('h', i, S)} = 1 THEN 1 ELSE -1 END)").alias(f"s{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = " + ".join(f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
+    return sums.selectExpr(id_col, f"CAST({packed} AS BIGINT) AS simhash")

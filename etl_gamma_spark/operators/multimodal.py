@@ -1,0 +1,162 @@
+"""Multimodal column plumbing: images/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas functions
+(``mapInPandas``) — the pattern a 100 TB multimodal training-data pipeline
+uses (decode/resize/feature-extract next to the data, never on the driver).
+
+The actual codecs (PIL/ffmpeg/etc.) are NOT in this container, so the
+decode kernels are **deterministic stubs** clearly marked below: they
+derive pseudo-features from the payload bytes. The Spark-side plumbing —
+schema, binary handling, Arrow batch iteration, partition-parallel
+execution — is real and tested; swapping ``_stub_decode_features`` for a
+real codec is a one-function change.
+
+Scale posture: mapInPandas streams Arrow batches per partition (payloads
+never collect to the driver); metadata predicates (kind/width/...) are
+plain columns, so Catalyst prunes/pushes them *before* the expensive
+Python stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+
+MEDIA_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("media_id", Ty.LongType(), False),
+        Ty.StructField("kind", Ty.StringType(), False),  # 'image'|'audio'|'video'
+        Ty.StructField("payload", Ty.BinaryType(), True),
+        Ty.StructField(
+            "meta",
+            Ty.StructType(
+                [
+                    Ty.StructField("width", Ty.IntegerType(), True),
+                    Ty.StructField("height", Ty.IntegerType(), True),
+                    Ty.StructField("sample_rate", Ty.IntegerType(), True),
+                    Ty.StructField("n_frames", Ty.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, features array<float>"
+THUMB_SCHEMA = "media_id long, kind string, thumb binary, thumb_w int, thumb_h int"
+FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table derived from the documents fixture:
+    payload = repeated md5 bytes of the text (stands in for encoded pixels
+    / samples); metadata derived from doc stats. Pure column ops."""
+    return docs.selectExpr(
+        "doc_id AS media_id",
+        "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'"
+        " ELSE 'video' END AS kind",
+        "unhex(repeat(md5(text), 1 + CAST(n_chars % 7 AS INT))) AS payload",
+        "named_struct("
+        "'width', CAST(16 + doc_id % 64 AS INT),"
+        "'height', CAST(16 + doc_id % 48 AS INT),"
+        "'sample_rate', CAST(8000 + (doc_id % 4) * 8000 AS INT),"
+        "'n_frames', CAST(1 + doc_id % 30 AS INT)) AS meta",
+    )
+
+
+def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    The kernel (and its decode stub) is a *nested* function so cloudpickle
+    serializes it by value — Python workers need no importable
+    etl_gamma_spark on their path.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def stub_decode(payload, n):
+            # STUB — deterministic fake decode. A real pipeline would run
+            # the codec here (PIL.Image.open / librosa.load / pyav) — not
+            # available in this container.
+            if payload is None:
+                return [0.0] * n
+            b = payload[:n] if len(payload) >= n else payload + b"\x00" * (n - len(payload))
+            return [x / 255.0 for x in b]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)).astype("int32"),
+                    "features": pdf["payload"].map(
+                        lambda p: stub_decode(p, n_features)
+                    ),
+                }
+            )
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def resize_thumbnail(media: DataFrame, w: int = 4, h: int = 4) -> DataFrame:
+    """'Resize' stub: truncate payload to w*h bytes (real impl: decode →
+    resample → re-encode). Only images/videos produce thumbs."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mask = pdf["kind"].isin(["image", "video"])
+            out = pdf[mask]
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "kind": out["kind"],
+                    "thumb": out["payload"].map(
+                        lambda p: None if p is None else p[: w * h]
+                    ),
+                    "thumb_w": pd.Series([w] * len(out), index=out.index, dtype="int32"),
+                    "thumb_h": pd.Series([h] * len(out), index=out.index, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(kernel, THUMB_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling stub for videos: emit one 16-byte 'frame' per
+    ``every_n`` declared frames (1:N row explosion inside the batch —
+    the shape a real frame sampler has)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "frame_idx": [], "frame": []}
+            vids = pdf[pdf["kind"] == "video"]
+            for mid, payload, meta in zip(
+                vids["media_id"], vids["payload"], vids["meta"]
+            ):
+                n_frames = int(meta["n_frames"]) if meta is not None else 0
+                for idx in range(0, n_frames, every_n):
+                    off = (idx * 16) % max(len(payload or b"\x00"), 1)
+                    chunk = (payload or b"\x00")[off : off + 16]
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["frame"].append(chunk)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only rollup — stays fully JVM-side (no Python stage):
+    proves predicates/aggregates on multimodal tables don't pay the
+    decode cost."""
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.max("meta.width").alias("max_width"),
+            F.max("meta.n_frames").alias("max_frames"),
+        )
+    )

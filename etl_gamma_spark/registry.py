@@ -737,3 +737,304 @@ def q_fechamento_passado(spark, sf_dir):
         month=dt.date(2024, 1, 1),
         scope="2. Farmers",
     )
+
+
+# ===========================================================================
+# LLM-training-data extensions (BASELINE.json north star): text analysis,
+# dedup, similarity search. Oracles are generated from the same dialect-
+# parameterized expression builders as the engine plans (functions/text.py)
+# ===========================================================================
+
+from .functions import text as T  # noqa: E402
+from .operators import dedup as DD  # noqa: E402
+from .operators import similarity as SIM  # noqa: E402
+
+_D = T.DUCK
+_S = T.SPARK
+
+
+def _text_stats_sql(d: str) -> str:
+    ntok = T.asize(T.split_ws("text", d), d)
+    return f"""
+SELECT doc_id, lang,
+       length(text) AS n_chars_calc,
+       {ntok} AS n_tokens,
+       {T.bpe_token_count('text', d)} AS n_bpe_tokens,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST({ntok} AS DOUBLE) AS avg_token_len,
+       {T.punct_ratio('text', d)} AS punct_ratio,
+       {T.digit_ratio('text', d)} AS digit_ratio,
+       CAST({T.stopword_count('text', d)} AS DOUBLE) / CAST({ntok} AS DOUBLE) AS stopword_ratio,
+       0.4 * least(CAST({ntok} AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * (1.0 - {T.punct_ratio('text', d)})
+         + 0.3 * (1.0 - CAST({T.stopword_count('text', d)} AS DOUBLE) / CAST({ntok} AS DOUBLE)) AS quality_score
+FROM documents
+"""
+
+
+@query("text_stats", _text_stats_sql(_D))
+def q_text_stats(spark, sf_dir):
+    return spark.sql(_text_stats_sql(_S))
+
+
+def _lang_id_sql(d: str) -> str:
+    scores = ",\n       ".join(T.lang_scores("text", d))
+    return f"""
+SELECT doc_id, lang, {T.lang_pick_expr()} AS predicted_lang,
+       score_en, score_de, score_fr, score_es, score_zh,
+       CASE WHEN lang = {T.lang_pick_expr()} THEN TRUE ELSE FALSE END AS correct
+FROM (
+    SELECT doc_id, lang,
+       {scores}
+    FROM documents
+) s
+"""
+
+
+@query("lang_id", _lang_id_sql(_D))
+def q_lang_id(spark, sf_dir):
+    return spark.sql(_lang_id_sql(_S))
+
+
+@query(
+    "exact_dedup",
+    """
+SELECT md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keeper
+FROM documents
+GROUP BY 1
+""",
+)
+def q_exact_dedup(spark, sf_dir):
+    return DD.exact_dedup_groups(spark.table("documents"))
+
+
+def _minhash_sig_sql(d: str) -> str:
+    exprs = ",\n       ".join(T.minhash_exprs("shingles", d))
+    return f"""
+WITH sh AS (
+    SELECT doc_id, {T.word_shingles('text', d)} AS shingles FROM documents
+)
+SELECT doc_id,
+       {exprs}
+FROM sh
+"""
+
+
+@query("minhash_signatures", _minhash_sig_sql(_D))
+def q_minhash_signatures(spark, sf_dir):
+    return DD.minhash_signatures(spark.table("documents"))
+
+
+def _minhash_pairs_sql(d: str) -> str:
+    bands = ",\n       ".join(T.band_key_exprs(d))
+    band_union = "\nUNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS bkey FROM banded"
+        for b in range(T.MINHASH_BANDS)
+    )
+    m_cols = [f"m{j}" for j in range(T.MINHASH_K)]
+    matches = " + ".join(f"CASE WHEN a.{c} = b.{c} THEN 1 ELSE 0 END" for c in m_cols)
+    return f"""
+WITH sh AS (
+    SELECT doc_id, {T.word_shingles('text', d)} AS shingles FROM documents
+),
+sigs AS (
+    SELECT doc_id, {", ".join(T.minhash_exprs('shingles', d))} FROM sh
+),
+banded AS (
+    SELECT doc_id, {", ".join(f"m{j}" for j in range(T.MINHASH_K))},
+       {bands}
+    FROM sigs
+),
+bands_long AS (
+{band_union}
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands_long l JOIN bands_long r ON l.band = r.band AND l.bkey = r.bkey
+    WHERE l.doc_id < r.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(({matches}) AS DOUBLE) / {T.MINHASH_K}.0 AS est_jaccard
+FROM cand c
+JOIN sigs a ON a.doc_id = c.doc_a
+JOIN sigs b ON b.doc_id = c.doc_b
+"""
+
+
+@query("minhash_lsh_pairs", _minhash_pairs_sql(_D))
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return DD.minhash_lsh_pairs(spark.table("documents"))
+
+
+def _jaccard_pairs_sql(d: str, threshold: float) -> str:
+    return f"""
+WITH sh0 AS (
+    SELECT doc_id, {T.word_shingles('text', d)} AS shingles FROM documents
+),
+sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b,
+       CAST(s.n_shared AS DOUBLE) / CAST(na.n_sh + nb.n_sh - s.n_shared AS DOUBLE) AS jaccard
+FROM shared s
+JOIN sizes na ON na.doc_id = s.doc_a
+JOIN sizes nb ON nb.doc_id = s.doc_b
+WHERE CAST(s.n_shared AS DOUBLE) / CAST(na.n_sh + nb.n_sh - s.n_shared AS DOUBLE) >= {threshold}
+"""
+
+
+@query("ngram_jaccard_pairs", _jaccard_pairs_sql(_D, 0.2))
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(spark.table("documents"), threshold=0.2)
+
+
+def _simhash_sql(d: str, bits: int = 16) -> str:
+    sums = ",\n       ".join(
+        f"SUM(CASE WHEN {T.bit('h', i, d)} = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    packed = " + ".join(f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
+    if d == _D:
+        toks = f"SELECT doc_id, unnest({T.split_ws('lower(text)', d)}) AS tok FROM documents"
+    else:
+        toks = f"SELECT doc_id, explode({T.split_ws('lower(text)', d)}) AS tok FROM documents"
+    return f"""
+WITH toks AS ({toks}),
+hashed AS (SELECT doc_id, {T.hexint('tok', d)} AS h FROM toks),
+sums AS (
+    SELECT doc_id,
+       {sums}
+    FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@query("simhash_signatures", _simhash_sql(_D))
+def q_simhash_signatures(spark, sf_dir):
+    return DD.simhash_signatures(spark.table("documents"))
+
+
+_DUCK_COSINE = """
+    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))))
+"""
+
+
+@query(
+    "embedding_topk",
+    f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_DUCK_COSINE} AS cosine
+FROM embeddings e, q
+WHERE e.vec_id != 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+""",
+)
+def q_embedding_topk(spark, sf_dir):
+    return SIM.brute_force_topk(spark.table("embeddings"), query_id=0, k=10)
+
+
+@query(
+    "embedding_knn_join",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+scored AS (
+    SELECT q.query_id, e.vec_id, {_DUCK_COSINE} AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id != q.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_embedding_knn_join(spark, sf_dir):
+    return SIM.knn_join(spark.table("embeddings"), n_queries=20, k=5)
+
+
+def _lsh_topk_sql() -> str:
+    # DuckDB side: compute buckets once, multi-probe within Hamming radius
+    return f"""
+WITH b AS (
+    SELECT vec_id, embedding, {SIM.bucket_expr('embedding', 64, 8, _D)} AS bucket
+    FROM embeddings
+),
+q AS (SELECT bucket AS qbucket, embedding AS qv FROM b WHERE vec_id = 0)
+SELECT e.vec_id, {_DUCK_COSINE} AS cosine
+FROM b e, q
+WHERE {SIM.hamming_expr('e.bucket', 'q.qbucket', _D)} <= 3 AND e.vec_id != 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@query("embedding_lsh_topk", _lsh_topk_sql())
+def q_embedding_lsh_topk(spark, sf_dir):
+    return SIM.lsh_topk(spark.table("embeddings"), query_id=0, k=10)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing + structured streaming (extension surface)
+# ---------------------------------------------------------------------------
+
+from .operators import multimodal as MM  # noqa: E402
+from .streaming.monthly_rollup import run_streaming_rollup  # noqa: E402
+
+
+@query(
+    "media_stats",
+    """
+WITH media AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           unhex(repeat(md5(text), 1 + CAST(n_chars % 7 AS INT))) AS payload,
+           CAST(16 + doc_id % 64 AS INT) AS width,
+           CAST(1 + doc_id % 30 AS INT) AS n_frames
+    FROM documents
+)
+SELECT kind, COUNT(*) AS n, SUM(octet_length(payload)) AS total_bytes,
+       MAX(width) AS max_width, MAX(n_frames) AS max_frames
+FROM media GROUP BY kind
+""",
+)
+def q_media_stats(spark, sf_dir):
+    return MM.media_stats(MM.synth_media(spark.table("documents")))
+
+
+@query("media_features")  # Python mapInPandas stage → rows-only check
+def q_media_features(spark, sf_dir):
+    return MM.extract_features(MM.synth_media(spark.table("documents")))
+
+
+@query("media_frame_sample")  # rows-only: 1:N Python frame explosion
+def q_media_frame_sample(spark, sf_dir):
+    return MM.sample_frames(MM.synth_media(spark.table("documents")))
+
+
+@query(
+    "streaming_monthly_rollup",
+    """
+SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS mes,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_streaming_monthly_rollup(spark, sf_dir):
+    return run_streaming_rollup(spark, sf_dir)

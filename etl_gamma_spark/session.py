@@ -25,6 +25,9 @@ from pyspark.sql import SparkSession
 # convert (io.load_events).
 RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
+    # ~cores, not 200: local-mode shuffles are driver-disk bound, and AQE
+    # cannot coalesce partitions for streaming queries
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

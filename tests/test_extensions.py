@@ -1,0 +1,106 @@
+"""Behavioral tests for the training-data-pipeline extensions: recall of
+approximate methods vs exact baselines, dedup semantics on crafted
+duplicates, multimodal batch shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_gamma_spark.operators import multimodal as MM
+from etl_gamma_spark.operators.dedup import (
+    exact_dedup_keep,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from etl_gamma_spark.operators.similarity import brute_force_topk, lsh_topk
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_CORRECT}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_keeps_smallest_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (5, "same text"), (3, "  SAME   text "), (2, "other")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in exact_dedup_keep(df).collect()}
+    # 1, 5, 3 normalize to the same fingerprint → keeper is 1
+    assert kept == {1, 2}
+
+
+def test_minhash_estimates_track_true_jaccard(spark, docs):
+    pairs = minhash_lsh_pairs(docs).cache()
+    assert pairs.count() > 0, "LSH produced no candidate pairs"
+    true = ngram_jaccard_pairs(docs, threshold=0.0)
+    joined = pairs.join(true, ["doc_a", "doc_b"])
+    err = joined.select(
+        F.avg(F.abs(F.col("est_jaccard") - F.col("jaccard"))).alias("mae")
+    ).first()
+    # K=16 weak permutations → loose but real tracking
+    assert err.mae is not None and err.mae < 0.35
+
+
+def test_high_jaccard_pairs_are_lsh_candidates(spark, docs):
+    # LSH (4 bands × 4 rows) should catch nearly all truly similar pairs
+    true = ngram_jaccard_pairs(docs, threshold=0.5)
+    n_true = true.count()
+    if n_true == 0:
+        pytest.skip("no pairs above 0.5 at this scale factor")
+    cand = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    recall = true.join(cand, ["doc_a", "doc_b"]).count() / n_true
+    assert recall >= 0.8
+
+
+def test_simhash_identical_docs_equal_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "unrelated words here")],
+        "doc_id long, text string",
+    )
+    sig = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, emb):
+    exact = [r.vec_id for r in brute_force_topk(emb, query_id=0, k=10).collect()]
+    approx = [r.vec_id for r in lsh_topk(emb, query_id=0, k=10).collect()]
+    assert len(approx) > 0
+    # 8 hyperplanes on random-ish vectors: expect meaningful overlap, not
+    # perfection — pin the empirically observed floor
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.2, f"LSH recall collapsed: {overlap}"
+
+
+def test_media_features_shape(spark, docs):
+    media = MM.synth_media(docs)
+    feats = MM.extract_features(media, n_features=8).collect()
+    assert len(feats) == docs.count()
+    assert all(len(r.features) == 8 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r.features)
+    # determinism across runs
+    feats2 = MM.extract_features(media, n_features=8).collect()
+    assert sorted((r.media_id, tuple(r.features)) for r in feats) == sorted(
+        (r.media_id, tuple(r.features)) for r in feats2
+    )
+
+
+def test_media_frame_sampling_counts(spark, docs):
+    media = MM.synth_media(docs)
+    frames = MM.sample_frames(media, every_n=10)
+    per_media = {r.media_id: r.n for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    metas = {
+        r.media_id: r.meta.n_frames
+        for r in media.filter(F.col("kind") == "video").select("media_id", "meta").collect()
+    }
+    assert set(per_media) == set(metas)
+    for mid, n_frames in metas.items():
+        assert per_media[mid] == (n_frames + 9) // 10
