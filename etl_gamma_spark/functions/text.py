@@ -115,14 +115,20 @@ def minhash_params(j: int) -> tuple[int, int]:
     return 2 * j + 3, j * j + 1
 
 
-def minhash_exprs(shingles_arr: str, d: str) -> list[str]:
-    """K minhash values over a shingle array: min_j over shingles of
-    (a_j * (h(s) mod P) + b_j) mod P."""
-    hashed = atransform(shingles_arr, "__s", f"{hexint('__s', d)} % {MINHASH_P}", d)
+def shingle_hash_expr(shingles_arr: str, d: str) -> str:
+    """Array of 32-bit-range hashes for a shingle array. Materialize this
+    ONCE per row (own projection) — inlining it into each of the K
+    permutation expressions would recompute every md5 K times."""
+    return atransform(shingles_arr, "__s", f"{hexint('__s', d)} % {MINHASH_P}", d)
+
+
+def minhash_exprs(hashes_arr: str, d: str) -> list[str]:
+    """K minhash values over a pre-hashed shingle array (see
+    shingle_hash_expr): min over shingles of (a_j * h + b_j) mod P."""
     out = []
     for j in range(MINHASH_K):
         a, b = minhash_params(j)
-        perm = atransform(hashed, "__x", f"(({a} * __x + {b}) % {MINHASH_P})", d)
+        perm = atransform(hashes_arr, "__x", f"(({a} * __x + {b}) % {MINHASH_P})", d)
         out.append(f"{amin(perm, d)} AS m{j}")
     return out
 

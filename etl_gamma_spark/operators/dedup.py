@@ -72,8 +72,10 @@ def minhash_signatures(
     """(doc_id, m0..m15): K=16 MinHash values per document — a single
     narrow projection, no shuffle."""
     arr = T.word_shingles(text_col, S, n)
-    return docs.selectExpr(id_col, f"{arr} AS shingles").selectExpr(
-        id_col, *T.minhash_exprs("shingles", S)
+    return (
+        docs.selectExpr(id_col, f"{arr} AS shingles")
+        .selectExpr(id_col, f"{T.shingle_hash_expr('shingles', S)} AS hs")
+        .selectExpr(id_col, *T.minhash_exprs("hs", S))
     )
 
 

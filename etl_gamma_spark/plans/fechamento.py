@@ -128,9 +128,11 @@ def fechamento(
             F.expr(f"SUM(comissao * {RATE_COE_STRUCT}) AS comissao_op"),
         )
     )
+    # per-farmer aggregates are ≤ #employees rows — broadcast explicitly
+    # rather than waiting for AQE's runtime conversion
     calculo_receita = (
-        pos_values.join(coe_values, "farmer_id", "left")
-        .join(op_values, "farmer_id", "left")
+        pos_values.join(F.broadcast(coe_values), "farmer_id", "left")
+        .join(F.broadcast(op_values), "farmer_id", "left")
         .select(
             "farmer_id",
             F.expr(

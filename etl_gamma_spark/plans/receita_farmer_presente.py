@@ -120,9 +120,11 @@ def receita_farmer_m_presente(
         )
     )
 
+    # the three aggregates are ≤ 1 row per month — broadcast the joined
+    # sides explicitly instead of waiting for AQE runtime conversion
     out = (
-        pos_agg.join(coe_agg, "mes", "left")
-        .join(op_agg, "mes", "left")
+        pos_agg.join(F.broadcast(coe_agg), "mes", "left")
+        .join(F.broadcast(op_agg), "mes", "left")
         .select(
             "mes",
             month_fmt(F.col("mes")).alias("mes_formatado"),

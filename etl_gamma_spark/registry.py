@@ -541,7 +541,7 @@ GROUP BY m.mes
 def q_ultimas_datas_meses(spark, sf_dir):
     months = month_series(spark, dt.date(2023, 2, 1), dt.date(2024, 1, 1))
     latest = latest_snapshot_dates(spark.table("positivador_historical"))
-    return months.join(latest, "mes", "left")
+    return months.join(F.broadcast(latest), "mes", "left")
 
 
 # ---------------------------------------------------------------------------
@@ -810,14 +810,17 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def _minhash_sig_sql(d: str) -> str:
-    exprs = ",\n       ".join(T.minhash_exprs("shingles", d))
+    exprs = ",\n       ".join(T.minhash_exprs("hs", d))
     return f"""
 WITH sh AS (
     SELECT doc_id, {T.word_shingles('text', d)} AS shingles FROM documents
+),
+hashed AS (
+    SELECT doc_id, {T.shingle_hash_expr('shingles', d)} AS hs FROM sh
 )
 SELECT doc_id,
        {exprs}
-FROM sh
+FROM hashed
 """
 
 
@@ -838,8 +841,11 @@ def _minhash_pairs_sql(d: str) -> str:
 WITH sh AS (
     SELECT doc_id, {T.word_shingles('text', d)} AS shingles FROM documents
 ),
+hashed AS (
+    SELECT doc_id, {T.shingle_hash_expr('shingles', d)} AS hs FROM sh
+),
 sigs AS (
-    SELECT doc_id, {", ".join(T.minhash_exprs('shingles', d))} FROM sh
+    SELECT doc_id, {", ".join(T.minhash_exprs('hs', d))} FROM hashed
 ),
 banded AS (
     SELECT doc_id, {", ".join(f"m{j}" for j in range(T.MINHASH_K))},

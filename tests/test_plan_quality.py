@@ -1,0 +1,51 @@
+"""Physical-plan regression tests: the optimizations SURVEY.md §4 relies on
+must stay visible in explain output — filter pushdown to the parquet scan,
+broadcast joins for dimensions (no sort-merge for dim joins), and a single
+shuffle for the flagship aggregate.
+"""
+
+from pyspark.sql import DataFrame
+
+from etl_gamma_spark.registry import QUERIES
+from tests.conftest import SF_CORRECT
+
+
+def _explain(df: DataFrame) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_flagship_pushdown_and_broadcast(spark):
+    plan = _explain(QUERIES["receita_farmer_m_passado"](spark, SF_CORRECT))
+    # month-window predicate reaches the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: money columns read, no l_comment-ish waste
+    assert "l_extendedprice" in plan and "l_quantity" not in plan
+    # dims broadcast; fact never shuffled for the joins
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    # exactly one real shuffle: the final partial→final hash aggregate
+    n_shuffles = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_shuffles == 1, f"expected 1 shuffle exchange, plan:\n{plan}"
+
+
+def test_responsibility_filter_uses_equi_join(spark):
+    # the interval semi-join keeps client_id as an equi key → broadcast
+    # HASH join with range post-filters, never a nested-loop over the fact
+    plan = _explain(QUERIES["responsibility_filter"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_signatures_shuffle_free(spark):
+    # signature computation is a pure projection: no exchange at all
+    plan = _explain(QUERIES["minhash_signatures"](spark, SF_CORRECT))
+    assert "Exchange" not in plan
+
+
+def test_fechamento_all_dim_joins_broadcast(spark):
+    plan = _explain(QUERIES["fechamento_m_presente"](spark, SF_CORRECT))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
