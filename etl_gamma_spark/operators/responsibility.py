@@ -194,3 +194,55 @@ def add_responsible_farmer(
         (fact["client_id"] == best["k_client_id"]) & (fact[date_col] == best["k_date"]),
         "left",
     ).drop("k_client_id", "k_date")
+
+
+def filter_by_responsibility_bucketed(
+    fact: DataFrame,
+    periods: DataFrame,
+    date_col: str,
+    farmer_id: int | None = None,
+) -> DataFrame:
+    """Scale-path variant of :func:`filter_by_responsibility` for when the
+    period dimension outgrows broadcast (SURVEY.md §4's "bucketed
+    range-join"): explode each period across the month buckets it spans,
+    then EQUI-join on (client_id, month_bucket) with the half-open range
+    check as a residual filter.
+
+    Both sides shuffle-partition on the same composite key, so the join is
+    a plain hash join — no nested-loop, no broadcast requirement. Period
+    explosion is bounded: a period spanning M months yields M rows.
+
+    Open-ended periods are clamped to the fact's max date (computed as a
+    1-row broadcast, never collected). Zero-length periods [d, d) match
+    nothing and are dropped up front (also keeps Spark's sequence() from
+    generating a descending range).
+    """
+    bound = fact.agg(F.max(date_col).alias("__max_d"))
+    p = periods
+    if farmer_id is not None:
+        p = p.filter(F.col("farmer_id") == F.lit(farmer_id))
+    p = (
+        p.crossJoin(F.broadcast(bound))
+        .filter(F.col("start_date") <= F.col("__max_d"))
+        .withColumn("__end_eff", F.coalesce(F.col("end_date"), F.date_add(F.col("__max_d"), 1)))
+        .filter(F.col("start_date") < F.col("__end_eff"))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.trunc("start_date", "month"),
+                    F.trunc(F.date_sub(F.col("__end_eff"), 1), "month"),
+                    F.expr("interval 1 month"),
+                )
+            ),
+        )
+        .select("client_id", "start_date", "end_date", "__bucket")
+    )
+    f = fact.withColumn("__bucket", F.trunc(F.col(date_col), "month"))
+    cond = (
+        (f["client_id"] == p["client_id"])
+        & (f["__bucket"] == p["__bucket"])
+        & (p["start_date"] <= f[date_col])
+        & (p["end_date"].isNull() | (f[date_col] < p["end_date"]))
+    )
+    return f.join(p, cond, "left_semi").drop("__bucket")

@@ -1044,3 +1044,16 @@ GROUP BY 1, 2
 )
 def q_streaming_monthly_rollup(spark, sf_dir):
     return run_streaming_rollup(spark, sf_dir)
+
+
+from .streaming.stateful import streaming_dedup_events  # noqa: E402
+
+
+@query(
+    "streaming_dedup_events",
+    # first-seen-wins dedup over a feed whose event_id is unique is the
+    # identity on (user_id, event_id, event_type, value)
+    "SELECT user_id, event_id, event_type, value FROM events",
+)
+def q_streaming_dedup_events(spark, sf_dir):
+    return streaming_dedup_events(spark, sf_dir, query_name="q_stream_dedup")

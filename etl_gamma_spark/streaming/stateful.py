@@ -1,0 +1,82 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The reference has no streaming at all (SURVEY.md §2.9); this is the
+extension surface for operators that need *state across micro-batches* —
+e.g. streaming deduplication of a document/event feed (drop records whose
+key was already seen in any earlier batch), the streaming sibling of
+operators/dedup.py.
+
+Grouped-state semantics: events are grouped by a key column; each group's
+state holds the set of fingerprints seen so far; only first-seen rows are
+emitted (output mode append). At scale, state lives in the state store
+(RocksDB on a real cluster), partitioned by the grouping key.
+
+The kernel is a nested function (pickled by value — workers need no
+package import; see operators/multimodal.py for the same pattern).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..session import apply_runtime_confs
+
+OUTPUT_SCHEMA = "user_id bigint, event_id bigint, event_type string, value double"
+STATE_SCHEMA = "seen array<bigint>"
+
+
+def _dedup_fn():
+    import pandas as pd  # local import: keep the closure self-contained
+
+    def dedup(key, batches, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        out = []
+        for pdf in batches:
+            fresh = pdf[~pdf["event_id"].isin(seen)]
+            first = fresh.drop_duplicates(subset=["event_id"], keep="first")
+            seen.update(int(x) for x in first["event_id"])
+            out.append(first[["user_id", "event_id", "event_type", "value"]])
+        state.update((sorted(seen),))
+        yield from (o for o in out if len(o))
+
+    return dedup
+
+
+def streaming_dedup_events(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup"
+) -> DataFrame:
+    """Run first-seen-wins dedup over the events feed as a streaming query
+    (availableNow) and return the deduplicated result."""
+    apply_runtime_confs(spark)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+    deduped = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _dedup_fn(),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,65 @@
+"""Tests for the source layer (schema evolution, gated JDBC) and the
+scale-path operators (bucketed interval join ≡ broadcast interval join,
+stateful streaming dedup ≡ batch dedup)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_gamma_spark.operators.responsibility import (
+    client_farmer_periods,
+    filter_by_responsibility,
+    filter_by_responsibility_bucketed,
+)
+from etl_gamma_spark.registry import _ensure_model
+from etl_gamma_spark.sources import catalog
+from etl_gamma_spark.sources.jdbc import JdbcConfig, read_table
+from etl_gamma_spark.streaming.stateful import streaming_dedup_events
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def test_bucketed_interval_join_matches_broadcast(spark):
+    _ensure_model(spark, SF_CORRECT)
+    periods = client_farmer_periods(
+        spark.table("clients"), spark.table("client_transfers")
+    )
+    fact = spark.table("revenue_records_historical")
+    for farmer in (None, 7):
+        a = filter_by_responsibility(fact, periods, "record_date", farmer)
+        b = filter_by_responsibility_bucketed(fact, periods, "record_date", farmer)
+        assert a.count() == b.count()
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+
+def test_schema_evolution_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    catalog.append_with_evolution(spark, v1, path)
+    assert catalog.table_exists(path)
+
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double")
+    assert catalog.missing_columns(spark, v2, path) == ["score"]
+    catalog.append_with_evolution(spark, v2, path)
+
+    back = catalog.read_evolved(spark, path).orderBy("id").collect()
+    assert [r.score for r in back] == [None, 9.5]  # old rows NULL-padded
+
+    conformed = catalog.conform(v1, ["id", "name", "score"])
+    assert conformed.columns == ["id", "name", "score"]
+
+
+def test_jdbc_gated_without_config(spark):
+    with pytest.raises(RuntimeError, match="not configured"):
+        read_table(spark, JdbcConfig(), "clients")
+
+
+def test_streaming_dedup_equals_batch_dedup(spark):
+    out = streaming_dedup_events(spark, SF_SMOKE, query_name="t_dedup")
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    # event_id is unique in the fixture, so dedup must be lossless…
+    assert out.count() == batch.count()
+    # …and re-running over the same (fully consumed) feed stays stable
+    out2 = streaming_dedup_events(spark, SF_SMOKE, query_name="t_dedup2")
+    assert out2.count() == out.count()
+    # duplicates within a batch collapse to first-seen
+    assert out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
