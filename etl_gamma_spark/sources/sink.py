@@ -101,3 +101,10 @@ def assert_unique_grain(df: DataFrame, keys: list[str]) -> None:
     if n:
         sample = [r.asDict() for r in dup.limit(5).collect()]
         raise AssertionError(f"grain violation on {keys}: {n} duplicate groups, e.g. {sample}")
+
+
+def stamp_audit(df: DataFrame) -> DataFrame:
+    """Audit timestamps (reference F16: per-row datetime.now() in pandas,
+    kpi_receita_cliente/transform.py:125) as plan-time current_timestamp —
+    one value per write, vectorized."""
+    return df.withColumn("updated_at", F.current_timestamp())

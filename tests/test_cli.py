@@ -1,0 +1,44 @@
+"""CLI entry-point tests (reference main.py/run_etl.ps1 surface): run a
+pipeline to a warehouse dir, check partition layout, and verify the
+farmer-scoped refresh preserves other farmers' rows (S4 scope b)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_gamma_spark import asof
+from etl_gamma_spark.cli import run_pipeline
+from tests.conftest import SF_SMOKE
+
+
+def test_cli_full_then_farmer_scoped_refresh(spark, tmp_path):
+    out = str(tmp_path)
+    n_full = run_pipeline(
+        spark, "receita_farmer_m_passado", SF_SMOKE, out,
+        farmer_id=None, months_back=11, as_of=asof.AS_OF_TPCH,
+    )
+    table = f"{out}/receita_farmer_m_passado"
+    full = spark.read.parquet(table)
+    assert full.count() == n_full
+    assert "updated_at" in full.columns
+    baseline_other = full.filter(F.col("farmer_id") != 7).drop("updated_at").collect()
+
+    # farmer-scoped rerun must replace ONLY farmer 7's partitions
+    run_pipeline(
+        spark, "receita_farmer_m_passado", SF_SMOKE, out,
+        farmer_id=7, months_back=11, as_of=asof.AS_OF_TPCH,
+    )
+    after = spark.read.parquet(table)
+    assert after.count() == n_full
+    after_other = after.filter(F.col("farmer_id") != 7).drop("updated_at").collect()
+    assert sorted(map(str, after_other)) == sorted(map(str, baseline_other))
+
+
+def test_cli_fechamento_runs(spark, tmp_path):
+    n = run_pipeline(
+        spark, "fechamento_m_presente", SF_SMOKE, str(tmp_path),
+        farmer_id=None, months_back=11, as_of=dt.date(2024, 1, 30),
+    )
+    assert n > 0
+    back = spark.read.parquet(f"{tmp_path}/fechamento_m_presente")
+    assert back.filter(F.col("is_current_month")).count() == n
