@@ -173,3 +173,77 @@ def simhash_signatures(
     )
     packed = " + ".join(f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
     return sums.selectExpr(id_col, f"CAST({packed} AS BIGINT) AS simhash")
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document gets
+    a ``cluster_id`` = the minimum doc id reachable through the pair graph
+    (iterative min-label propagation — the standard distributed CC
+    algorithm; converges in O(graph diameter) rounds).
+
+    Output: (doc_id, cluster_id); singleton docs are their own cluster.
+    ``keep = cluster_id == doc_id`` selects one representative per cluster.
+
+    Driver-side loop contains NO data (only a convergence counter);
+    per-round localCheckpoint() truncates lineage so plans stay bounded.
+    """
+    spark = docs.sparkSession
+    edges = (
+        pairs.selectExpr(f"doc_a AS {id_col}", "doc_b AS nbr")
+        .unionByName(pairs.selectExpr(f"doc_b AS {id_col}", "doc_a AS nbr"))
+        .distinct()
+        .cache()
+    )
+    labels = docs.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    for _ in range(30):  # diameter bound; tiny graphs converge in 2-3
+        nbr_min = (
+            edges.join(labels, id_col)
+            .groupBy("nbr")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+            .withColumnRenamed("nbr", id_col)
+        )
+        new_labels = (
+            labels.join(nbr_min, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_label", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    keep_pct: dict[str, int] | None = None,
+    default_pct: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    md5-hash(text) % 100 < pct(stratum). No RNG — the same corpus always
+    samples identically (reproducible training mixes), and the predicate
+    is a pure column expression (prunable, pushable)."""
+    from ..functions import text as T
+
+    pct = F.lit(default_pct)
+    for stratum, p in (keep_pct or {}).items():
+        pct = F.when(F.col(stratum_col) == stratum, p).otherwise(pct)
+    bucket = F.expr(f"{T.hexint(text_col, T.SPARK)} % 100")
+    return docs.withColumn("__pct", pct).filter(bucket < F.col("__pct")).drop("__pct")

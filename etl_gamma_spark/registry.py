@@ -1057,3 +1057,92 @@ from .streaming.stateful import streaming_dedup_events  # noqa: E402
 )
 def q_streaming_dedup_events(spark, sf_dir):
     return streaming_dedup_events(spark, sf_dir, query_name="q_stream_dedup")
+
+
+# ---------------------------------------------------------------------------
+# corpus curation ops: PII redaction, stratified sampling, corpus stats,
+# near-dup clustering
+# ---------------------------------------------------------------------------
+
+from .operators.dedup import (  # noqa: E402
+    minhash_lsh_pairs as _mh_pairs,
+    neardup_clusters as _nd_clusters,
+    stratified_sample as _strat_sample,
+)
+
+# synthesize PII-looking content deterministically (the fixture corpus has
+# none), then redact it — both steps shared-syntax across engines
+_PII_AUG = (
+    "concat(text, ' contact user', doc_id, '@example.com or "
+    "http://site', doc_id, '.example/page now')"
+)
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_URL_RE = "https?://[^ ]+"
+
+
+def _pii_redact_sql(d: str) -> str:
+    flags = ", 'g'" if d == _D else ""
+    step1 = f"regexp_replace({_PII_AUG}, '{_EMAIL_RE}', '<EMAIL>'{flags})"
+    step2 = f"regexp_replace({step1}, '{_URL_RE}', '<URL>'{flags})"
+    return f"""
+SELECT doc_id, {step2} AS clean_text,
+       CASE WHEN {step2} LIKE '%<EMAIL>%' THEN 1 ELSE 0 END AS had_email,
+       CASE WHEN {step2} LIKE '%<URL>%' THEN 1 ELSE 0 END AS had_url
+FROM documents
+"""
+
+
+@query("pii_redact", _pii_redact_sql(_D))
+def q_pii_redact(spark, sf_dir):
+    return spark.sql(_pii_redact_sql(_S))
+
+
+def _stratified_sample_sql(d: str) -> str:
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {T.hexint('text', d)} % 100 <
+      CASE WHEN lang = 'en' THEN 30 WHEN lang = 'zh' THEN 80 ELSE 50 END
+"""
+
+
+@query("stratified_sample", _stratified_sample_sql(_D))
+def q_stratified_sample(spark, sf_dir):
+    sampled = _strat_sample(
+        spark.table("documents"),
+        stratum_col="lang",
+        keep_pct={"en": 30, "zh": 80},
+        default_pct=50,
+    )
+    return sampled.select("doc_id", "lang", "source")
+
+
+def _corpus_stats_sql(d: str) -> str:
+    ntok = T.asize(T.split_ws("text", d), d)
+    q = (
+        f"0.4 * least(CAST({ntok} AS DOUBLE) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - {T.punct_ratio('text', d)})"
+        f" + 0.3 * (1.0 - CAST({T.stopword_count('text', d)} AS DOUBLE)"
+        f" / CAST({ntok} AS DOUBLE))"
+    )
+    return f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(length(text)) AS total_chars,
+       SUM({ntok}) AS total_tokens,
+       CAST(SUM(CAST(ROUND({q}, 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS quality_sum
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("corpus_stats", _corpus_stats_sql(_D))
+def q_corpus_stats(spark, sf_dir):
+    return spark.sql(_corpus_stats_sql(_S))
+
+
+@query("neardup_clusters")  # iterative algorithm → rows-only check
+def q_neardup_clusters(spark, sf_dir):
+    docs = spark.table("documents")
+    pairs = _mh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    return _nd_clusters(docs, pairs)

@@ -104,3 +104,46 @@ def test_media_frame_sampling_counts(spark, docs):
     assert set(per_media) == set(metas)
     for mid, n_frames in metas.items():
         assert per_media[mid] == (n_frames + 9) // 10
+
+
+def test_neardup_clusters_match_union_find(spark, docs):
+    from etl_gamma_spark.operators.dedup import neardup_clusters
+
+    pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.3).cache()
+    labels = {
+        r.doc_id: r.cluster_id for r in neardup_clusters(docs, pairs).collect()
+    }
+    # reference union-find on the collected edge list
+    parent = {r.doc_id: r.doc_id for r in docs.select("doc_id").collect()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {d: find(d) for d in parent}
+    assert labels == expected
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, docs):
+    from etl_gamma_spark.operators.dedup import stratified_sample
+
+    s1 = stratified_sample(docs, keep_pct={"en": 30}, default_pct=50)
+    s2 = stratified_sample(docs, keep_pct={"en": 30}, default_pct=50)
+    a = sorted(r.doc_id for r in s1.collect())
+    assert a == sorted(r.doc_id for r in s2.collect())
+    rates = {
+        r.lang: r.rate
+        for r in s1.groupBy("lang").count()
+        .join(docs.groupBy("lang").count().withColumnRenamed("count", "total"), "lang")
+        .selectExpr("lang", "count / total AS rate").collect()
+    }
+    assert 0.1 < rates["en"] < 0.5   # target 0.30
+    for lang, rate in rates.items():
+        if lang != "en":
+            assert 0.3 < rate < 0.7  # target 0.50
