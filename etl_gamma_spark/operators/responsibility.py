@@ -246,3 +246,26 @@ def filter_by_responsibility_bucketed(
         & (p["end_date"].isNull() | (f[date_col] < p["end_date"]))
     )
     return f.join(p, cond, "left_semi").drop("__bucket")
+
+
+def get_responsible_farmer(
+    periods: DataFrame, client_id: int, date: dt.date
+) -> tuple[int | None, str | None]:
+    """Single-point lookup API (reference client_responsibility.py:122-159):
+    which farmer was responsible for ``client_id`` on ``date``.
+
+    For repeated lookups pass a cached ``periods``; the filter prunes to
+    one client before collecting (≤ a handful of rows)."""
+    rows = (
+        periods.filter(
+            (F.col("client_id") == client_id)
+            & (F.col("start_date") <= F.lit(date))
+            & (F.col("end_date").isNull() | (F.lit(date) < F.col("end_date")))
+        )
+        .orderBy(F.col("start_date").asc_nulls_last(), F.col("farmer_id").asc_nulls_last())
+        .select("farmer_id", "farmer_name")
+        .take(1)
+    )
+    if not rows:
+        return None, None
+    return rows[0].farmer_id, rows[0].farmer_name

@@ -59,6 +59,11 @@ def get_spark(app_name: str = "etl-gamma-spark", cpus: str | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # keep saveAsTable outputs (bucketed tables) out of the repo cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/etl_gamma_spark_warehouse"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
