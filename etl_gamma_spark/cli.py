@@ -92,10 +92,12 @@ def run_pipeline(spark, name: str, sf_dir: str, out_dir: str,
 
     df = stamp_audit(df)
     target = os.path.join(out_dir, name)
-    n_before = df.count()
+    # write first, count the written files after: counting the plan before
+    # the write would execute the whole job graph twice
     write_partition_overwrite(df, target, partition_by)
-    log.info("pipeline=%s rows=%d out=%s", name, n_before, target)
-    return n_before
+    n_table = spark.read.parquet(target).count()
+    log.info("pipeline=%s table_rows=%d out=%s", name, n_table, target)
+    return n_table
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -42,6 +42,23 @@ def load_tables(spark: SparkSession, sf_dir: str, names=ALL_TABLES) -> dict[str,
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events fixture (shared by all streaming
+    modules): declared schema (required for readStream), pathGlobFilter to
+    target the single file, and the same ns→µs timestamp rebuild as
+    load_table."""
+    apply_runtime_confs(spark)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
 def register_base_views(spark: SparkSession, sf_dir: str, names=ALL_TABLES) -> dict[str, DataFrame]:
     """Register each fixture table as a temp view (same names DuckDB uses)."""
     tables = load_tables(spark, sf_dir, names)

@@ -179,6 +179,7 @@ def neardup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    max_iters: int = 30,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every document gets
     a ``cluster_id`` = the minimum doc id reachable through the pair graph
@@ -191,7 +192,6 @@ def neardup_clusters(
     Driver-side loop contains NO data (only a convergence counter);
     per-round localCheckpoint() truncates lineage so plans stay bounded.
     """
-    spark = docs.sparkSession
     edges = (
         pairs.selectExpr(f"doc_a AS {id_col}", "doc_b AS nbr")
         .unionByName(pairs.selectExpr(f"doc_b AS {id_col}", "doc_a AS nbr"))
@@ -199,7 +199,8 @@ def neardup_clusters(
         .cache()
     )
     labels = docs.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
-    for _ in range(30):  # diameter bound; tiny graphs converge in 2-3
+    converged = False
+    for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, id_col)
             .groupBy("nbr")
@@ -225,7 +226,16 @@ def neardup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # unconverged labels are silently WRONG (a component wider than
+        # max_iters hops would split) — refuse rather than mislabel
+        raise RuntimeError(
+            f"neardup_clusters did not converge within {max_iters} rounds; "
+            "raise max_iters (graph diameter exceeds the cap)"
+        )
+    edges.unpersist()
     return labels
 
 

@@ -64,8 +64,14 @@ def salted_join(
     ``n_salts`` different reducers instead of one.
 
     Result has big's columns + small's non-key columns (like a plain
-    ``big.join(small, on, how)``).
+    ``big.join(small, on, how)``). Only big-side-preserving join types are
+    supported: for right/full outer joins every unmatched small-side
+    replica would null-extend, duplicating those rows n_salts times.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}"
+        )
     big_salted = big.withColumn(
         SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )

@@ -40,16 +40,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # model views are session-scoped temp views; re-registering them for every
-# query call re-reads 10 parquet footers — memoize per (session, sf_dir)
-_REGISTERED: dict[tuple[int, str], bool] = {}
+# query call re-reads 10 parquet footers — memoize the last sf_dir per live
+# session. Weak keys: a stopped+collected session's entry dies with it, so
+# a new session at a recycled id() can never inherit a stale memo.
+import weakref  # noqa: E402
+
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDictionary()
 
 
 def _ensure_model(spark: SparkSession, sf_dir: str) -> None:
-    key = (id(spark), sf_dir)
-    if not _REGISTERED.get(key):
+    if _REGISTERED.get(spark) != sf_dir:
         register_model_views(spark, sf_dir)
-        _REGISTERED.clear()  # a session points at one sf_dir at a time
-        _REGISTERED[key] = True
+        _REGISTERED[spark] = sf_dir
 
 
 def query(name: str, oracle: str | None = None):
@@ -1146,3 +1148,42 @@ def q_neardup_clusters(spark, sf_dir):
     docs = spark.table("documents")
     pairs = _mh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
     return _nd_clusters(docs, pairs)
+
+
+from .plans.fechamento import periodo_array  # noqa: E402
+from .streaming.windowed import run_windowed_stream  # noqa: E402
+
+
+@query(
+    "streaming_windowed_events",
+    # append mode + 10-min watermark over a fully-consumed static feed
+    # emits exactly the hourly windows whose end <= max(ts) - 10 minutes
+    """
+WITH mx AS (
+    -- Spark tracks the watermark at millisecond precision: floor max(ts)
+    -- to ms before subtracting the delay so a max event in the
+    -- sub-millisecond gap above an hour boundary cannot diverge
+    SELECT date_trunc('milliseconds', CAST(max(ts) AS TIMESTAMP)) - INTERVAL 10 MINUTE AS wm
+    FROM events
+),
+agg AS (
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+)
+SELECT a.* FROM agg a, mx WHERE a.window_end <= mx.wm
+""",
+)
+def q_streaming_windowed_events(spark, sf_dir):
+    return run_windowed_stream(spark, sf_dir, query_name="q_windowed_events")
+
+
+@query("fechamento_periodo_array")  # F13 DATE[] column → rows-only check
+def q_fechamento_periodo_array(spark, sf_dir):
+    return periodo_array(QUERIES["fechamento_m_presente"](spark, sf_dir)).select(
+        "farmer_id", "periodo_responsabilidade"
+    )

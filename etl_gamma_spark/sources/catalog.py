@@ -50,11 +50,16 @@ def missing_columns(spark: SparkSession, df: DataFrame, path: str) -> list[str]:
     return [c for c in df.columns if c not in existing]
 
 
-def conform(df: DataFrame, to_columns: list[str]) -> DataFrame:
-    """Project ``df`` onto a column list, padding absent columns with
-    typed NULLs (string; callers cast as needed) — the write-side half of
-    schema evolution."""
+def conform(df: DataFrame, to_columns: list[str], types: dict[str, str] | None = None) -> DataFrame:
+    """Project ``df`` onto a column list, padding absent columns with typed
+    NULLs — the write-side half of schema evolution. ``types`` maps padded
+    column name -> Spark type string (default "string"); an untyped
+    NullType column would be unwritable to parquet."""
+    types = types or {}
     cols = [
-        F.col(c) if c in df.columns else F.lit(None).alias(c) for c in to_columns
+        F.col(c)
+        if c in df.columns
+        else F.lit(None).cast(types.get(c, "string")).alias(c)
+        for c in to_columns
     ]
     return df.select(*cols)

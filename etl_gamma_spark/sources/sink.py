@@ -35,7 +35,9 @@ from ..session import apply_runtime_confs
 
 def write_full_refresh(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """Scope (a): replace the whole table."""
-    w = df.write.mode("overwrite")
+    # per-write STATIC override: under the session-level dynamic mode a
+    # full refresh would silently keep partitions absent from ``df``
+    w = df.write.mode("overwrite").option("partitionOverwriteMode", "static")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
@@ -76,14 +78,17 @@ def overwrite_date_range(
     )
     merged = keep.unionByName(df.select(*existing.columns))
     # write to a temp dir then swap: Spark cannot overwrite a path it is
-    # concurrently reading in local mode
+    # concurrently reading in local mode. Both writes are STATIC overwrite:
+    # under the session-level dynamic mode, a partition fully inside the
+    # deleted range (no surviving rows in ``merged``) would otherwise never
+    # be rewritten and its stale files would survive the refresh.
     tmp = path.rstrip("/") + "._staging"
-    w = merged.write.mode("overwrite")
+    w = merged.write.mode("overwrite").option("partitionOverwriteMode", "static")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
     final = spark.read.parquet(tmp)
-    wf = final.write.mode("overwrite")
+    wf = final.write.mode("overwrite").option("partitionOverwriteMode", "static")
     if partition_by:
         wf = wf.partitionBy(*partition_by)
     wf.parquet(path)

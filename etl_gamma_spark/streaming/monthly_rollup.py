@@ -15,12 +15,10 @@ and the sink is ``write_partition_overwrite`` inside foreachBatch.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import apply_runtime_confs
+from ..io import read_events_stream
 
 
 def monthly_event_rollup(events: DataFrame) -> DataFrame:
@@ -46,19 +44,7 @@ def run_streaming_rollup(
 ) -> DataFrame:
     """Drive the rollup as a streaming query to completion and return the
     result table."""
-    apply_runtime_confs(spark)
-    # schema must be declared for streaming reads; the raw file stores
-    # TIMESTAMP(NANOS) which arrives as bigint under nanosAsLong
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-
-    agg = monthly_event_rollup(stream)
+    agg = monthly_event_rollup(read_events_stream(spark, sf_dir))
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")

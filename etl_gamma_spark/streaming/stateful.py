@@ -17,13 +17,10 @@ package import; see operators/multimodal.py for the same pattern).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..session import apply_runtime_confs
+from ..io import read_events_stream
 
 OUTPUT_SCHEMA = "user_id bigint, event_id bigint, event_type string, value double"
 STATE_SCHEMA = "seen array<bigint>"
@@ -51,18 +48,9 @@ def streaming_dedup_events(
 ) -> DataFrame:
     """Run first-seen-wins dedup over the events feed as a streaming query
     (availableNow) and return the deduplicated result."""
-    apply_runtime_confs(spark)
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-
     deduped = (
-        stream.groupBy("user_id")
+        read_events_stream(spark, sf_dir)
+        .groupBy("user_id")
         .applyInPandasWithState(
             _dedup_fn(),
             outputStructType=OUTPUT_SCHEMA,

@@ -1,0 +1,55 @@
+"""Watermarked event-time windowing (Structured Streaming late-data
+handling) — extension beyond the strictly-batch reference (SURVEY §2.9).
+
+Append-mode tumbling hourly aggregate with a 10-minute watermark: a window
+is emitted only once the watermark (max event time − delay) passes its
+end, i.e. late events within the delay still count, later ones are
+dropped. With ``availableNow`` over a static fixture the result is
+deterministic: exactly the windows whose end ≤ max(ts) − delay — which is
+what the DuckDB oracle replicates (registry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_events_stream
+
+WATERMARK = "10 minutes"
+WINDOW = "1 hour"
+
+
+def windowed_event_counts(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DECIMAL(18,6))"
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_windowed_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "windowed_events"
+) -> DataFrame:
+    q = (
+        windowed_event_counts(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("append")  # only watermark-finalized windows
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -88,3 +88,34 @@ def test_unique_grain_raises_on_duplicates(spark):
     df = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
     with pytest.raises(AssertionError, match="grain violation"):
         assert_unique_grain(df, ["k"])
+
+
+def test_overwrite_date_range_deletes_vanished_partitions(spark, tmp_path):
+    # a partition entirely inside the deleted range with NO replacement
+    # rows must disappear (regression: dynamic overwrite kept stale files)
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 5), "a"), (dt.date(2024, 2, 5), "b"), (dt.date(2024, 3, 5), "c")],
+        "d date, v string",
+    ).withColumn("mes", SF.trunc("d", "month"))
+    path = str(tmp_path / "t")
+    write_full_refresh(df, path, ["mes"])
+
+    empty = df.filter(SF.lit(False))
+    overwrite_date_range(spark, empty, path, "d", dt.date(2024, 2, 1), dt.date(2024, 2, 28), ["mes"])
+    left = {r.v for r in spark.read.parquet(path).collect()}
+    assert left == {"a", "c"}, f"stale partition survived: {left}"
+
+
+def test_full_refresh_drops_obsolete_partitions(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 5), "a"), (dt.date(2024, 2, 5), "b")], "d date, v string"
+    ).withColumn("mes", SF.trunc("d", "month"))
+    path = str(tmp_path / "t")
+    write_full_refresh(df, path, ["mes"])
+    jan_only = df.filter(SF.col("v") == "a")
+    write_full_refresh(jan_only, path, ["mes"])
+    assert {r.v for r in spark.read.parquet(path).collect()} == {"a"}

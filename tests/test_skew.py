@@ -37,3 +37,12 @@ def test_salted_join_equivalent(spark):
     a = {(r.k, r.label): r["count"] for r in plain.collect()}
     b = {(r.k, r.label): r["count"] for r in salted.collect()}
     assert a == b
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest
+
+    big = _skewed(spark)
+    small = spark.createDataFrame([(1, "x")], "k int, label string")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(big, small, "k", how="right")

@@ -63,3 +63,12 @@ def test_streaming_dedup_equals_batch_dedup(spark):
     assert out2.count() == out.count()
     # duplicates within a batch collapse to first-seen
     assert out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_conform_padded_columns_are_writable(spark, tmp_path):
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    conformed = catalog.conform(v1, ["id", "name", "score"], types={"score": "double"})
+    path = str(tmp_path / "conf")
+    conformed.write.parquet(path)  # NullType would raise here
+    back = spark.read.parquet(path).collect()
+    assert back[0].score is None
