@@ -1187,3 +1187,91 @@ def q_fechamento_periodo_array(spark, sf_dir):
     return periodo_array(QUERIES["fechamento_m_presente"](spark, sf_dir)).select(
         "farmer_id", "periodo_responsabilidade"
     )
+
+
+# ---------------------------------------------------------------------------
+# OLAP extensions beyond the reference's operator set (SURVEY §2.4 "not
+# present" row): rollup subtotals, pivot, approximate aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "receita_rollup",
+    with_model(
+        """
+SELECT CAST(date_trunc('month', r.record_date) AS DATE) AS mes,
+       CAST(c.farmer_id AS INTEGER) AS farmer_id,
+       CAST(SUM(r.gross_revenue) AS DECIMAL(18,2)) AS receita_bruta,
+       COUNT(*) AS n_records
+FROM revenue_records_historical r
+JOIN clients c ON r.client_id = c.client_id
+WHERE r.record_date >= DATE '2001-01-01' AND r.record_date < DATE '2001-06-01'
+GROUP BY ROLLUP (1, 2)
+""",
+        "clients", "revenue_records_historical",
+    ),
+)
+def q_receita_rollup(spark, sf_dir):
+    # hierarchical subtotals: (mes, farmer), (mes), grand total
+    rev = spark.table("revenue_records_historical").filter(
+        (F.col("record_date") >= "2001-01-01") & (F.col("record_date") < "2001-06-01")
+    )
+    cli = spark.table("clients").select(
+        "client_id", F.col("farmer_id").cast("int").alias("farmer_id")
+    )
+    return (
+        rev.join(F.broadcast(cli), "client_id")
+        .rollup(F.trunc("record_date", "month").alias("mes"), F.col("farmer_id"))
+        .agg(
+            F.expr("CAST(SUM(gross_revenue) AS DECIMAL(18,2))").alias("receita_bruta"),
+            F.count("*").alias("n_records"),
+        )
+    )
+
+
+@query(
+    "receita_pivot_fonte",
+    with_model(
+        """
+SELECT CAST(date_trunc('month', c.date) AS DATE) AS mes,
+       CAST(SUM(CASE WHEN c.status = 'Liquidada' THEN c.financial_value ELSE 0 END) AS DECIMAL(18,2)) AS liquidada,
+       CAST(SUM(CASE WHEN c.status = 'Pendente' THEN c.financial_value ELSE 0 END) AS DECIMAL(18,2)) AS pendente,
+       CAST(SUM(CASE WHEN c.status = 'Cancelada' THEN c.financial_value ELSE 0 END) AS DECIMAL(18,2)) AS cancelada
+FROM coe c
+WHERE c.date >= DATE '2001-01-01' AND c.date < DATE '2001-07-01'
+GROUP BY 1
+""",
+        "coe",
+    ),
+)
+def q_receita_pivot_fonte(spark, sf_dir):
+    # pivot by status: Spark's pivot() with explicit value list (no extra
+    # pass to discover values), zero-filled to match the CASE-sum oracle
+    coe = spark.table("coe").filter(
+        (F.col("date") >= "2001-01-01") & (F.col("date") < "2001-07-01")
+    )
+    out = (
+        coe.groupBy(F.trunc("date", "month").alias("mes"))
+        .pivot("status", ["Liquidada", "Pendente", "Cancelada"])
+        .agg(F.sum("financial_value"))
+    )
+    return out.select(
+        "mes",
+        F.expr("CAST(COALESCE(Liquidada, 0) AS DECIMAL(18,2))").alias("liquidada"),
+        F.expr("CAST(COALESCE(Pendente, 0) AS DECIMAL(18,2))").alias("pendente"),
+        F.expr("CAST(COALESCE(Cancelada, 0) AS DECIMAL(18,2))").alias("cancelada"),
+    )
+
+
+@query("approx_aggregates")  # approximate sketches differ per engine → rows-only
+def q_approx_aggregates(spark, sf_dir):
+    # HLL distinct + approximate percentiles; accuracy asserted vs exact
+    # in tests/test_misc.py (oracle hashes can't match sketch internals)
+    rev = spark.table("revenue_records_historical")
+    return rev.agg(
+        F.approx_count_distinct("client_id", rsd=0.01).alias("approx_clients"),
+        F.expr("approx_percentile(CAST(gross_revenue AS DOUBLE), array(0.5, 0.95), 1000)").alias(
+            "revenue_p50_p95"
+        ),
+        F.count("*").alias("n_rows"),
+    )

@@ -60,3 +60,19 @@ def test_point_lookup_matches_join_semantics(spark):
     assert fname == row.farmer_name
     # unknown client
     assert get_responsible_farmer(periods, 10**9, dt.date(2000, 1, 1)) == (None, None)
+
+
+def test_approx_aggregates_accuracy(spark):
+    from etl_gamma_spark.registry import QUERIES
+
+    row = QUERIES["approx_aggregates"](spark, SF_CORRECT).first()
+    exact = (
+        spark.table("revenue_records_historical")
+        .selectExpr(
+            "COUNT(DISTINCT client_id) AS d",
+            "percentile(CAST(gross_revenue AS DOUBLE), 0.5) AS p50",
+        )
+        .first()
+    )
+    assert abs(row.approx_clients - exact.d) / exact.d < 0.05
+    assert abs(row.revenue_p50_p95[0] - exact.p50) / exact.p50 < 0.05
