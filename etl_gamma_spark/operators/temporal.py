@@ -1,0 +1,118 @@
+"""Temporal operators Spark lacks natively (extension surface; the
+reference has no ranking/running-frame windows at all — SURVEY §2.5/§2.6):
+as-of join, sessionization, top-k per group.
+
+All three are pure window/DataFrame compositions (option (a) of the
+custom-operator ladder: no Pandas UDF needed).
+
+Scale posture:
+  * asof_join — the union+last_value formulation shuffles each side ONCE
+    on the key (the same exchange a join would need) and never builds a
+    per-row subquery; skewed keys fall under AQE.
+  * sessionize — one shuffle on the entity key; gap detection and session
+    numbering are two window passes over the same partitioning (no second
+    exchange).
+  * topk_per_group — partial ranking happens after a single shuffle on the
+    group key; for huge groups pre-aggregate first (as the query does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right_ts <= left_ts`` (inclusive) for the same key — e.g. "price as
+    of trade time".
+
+    Union both sides tagged, sort by (ts, side, tiebreak) so a right row
+    at the identical timestamp sorts before the left row (inclusive
+    semantics) and equal-timestamp right rows resolve deterministically by
+    ``tiebreak``; then last_value(ignore nulls) over the running frame
+    carries each right value forward.
+    """
+    l_cols = [c for c in left.columns]
+    tagged_r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(tiebreak).alias("__tb"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_vals],
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_cols if c != key],
+    )
+    tagged_l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.col(tiebreak).alias("__tb"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_vals],
+        *[F.col(c) for c in l_cols if c != key],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__side", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged_r.unionByName(tagged_l).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_vals
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        key, *[c for c in l_cols if c != key], *[f"asof_{c}" for c in right_vals]
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the
+    previous event of the same entity exceeds ``gap_minutes``. Returns the
+    events with ``session_id`` (1-based per entity)."""
+    order = Window.partitionBy(key).orderBy(ts, tiebreak)
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_break = (
+        F.when(
+            F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(order)
+            > gap_minutes * 60,
+            1,
+        )
+        .otherwise(0)
+        .alias("__new_session")
+    )
+    return (
+        events.select("*", gap_break)
+        .select("*", (F.sum("__new_session").over(run) + 1).alias("session_id"))
+        .drop("__new_session")
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group: str,
+    order_col: str,
+    k: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Top-k rows per group by ``order_col`` desc (deterministic via
+    ``tiebreak``), with the rank attached."""
+    w = Window.partitionBy(group).orderBy(F.col(order_col).desc(), F.col(tiebreak))
+    return df.select(
+        "*", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)

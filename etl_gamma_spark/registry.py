@@ -1275,3 +1275,122 @@ def q_approx_aggregates(spark, sf_dir):
         ),
         F.count("*").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temporal extensions: as-of join, sessionization, top-k per group
+# (none exist in the reference — SURVEY §2.5/§2.6 "not present" rows)
+# ---------------------------------------------------------------------------
+
+from .operators.temporal import asof_join, sessionize, topk_per_group  # noqa: E402
+
+
+@query(
+    "asof_join_purchases",
+    # purchases annotated with the latest preceding click (same user,
+    # inclusive, deterministic tie-break) — oracle mirrors the same
+    # union + last_value(IGNORE NULLS) running-frame construction
+    """
+WITH clicks AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+    FROM events WHERE event_type = 'click'
+),
+purch AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+    FROM events WHERE event_type = 'purchase'
+),
+tagged AS (
+    SELECT user_id, ts AS __ts, 0 AS __side, event_id AS __tb,
+           value AS r_value, event_id AS r_event_id,
+           CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS ts,
+           CAST(NULL AS DOUBLE) AS value
+    FROM clicks
+    UNION ALL
+    SELECT user_id, ts, 1, event_id, NULL, NULL, event_id, ts, value FROM purch
+),
+filled AS (
+    SELECT *,
+           last_value(r_value IGNORE NULLS) OVER w AS asof_value,
+           last_value(r_event_id IGNORE NULLS) OVER w AS asof_event_id
+    FROM tagged
+    WINDOW w AS (PARTITION BY user_id ORDER BY __ts, __side, __tb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, ts, value, asof_value, asof_event_id
+FROM filled WHERE __side = 1
+""",
+)
+def q_asof_join_purchases(spark, sf_dir):
+    ev = spark.table("events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return asof_join(
+        purch, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_vals=["value", "event_id"], tiebreak="event_id",
+    ).select(
+        "user_id", "event_id", "ts", "value",
+        F.col("asof_value"), F.col("asof_event_id"),
+    )
+
+
+@query(
+    "user_sessions",
+    """
+WITH ordered AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                     - lag(epoch(CAST(ts AS TIMESTAMP))) OVER w > 30 * 60
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+sessions AS (
+    SELECT user_id, event_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_id
+    FROM ordered
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM sessions
+GROUP BY 1, 2
+""",
+)
+def q_user_sessions(spark, sf_dir):
+    sess = sessionize(spark.table("events"), gap_minutes=30)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "topk_users_per_event_type",
+    """
+WITH totals AS (
+    SELECT event_type, user_id,
+           CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY total_value DESC, user_id) AS rank
+    FROM totals
+)
+SELECT event_type, user_id, total_value, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_topk_users_per_event_type(spark, sf_dir):
+    totals = spark.table("events").groupBy("event_type", "user_id").agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DECIMAL(18,6))"
+        ).alias("total_value")
+    )
+    return topk_per_group(totals, "event_type", "total_value", 5, "user_id")
