@@ -1394,3 +1394,11 @@ def q_topk_users_per_event_type(spark, sf_dir):
         ).alias("total_value")
     )
     return topk_per_group(totals, "event_type", "total_value", 5, "user_id")
+
+
+from .operators.similarity import ivf_topk  # noqa: E402
+
+
+@query("embedding_ivf_topk")  # iterative k-means (float avgs) → rows-only
+def q_embedding_ivf_topk(spark, sf_dir):
+    return ivf_topk(spark.table("embeddings"), query_id=0, k=10)

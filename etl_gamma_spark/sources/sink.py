@@ -113,3 +113,41 @@ def stamp_audit(df: DataFrame) -> DataFrame:
     kpi_receita_cliente/transform.py:125) as plan-time current_timestamp —
     one value per write, vectorized."""
     return df.withColumn("updated_at", F.current_timestamp())
+
+
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """MERGE-style upsert without Delta (SURVEY §4: "MERGE-style idempotent
+    sink ... implemented as partition-overwrite"): rows in ``updates``
+    replace existing rows with the same key; all other existing rows are
+    kept (anti-join + union, the stock emulation when the table format has
+    no transactional MERGE).
+
+    The rewrite is staged then swapped (same pattern as
+    overwrite_date_range); at scale, partition columns in ``keys``' prefix
+    confine the anti-join scan to affected partitions.
+    """
+    if not os.path.exists(path):
+        write_full_refresh(updates, path, partition_by)
+        return
+    existing = spark.read.parquet(path)
+    keep = existing.join(updates.select(*keys).distinct(), keys, "left_anti")
+    merged = keep.unionByName(updates.select(*existing.columns))
+    tmp = path.rstrip("/") + "._staging"
+    w = merged.write.mode("overwrite").option("partitionOverwriteMode", "static")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    final = spark.read.parquet(tmp)
+    wf = final.write.mode("overwrite").option("partitionOverwriteMode", "static")
+    if partition_by:
+        wf = wf.partitionBy(*partition_by)
+    wf.parquet(path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)

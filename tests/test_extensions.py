@@ -147,3 +147,16 @@ def test_stratified_sample_deterministic_and_bounded(spark, docs):
     for lang, rate in rates.items():
         if lang != "en":
             assert 0.3 < rate < 0.7  # target 0.50
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, emb):
+    from etl_gamma_spark.operators.similarity import ivf_topk
+
+    exact = [r.vec_id for r in brute_force_topk(emb, query_id=0, k=10).collect()]
+    approx = [r.vec_id for r in ivf_topk(emb, query_id=0, k=10, n_probe=4).collect()]
+    assert len(approx) == 10
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.2, f"IVF recall collapsed: {overlap}"
+    # determinism across runs (fixed init, fixed iterations)
+    approx2 = [r.vec_id for r in ivf_topk(emb, query_id=0, k=10, n_probe=4).collect()]
+    assert approx == approx2

@@ -119,3 +119,20 @@ def test_full_refresh_drops_obsolete_partitions(spark, tmp_path):
     jan_only = df.filter(SF.col("v") == "a")
     write_full_refresh(jan_only, path, ["mes"])
     assert {r.v for r in spark.read.parquet(path).collect()} == {"a"}
+
+
+def test_merge_upsert(spark, tmp_path):
+    from etl_gamma_spark.sources.sink import merge_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    merge_upsert(spark, base, path, ["k"])
+    upd = spark.createDataFrame([(2, "B", 99.0), (4, "d", 40.0)], "k long, name string, v double")
+    merge_upsert(spark, upd, path, ["k"])
+    got = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # idempotent: same merge twice → same state
+    merge_upsert(spark, upd, path, ["k"])
+    assert {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()} == got
