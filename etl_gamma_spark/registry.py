@@ -1402,3 +1402,102 @@ from .operators.similarity import ivf_topk  # noqa: E402
 @query("embedding_ivf_topk")  # iterative k-means (float avgs) → rows-only
 def q_embedding_ivf_topk(spark, sf_dir):
     return ivf_topk(spark.table("embeddings"), query_id=0, k=10)
+
+
+# ---------------------------------------------------------------------------
+# set-operation breadth (SURVEY §2.7 "not present" row): EXCEPT, INTERSECT,
+# full outer join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "clients_churned_feb",
+    # clients with revenue in Jan 2001 but none in Feb 2001 (EXCEPT)
+    with_model(
+        """
+SELECT DISTINCT client_id FROM revenue_records_historical
+WHERE record_date >= DATE '2001-01-01' AND record_date < DATE '2001-02-01'
+EXCEPT
+SELECT DISTINCT client_id FROM revenue_records_historical
+WHERE record_date >= DATE '2001-02-01' AND record_date < DATE '2001-03-01'
+""",
+        "revenue_records_historical",
+    ),
+)
+def q_clients_churned_feb(spark, sf_dir):
+    rev = spark.table("revenue_records_historical")
+    jan = rev.filter(
+        (F.col("record_date") >= "2001-01-01") & (F.col("record_date") < "2001-02-01")
+    ).select("client_id").distinct()
+    feb = rev.filter(
+        (F.col("record_date") >= "2001-02-01") & (F.col("record_date") < "2001-03-01")
+    ).select("client_id").distinct()
+    return jan.exceptAll(feb)
+
+
+@query(
+    "clients_retained_feb",
+    with_model(
+        """
+SELECT DISTINCT client_id FROM revenue_records_historical
+WHERE record_date >= DATE '2001-01-01' AND record_date < DATE '2001-02-01'
+INTERSECT
+SELECT DISTINCT client_id FROM revenue_records_historical
+WHERE record_date >= DATE '2001-02-01' AND record_date < DATE '2001-03-01'
+""",
+        "revenue_records_historical",
+    ),
+)
+def q_clients_retained_feb(spark, sf_dir):
+    rev = spark.table("revenue_records_historical")
+    jan = rev.filter(
+        (F.col("record_date") >= "2001-01-01") & (F.col("record_date") < "2001-02-01")
+    ).select("client_id").distinct()
+    feb = rev.filter(
+        (F.col("record_date") >= "2001-02-01") & (F.col("record_date") < "2001-03-01")
+    ).select("client_id").distinct()
+    return jan.intersect(feb)
+
+
+@query(
+    "coe_vs_op_monthly_full_outer",
+    # months where either source has activity — full outer on the month key
+    with_model(
+        """
+, coe_m AS (
+    SELECT CAST(date_trunc('month', date) AS DATE) AS mes,
+           CAST(SUM(financial_value) AS DECIMAL(18,2)) AS coe_total
+    FROM coe WHERE status = 'Liquidada' GROUP BY 1
+),
+op_m AS (
+    SELECT CAST(date_trunc('month', data) AS DATE) AS mes,
+           CAST(SUM(comissao) AS DECIMAL(18,2)) AS op_total
+    FROM operacoes_estruturadas WHERE status_operacao != 'Cancelado' GROUP BY 1
+)
+SELECT COALESCE(c.mes, o.mes) AS mes, c.coe_total, o.op_total
+FROM coe_m c FULL OUTER JOIN op_m o ON c.mes = o.mes
+""",
+        "coe", "operacoes_estruturadas",
+    ),
+)
+def q_coe_vs_op_monthly_full_outer(spark, sf_dir):
+    coe_m = (
+        spark.table("coe")
+        .filter(F.col("status") == "Liquidada")
+        .groupBy(F.trunc("date", "month").alias("mes"))
+        .agg(F.expr("CAST(SUM(financial_value) AS DECIMAL(18,2))").alias("coe_total"))
+    )
+    op_m = (
+        spark.table("operacoes_estruturadas")
+        .filter(F.col("status_operacao") != "Cancelado")
+        .groupBy(F.trunc("data", "month").alias("mes"))
+        .agg(F.expr("CAST(SUM(comissao) AS DECIMAL(18,2))").alias("op_total"))
+    )
+    return (
+        coe_m.withColumnRenamed("mes", "c_mes")
+        .join(op_m.withColumnRenamed("mes", "o_mes"),
+              F.col("c_mes") == F.col("o_mes"), "full_outer")
+        .select(
+            F.coalesce("c_mes", "o_mes").alias("mes"), "coe_total", "op_total"
+        )
+    )
