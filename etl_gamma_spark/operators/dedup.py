@@ -58,10 +58,17 @@ def exact_dedup_keep(
     return docs.join(keepers, id_col, "left_semi")
 
 
+def _with_shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingles array) — word split materialized first (see
+    functions/text.py::word_shingles for why)."""
+    return docs.selectExpr(
+        id_col, f"{T.split_ws(text_col, S)} AS __w", f"{text_col} AS __t"
+    ).selectExpr(id_col, f"{T.word_shingles('__w', '__t', S, n)} AS shingles")
+
+
 def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct n-word shingles, exploded."""
-    arr = T.word_shingles(text_col, S, n)
-    return docs.selectExpr(id_col, f"{arr} AS shingles").select(
+    return _with_shingles(docs, text_col, id_col, n).select(
         id_col, F.explode("shingles").alias("shingle")
     )
 
@@ -71,9 +78,8 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, m0..m15): K=16 MinHash values per document — a single
     narrow projection, no shuffle."""
-    arr = T.word_shingles(text_col, S, n)
     return (
-        docs.selectExpr(id_col, f"{arr} AS shingles")
+        _with_shingles(docs, text_col, id_col, n)
         .selectExpr(id_col, f"{T.shingle_hash_expr('shingles', S)} AS hs")
         .selectExpr(id_col, *T.minhash_exprs("hs", S))
     )

@@ -814,8 +814,11 @@ def q_exact_dedup(spark, sf_dir):
 def _minhash_sig_sql(d: str) -> str:
     exprs = ",\n       ".join(T.minhash_exprs("hs", d))
     return f"""
-WITH sh AS (
-    SELECT doc_id, {T.word_shingles('text', d)} AS shingles FROM documents
+WITH words AS (
+    SELECT doc_id, {T.split_ws('text', d)} AS w, text FROM documents
+),
+sh AS (
+    SELECT doc_id, {T.word_shingles('w', 'text', d)} AS shingles FROM words
 ),
 hashed AS (
     SELECT doc_id, {T.shingle_hash_expr('shingles', d)} AS hs FROM sh
@@ -840,8 +843,11 @@ def _minhash_pairs_sql(d: str) -> str:
     m_cols = [f"m{j}" for j in range(T.MINHASH_K)]
     matches = " + ".join(f"CASE WHEN a.{c} = b.{c} THEN 1 ELSE 0 END" for c in m_cols)
     return f"""
-WITH sh AS (
-    SELECT doc_id, {T.word_shingles('text', d)} AS shingles FROM documents
+WITH words AS (
+    SELECT doc_id, {T.split_ws('text', d)} AS w, text FROM documents
+),
+sh AS (
+    SELECT doc_id, {T.word_shingles('w', 'text', d)} AS shingles FROM words
 ),
 hashed AS (
     SELECT doc_id, {T.shingle_hash_expr('shingles', d)} AS hs FROM sh
@@ -877,8 +883,11 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 def _jaccard_pairs_sql(d: str, threshold: float) -> str:
     return f"""
-WITH sh0 AS (
-    SELECT doc_id, {T.word_shingles('text', d)} AS shingles FROM documents
+WITH words AS (
+    SELECT doc_id, {T.split_ws('text', d)} AS w, text FROM documents
+),
+sh0 AS (
+    SELECT doc_id, {T.word_shingles('w', 'text', d)} AS shingles FROM words
 ),
 sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
