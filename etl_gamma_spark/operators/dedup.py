@@ -263,3 +263,39 @@ def stratified_sample(
         pct = F.when(F.col(stratum_col) == stratum, p).otherwise(pct)
     bucket = F.expr(f"{T.hexint(text_col, T.SPARK)} % 100")
     return docs.withColumn("__pct", pct).filter(bucket < F.col("__pct")).drop("__pct")
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: candidates generated by banding the
+    signature into 4 nibbles (pigeonhole: any pair within Hamming distance
+    3 of 16 bits shares at least one intact nibble), then verified with an
+    exact bit_count on the XOR — never an all-pairs scan.
+    """
+    sigs = simhash_signatures(docs, text_col, id_col, bits)
+    n_bands = 4
+    band_bits = bits // n_bands
+    bands = None
+    for b in range(n_bands):
+        part = sigs.selectExpr(
+            id_col,
+            "simhash",
+            f"{b} AS band",
+            f"(CAST(simhash AS BIGINT) >> {b * band_bits}) & {(1 << band_bits) - 1} AS bkey",
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.selectExpr(f"{id_col} AS doc_a", "simhash AS sim_a", "band", "bkey")
+    right = bands.selectExpr(f"{id_col} AS doc_b", "simhash AS sim_b", "band", "bkey")
+    return (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .selectExpr("doc_a", "doc_b", "bit_count(sim_a ^ sim_b) AS hamming")
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1510,3 +1510,83 @@ def q_coe_vs_op_monthly_full_outer(spark, sf_dir):
             F.coalesce("c_mes", "o_mes").alias("mes"), "coe_total", "op_total"
         )
     )
+
+
+from .operators.dedup import exact_dedup_keep as _exact_keep  # noqa: E402
+from .operators.dedup import simhash_neardup_pairs as _simhash_pairs  # noqa: E402
+
+
+def _simhash_pairs_sql(d: str, bits: int = 16, max_hamming: int = 3) -> str:
+    base = _simhash_sql(d, bits).strip()
+    band_bits = bits // 4
+    mask = (1 << band_bits) - 1
+    shift = (lambda b: f"(CAST(simhash AS BIGINT) >> {b * band_bits}) & {mask}")
+    bands = "\nUNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, {shift(b)} AS bkey FROM sigs"
+        for b in range(4)
+    )
+    ham = "bit_count(xor(a_sim, b_sim))" if d == _D else "bit_count(a_sim ^ b_sim)"
+    return f"""
+WITH sigs AS ({base}),
+bands AS (
+{bands}
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           l.simhash AS a_sim, r.simhash AS b_sim
+    FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey
+    WHERE l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, {ham} AS hamming
+FROM cand
+WHERE {ham} <= {max_hamming}
+"""
+
+
+@query("simhash_neardup_pairs", _simhash_pairs_sql(_D))
+def q_simhash_neardup_pairs(spark, sf_dir):
+    return _simhash_pairs(spark.table("documents"))
+
+
+def _curation_sql(d: str) -> str:
+    ntok = T.asize(T.split_ws("text", d), d)
+    quality = (
+        f"0.4 * least(CAST({ntok} AS DOUBLE) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - {T.punct_ratio('text', d)})"
+        f" + 0.3 * (1.0 - CAST({T.stopword_count('text', d)} AS DOUBLE)"
+        f" / CAST({ntok} AS DOUBLE))"
+    )
+    flags = ", 'g'" if d == _D else ""
+    norm = f"md5(lower(regexp_replace(trim(text), ' +', ' '{flags})))"
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang, text, {quality} AS quality, {norm} AS fp
+    FROM documents
+),
+quality_pass AS (SELECT * FROM scored WHERE quality >= 0.55),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM quality_pass GROUP BY fp),
+deduped AS (
+    SELECT q.* FROM quality_pass q JOIN keepers k ON q.doc_id = k.doc_id
+)
+SELECT doc_id, lang, quality
+FROM deduped
+WHERE {T.hexint('text', d)} % 100 <
+      CASE WHEN lang = 'en' THEN 40 ELSE 70 END
+"""
+
+
+@query("curation_pipeline", _curation_sql(_D))
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation: quality gate → exact dedup (keep min
+    id) → deterministic stratified sample — the composition a training-
+    data pipeline runs, each stage reusing a registered operator."""
+    docs = spark.table("documents")
+    scored = spark.sql(_text_stats_sql(_S)).select("doc_id", "quality_score")
+    quality_pass = docs.join(
+        scored.filter(F.col("quality_score") >= 0.55), "doc_id"
+    )
+    deduped = _exact_keep(quality_pass)
+    from .operators.dedup import stratified_sample
+
+    sampled = stratified_sample(deduped, keep_pct={"en": 40}, default_pct=70)
+    return sampled.select("doc_id", "lang", F.col("quality_score").alias("quality"))

@@ -49,3 +49,12 @@ def test_fechamento_all_dim_joins_broadcast(spark):
     plan = _explain(QUERIES["fechamento_m_presente"](spark, SF_CORRECT))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    # the union+window formulation must shuffle once on the key — no
+    # per-row subqueries, no nested loops
+    plan = _explain(QUERIES["asof_join_purchases"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_shuffles = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_shuffles <= 2, plan
