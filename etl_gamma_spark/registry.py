@@ -1359,8 +1359,10 @@ WITH ordered AS (
 ),
 sessions AS (
     SELECT user_id, event_id, ts,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_id
+           -- DuckDB windowed SUM(int) yields HUGEINT (float64 in pandas);
+           -- pin to BIGINT to match Spark's long
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT) AS session_id
     FROM ordered
 )
 SELECT user_id, session_id,
