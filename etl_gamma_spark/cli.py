@@ -31,7 +31,7 @@ import sys
 
 from . import asof
 from .registry import QUERIES, _ensure_model
-from .sources.sink import stamp_audit, write_partition_overwrite
+from .sources.sink import stamp_audit, write_full_refresh, write_partition_overwrite
 
 log = logging.getLogger("etl_gamma_spark")
 
@@ -93,8 +93,18 @@ def run_pipeline(spark, name: str, sf_dir: str, out_dir: str,
     df = stamp_audit(df)
     target = os.path.join(out_dir, name)
     # write first, count the written files after: counting the plan before
-    # the write would execute the whole job graph twice
-    write_partition_overwrite(df, target, partition_by)
+    # the write would execute the whole job graph twice.
+    # Scope selection mirrors the reference's S4 semantics: an unscoped run
+    # replaces the WHOLE table (static — dynamic overwrite would keep stale
+    # partitions from earlier, wider runs); a farmer-scoped run replaces
+    # only that farmer's partitions (dynamic).
+    if farmer_id is None:
+        write_full_refresh(df, target, partition_by)
+    else:
+        write_partition_overwrite(df, target, partition_by)
+    if not any(f.endswith(".parquet") for _, _, fs in os.walk(target) for f in fs):
+        log.info("pipeline=%s table_rows=0 (empty scope) out=%s", name, target)
+        return 0
     n_table = spark.read.parquet(target).count()
     log.info("pipeline=%s table_rows=%d out=%s", name, n_table, target)
     return n_table

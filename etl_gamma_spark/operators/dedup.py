@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from .similarity import hamming_expr
 
 S = T.SPARK
 
@@ -93,7 +94,10 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, est_jaccard) for pairs sharing ≥1 band bucket.
     """
-    sigs = minhash_signatures(docs, text_col, id_col, n).cache()
+    # localCheckpoint (not cache): materialized once, lineage truncated,
+    # and storage is released by the ContextCleaner when the frame goes out
+    # of scope — cache() would pin it for the whole session
+    sigs = minhash_signatures(docs, text_col, id_col, n).localCheckpoint()
     m_cols = [f"m{j}" for j in range(T.MINHASH_K)]
 
     banded = sigs.selectExpr(id_col, *m_cols, *T.band_key_exprs(S))
@@ -138,7 +142,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via a shingle inverted index:
     |A∩B| from a self-join on shingle, |A∪B| = |A|+|B|-|A∩B|."""
-    sh = shingle_sets(docs, text_col, id_col, n).cache()
+    sh = shingle_sets(docs, text_col, id_col, n).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -202,7 +206,7 @@ def neardup_clusters(
         pairs.selectExpr(f"doc_a AS {id_col}", "doc_b AS nbr")
         .unionByName(pairs.selectExpr(f"doc_b AS {id_col}", "doc_a AS nbr"))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     labels = docs.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
     converged = False
@@ -241,7 +245,6 @@ def neardup_clusters(
             f"neardup_clusters did not converge within {max_iters} rounds; "
             "raise max_iters (graph diameter exceeds the cap)"
         )
-    edges.unpersist()
     return labels
 
 
@@ -256,8 +259,6 @@ def stratified_sample(
     md5-hash(text) % 100 < pct(stratum). No RNG — the same corpus always
     samples identically (reproducible training mixes), and the predicate
     is a pure column expression (prunable, pushable)."""
-    from ..functions import text as T
-
     pct = F.lit(default_pct)
     for stratum, p in (keep_pct or {}).items():
         pct = F.when(F.col(stratum_col) == stratum, p).otherwise(pct)
@@ -271,14 +272,20 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     bits: int = 16,
     max_hamming: int = 3,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: candidates generated by banding the
-    signature into 4 nibbles (pigeonhole: any pair within Hamming distance
-    3 of 16 bits shares at least one intact nibble), then verified with an
-    exact bit_count on the XOR — never an all-pairs scan.
+    signature into ``n_bands`` slices (pigeonhole: any pair within Hamming
+    distance < n_bands shares at least one intact band), then verified with
+    an exact Hamming distance — never an all-pairs scan.
     """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banding with {n_bands} bands only guarantees recall for "
+            f"Hamming distance < {n_bands}; got max_hamming={max_hamming} "
+            "(raise n_bands)"
+        )
     sigs = simhash_signatures(docs, text_col, id_col, bits)
-    n_bands = 4
     band_bits = bits // n_bands
     bands = None
     for b in range(n_bands):
@@ -296,6 +303,6 @@ def simhash_neardup_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sim_a", "sim_b")
         .distinct()
-        .selectExpr("doc_a", "doc_b", "bit_count(sim_a ^ sim_b) AS hamming")
+        .selectExpr("doc_a", "doc_b", f"{hamming_expr('sim_a', 'sim_b')} AS hamming")
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -88,20 +88,31 @@ def knn_join(
 # --- LSH (sign random projection) -----------------------------------------
 
 
-def plane_component(plane: int, dim_i: str, d: str = S) -> str:
+def plane_component(plane: int, dim_i: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1]:
-    md5-derived integer of (plane, dim) scaled — no RNG, engine-equal."""
-    h = T.hexint(f"concat('p', {plane}, '_', {dim_i})", d)
-    return f"(CAST(({h}) % 2001 AS DOUBLE) - 1000.0) / 1000.0"
+    md5-derived integer of (plane, dim) scaled — no RNG, and exactly the
+    value both SQL engines would compute from the same md5 prefix."""
+    import hashlib
+
+    h = int(hashlib.md5(f"p{plane}_{dim_i}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def _plane_literal(plane: int, dim: int, d: str) -> str:
+    """The hyperplane as a SQL literal array: planes are constants, so
+    bake them into the plan instead of recomputing dim·planes md5 hashes
+    per ROW (Spark does not constant-fold inside transform lambdas)."""
+    vals = ", ".join(repr(plane_component(plane, i)) for i in range(1, dim + 1))
+    if d == S:
+        return f"CAST(array({vals}) AS ARRAY<DOUBLE>)"
+    return f"CAST([{vals}] AS DOUBLE[])"
 
 
 def bucket_expr(vec_col: str, dim: int, n_planes: int, d: str = S) -> str:
     """Bucket id = packed sign bits of the vector·plane dots."""
     bits = []
     for p in range(n_planes):
-        plane_arr = T.atransform(
-            T.seq("1", str(dim), d), "__i", plane_component(p, "__i", d), d
-        )
+        plane_arr = _plane_literal(p, dim, d)
         dot = DOT.format(a=vec_col, b=plane_arr) if d == S else (
             f"list_dot_product(CAST({vec_col} AS DOUBLE[]), {plane_arr})"
         )
@@ -199,20 +210,25 @@ def ivf_assign(
         "aggregate(zip_with(v, centroid, (x, y) -> (x - y) * (x - y)),"
         " 0D, (acc, d) -> acc + d)"
     )
-    assign = None
-    for _ in range(n_iters):
-        scored = emb.crossJoin(F.broadcast(centroids)).selectExpr(
+
+    def assign_to(cents: DataFrame) -> DataFrame:
+        scored = emb.crossJoin(F.broadcast(cents)).selectExpr(
             id_col, "v", "centroid_id", f"{dist} AS d2"
         )
         w = Window.partitionBy(id_col).orderBy("d2", "centroid_id")
-        assign = (
+        return (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(id_col, "v", "centroid_id")
         )
-        # recompute: element-wise mean per centroid via posexplode + re-agg
+
+    for _ in range(n_iters):
+        assign = assign_to(centroids)
+        # recompute: element-wise mean per centroid via posexplode + re-agg.
+        # localCheckpoint per round: truncates the iterative lineage and
+        # stops callers of BOTH returned frames re-running every iteration
         centroids = (
-            assign.selectExpr(f"centroid_id", "posexplode(v) AS (pos, x)")
+            assign.selectExpr("centroid_id", "posexplode(v) AS (pos, x)")
             .groupBy("centroid_id", "pos")
             .agg(F.avg("x").alias("m"))
             .groupBy("centroid_id")
@@ -225,8 +241,12 @@ def ivf_assign(
                 "centroid_id",
                 "transform(pm, s -> s.m) AS centroid",
             )
+            .localCheckpoint()
         )
-    return assign.select(id_col, "centroid_id"), centroids
+    # final assignment against the FINAL centroids (not one half-step
+    # stale), so probe routing and stored assignments agree
+    final_assign = assign_to(centroids).select(id_col, "centroid_id").localCheckpoint()
+    return final_assign, centroids
 
 
 def ivf_topk(

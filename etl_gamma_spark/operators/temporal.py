@@ -58,9 +58,16 @@ def asof_join(
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_vals],
         *[F.col(c) for c in l_cols if c != key],
     )
+    # NULLS LAST explicitly: Spark's ascending default is nulls-first while
+    # DuckDB's is nulls-last — a NULL timestamp would silently reorder the
+    # carry-forward between engine and oracle
     w = (
         Window.partitionBy(key)
-        .orderBy("__ts", "__side", "__tb")
+        .orderBy(
+            F.col("__ts").asc_nulls_last(),
+            F.col("__side").asc_nulls_last(),
+            F.col("__tb").asc_nulls_last(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = tagged_r.unionByName(tagged_l).select(
@@ -87,10 +94,12 @@ def sessionize(
     events with ``session_id`` (1-based per entity)."""
     order = Window.partitionBy(key).orderBy(ts, tiebreak)
     run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # microsecond-exact gap: cast-to-long would truncate to whole seconds
+    # and misclassify gaps whose fractional parts straddle the threshold
+    micros = F.unix_micros(F.col(ts))
     gap_break = (
         F.when(
-            F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(order)
-            > gap_minutes * 60,
+            micros - F.lag(micros).over(order) > gap_minutes * 60 * 1_000_000,
             1,
         )
         .otherwise(0)

@@ -1351,8 +1351,10 @@ def q_asof_join_purchases(spark, sf_dir):
     """
 WITH ordered AS (
     SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-           CASE WHEN epoch(CAST(ts AS TIMESTAMP))
-                     - lag(epoch(CAST(ts AS TIMESTAMP))) OVER w > 30 * 60
+           -- integer microseconds on both engines (epoch() would be
+           -- fractional here but second-truncated in a naive Spark port)
+           CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                     - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 30 * 60 * 1000000
                 THEN 1 ELSE 0 END AS new_session
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
@@ -1527,7 +1529,7 @@ def _simhash_pairs_sql(d: str, bits: int = 16, max_hamming: int = 3) -> str:
         f"SELECT doc_id, simhash, {b} AS band, {shift(b)} AS bkey FROM sigs"
         for b in range(4)
     )
-    ham = "bit_count(xor(a_sim, b_sim))" if d == _D else "bit_count(a_sim ^ b_sim)"
+    ham = SIM.hamming_expr("a_sim", "b_sim", d)
     return f"""
 WITH sigs AS ({base}),
 bands AS (

@@ -42,3 +42,22 @@ def test_cli_fechamento_runs(spark, tmp_path):
     assert n > 0
     back = spark.read.parquet(f"{tmp_path}/fechamento_m_presente")
     assert back.filter(F.col("is_current_month")).count() == n
+
+
+def test_cli_unscoped_rerun_replaces_whole_table(spark, tmp_path):
+    # S4 scope (a): a narrower unscoped re-run must NOT keep months from
+    # the earlier, wider run (regression: dynamic overwrite left them)
+    out = str(tmp_path)
+    run_pipeline(
+        spark, "receita_farmer_m_passado", SF_SMOKE, out,
+        farmer_id=None, months_back=11, as_of=asof.AS_OF_TPCH,
+    )
+    table = f"{out}/receita_farmer_m_passado"
+    months_wide = {r.mes for r in spark.read.parquet(table).select("mes").distinct().collect()}
+    run_pipeline(
+        spark, "receita_farmer_m_passado", SF_SMOKE, out,
+        farmer_id=None, months_back=3, as_of=asof.AS_OF_TPCH,
+    )
+    months_narrow = {r.mes for r in spark.read.parquet(table).select("mes").distinct().collect()}
+    assert len(months_narrow) < len(months_wide)
+    assert months_narrow == {m for m in months_wide if m >= dt.date(2001, 3, 1)}

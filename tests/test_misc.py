@@ -76,3 +76,19 @@ def test_approx_aggregates_accuracy(spark):
     )
     assert abs(row.approx_clients - exact.d) / exact.d < 0.05
     assert abs(row.revenue_p50_p95[0] - exact.p50) / exact.p50 < 0.05
+
+
+def test_sessionize_subsecond_gap_boundary(spark):
+    # gap of 1800.4s straddles the 30-min threshold only if fractional
+    # seconds are honored (regression: cast-to-long truncated them)
+    from etl_gamma_spark.operators.temporal import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0, 100000)
+    rows = [
+        (1, 1, t0),
+        (1, 2, t0 + dt.timedelta(seconds=1800, microseconds=400000)),  # new session
+        (1, 3, t0 + dt.timedelta(seconds=3599, microseconds=500000)),  # same as 2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {r.event_id: r.session_id for r in sessionize(df).collect()}
+    assert got == {1: 1, 2: 2, 3: 2}
