@@ -270,7 +270,7 @@ def simhash_neardup_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
+    bits: int = 32,
     max_hamming: int = 3,
     n_bands: int = 4,
 ) -> DataFrame:
@@ -278,6 +278,10 @@ def simhash_neardup_pairs(
     signature into ``n_bands`` slices (pigeonhole: any pair within Hamming
     distance < n_bands shares at least one intact band), then verified with
     an exact Hamming distance — never an all-pairs scan.
+
+    32-bit default: with 16-bit signatures each band key has only 4 bits
+    (16 values), so every band bucket holds ~N/16 docs and the candidate
+    join degenerates toward all-pairs; 8-bit band keys keep buckets sparse.
     """
     if max_hamming >= n_bands:
         raise ValueError(
@@ -285,7 +289,9 @@ def simhash_neardup_pairs(
             f"Hamming distance < {n_bands}; got max_hamming={max_hamming} "
             "(raise n_bands)"
         )
-    sigs = simhash_signatures(docs, text_col, id_col, bits)
+    # materialize once: the band union + pair join reference this frame up
+    # to 2·n_bands times and would re-run the signature aggregation each time
+    sigs = simhash_signatures(docs, text_col, id_col, bits).localCheckpoint()
     band_bits = bits // n_bands
     bands = None
     for b in range(n_bands):

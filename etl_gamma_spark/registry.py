@@ -1520,7 +1520,7 @@ from .operators.dedup import exact_dedup_keep as _exact_keep  # noqa: E402
 from .operators.dedup import simhash_neardup_pairs as _simhash_pairs  # noqa: E402
 
 
-def _simhash_pairs_sql(d: str, bits: int = 16, max_hamming: int = 3) -> str:
+def _simhash_pairs_sql(d: str, bits: int = 32, max_hamming: int = 3) -> str:
     base = _simhash_sql(d, bits).strip()
     band_bits = bits // 4
     mask = (1 << band_bits) - 1
