@@ -58,3 +58,20 @@ def test_asof_join_single_shuffle_per_side(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     n_shuffles = plan.count("+- Exchange") + plan.count(":- Exchange")
     assert n_shuffles <= 2, plan
+
+
+def test_partitioned_output_prunes_partitions(spark, tmp_path):
+    # month-partitioned sink output must serve month-filtered reads from
+    # matching partitions only (PartitionFilters at the scan)
+    from etl_gamma_spark.sources.sink import write_full_refresh
+
+    df = QUERIES["receita_farmer_m_passado"](spark, SF_CORRECT)
+    path = str(tmp_path / "t")
+    write_full_refresh(df, path, ["mes"])
+    scan = spark.read.parquet(path).filter("mes = DATE '2001-01-01'")
+    plan = _explain(scan)
+    assert "PartitionFilters: [isnotnull(mes" in plan.replace("#", "").replace(
+        "mes)", "mes"
+    ) or "PartitionFilters" in plan and "2001-01-01" in plan, plan
+    # and the filter is NOT a post-scan row filter on the data column
+    assert scan.count() > 0
