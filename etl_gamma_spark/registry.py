@@ -1594,3 +1594,99 @@ def q_curation_pipeline(spark, sf_dir):
 
     sampled = stratified_sample(deduped, keep_pct={"en": 40}, default_pct=70)
     return sampled.select("doc_id", "lang", F.col("quality_score").alias("quality"))
+
+
+@query(
+    "fechamento_by_name",
+    with_model(
+        _FECHAMENTO_BODY.format(
+            MES="DATE '2024-01-01'",
+            AS_OF=asof.AS_OF_EVENTS_SQL,
+            SCOPE="name = 'NATION_7'",
+            IS_CURRENT="TRUE",
+        ),
+        *_FECHAMENTO_TABLES,
+    ),
+)
+def q_fechamento_by_name(spark, sf_dir):
+    # P6 branch 3: the reference passes employee_name as all three scope
+    # params — a non-literal value targets exactly the named farmer
+    return fechamento(
+        spark.table("positivador_historical"),
+        spark.table("coe"),
+        spark.table("operacoes_estruturadas"),
+        spark.table("clients"),
+        spark.table("employees"),
+        spark.table("client_transfers"),
+        spark.table("compensation"),
+        as_of=asof.AS_OF_EVENTS,
+        scope="NATION_7",
+        employee_name="NATION_7",
+    )
+
+
+@query(
+    "receita_produto_farmer_resp",
+    with_model(
+        _PRODUTO_BODY.format(AS_OF=asof.AS_OF_TPCH_SQL).rstrip().replace(
+            "GROUP BY 1, 2, 3, 4, 5, 6",
+            """  AND CAST(c.farmer_id AS INTEGER) = 7
+  AND EXISTS (
+        WITH ft AS (SELECT * FROM client_transfers WHERE transfer_type = 'FARMER'),
+        new_p AS (
+            SELECT client_id, CAST(new_farmer_id AS INTEGER) AS farmer_id,
+                   transfer_date AS start_date,
+                   LEAD(transfer_date) OVER (PARTITION BY client_id
+                       ORDER BY transfer_date, new_farmer_id, old_farmer_id) AS end_date
+            FROM ft WHERE new_farmer_id IS NOT NULL
+        ),
+        old_p AS (
+            SELECT ft.client_id, CAST(ft.old_farmer_id AS INTEGER) AS farmer_id,
+                   COALESCE(LAG(ft.transfer_date) OVER (PARTITION BY ft.client_id
+                       ORDER BY ft.transfer_date, ft.new_farmer_id, ft.old_farmer_id),
+                       c2.creation_date) AS start_date,
+                   ft.transfer_date AS end_date
+            FROM ft JOIN clients c2 ON ft.client_id = c2.client_id
+            WHERE ft.old_farmer_id IS NOT NULL
+        ),
+        original_p AS (
+            SELECT c2.client_id, CAST(c2.farmer_id AS INTEGER) AS farmer_id,
+                   c2.creation_date AS start_date, CAST(NULL AS DATE) AS end_date
+            FROM clients c2
+            WHERE NOT EXISTS (SELECT 1 FROM ft WHERE ft.client_id = c2.client_id)
+        ),
+        all_p AS (
+            SELECT * FROM original_p UNION ALL SELECT * FROM new_p UNION ALL SELECT * FROM old_p
+        )
+        SELECT 1 FROM all_p p
+        WHERE p.farmer_id = 7 AND p.client_id = r.client_id
+          AND p.start_date <= r.record_date
+          AND (p.end_date IS NULL OR r.record_date < p.end_date)
+  )
+GROUP BY 1, 2, 3, 4, 5, 6""",
+        ),
+        *(_REV_TABLES + ("client_transfers",)),
+    ),
+)
+def q_receita_produto_farmer_resp(spark, sf_dir):
+    """Farmer-scoped produto with the responsibility filter applied at the
+    FACT level (client_id still present), i.e. the reference's documented
+    intent. NOTE a reference defect: its own call
+    (kpi_receita_produto_f_m_passado/extract.py:93-99) passes the already-
+    aggregated frame, which lacks client_id, so
+    filter_data_by_responsibility logs an error and silently no-ops
+    (utils/client_responsibility.py:179-181)."""
+    periods = client_farmer_periods(
+        spark.table("clients"), spark.table("client_transfers")
+    )
+    scoped_fact = filter_by_responsibility(
+        spark.table("revenue_records_historical"), periods, "record_date", farmer_id=7
+    )
+    return receita_produto_f_m_passado(
+        scoped_fact,
+        spark.table("clients"),
+        spark.table("employees"),
+        as_of=asof.AS_OF_TPCH,
+        months_back=11,
+        farmer_id=7,
+    )
