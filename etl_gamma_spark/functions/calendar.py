@@ -42,7 +42,11 @@ def month_series(
     DataFrame ``mes`` (reference kpi_receita_cliente/extract.py:41-47).
 
     Tiny driver-side-free sequence: sequence() + explode stays in the JVM.
+    Degenerate windows (start > stop) return an EMPTY frame like
+    generate_series — Spark's sequence() would raise instead.
     """
+    if start.replace(day=1) > stop.replace(day=1):
+        return spark.createDataFrame([], "mes date")
     return spark.range(1).select(
         F.explode(
             F.sequence(

@@ -55,6 +55,11 @@ def amin(arr: str, d: str) -> str:
 
 
 def adistinct(arr: str, d: str) -> str:
+    """ORDER WARNING: the element SET is engine-equal but the order is not
+    (Spark array_distinct keeps first-occurrence order, DuckDB
+    list_distinct reorders) — never expose an adistinct array, or anything
+    positional over it, in an oracle-compared output; reduce it with an
+    order-insensitive fold (min, explode+agg) first."""
     return f"array_distinct({arr})" if d == SPARK else f"list_distinct({arr})"
 
 
@@ -178,13 +183,14 @@ def lang_scores(text: str, d: str) -> list[str]:
 
 def lang_pick_expr() -> str:
     """argmax over materialized score_<lang> columns, ties broken by the
-    fixed language order (en first)."""
+    fixed language order (en first); marker-free text (all scores zero)
+    is 'und', not a default English guess."""
     langs = list(LANG_MARKERS)
     gl = ", ".join(f"score_{lang}" for lang in langs)
     clauses = " ".join(
         f"WHEN score_{lang} >= greatest({gl}) THEN '{lang}'" for lang in langs
     )
-    return f"CASE {clauses} ELSE 'und' END"
+    return f"CASE WHEN greatest({gl}) = 0 THEN 'und' {clauses} ELSE 'und' END"
 
 
 def regex_strip(text: str, pattern: str, d: str) -> str:

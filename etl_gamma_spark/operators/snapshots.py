@@ -41,7 +41,9 @@ def latest_snapshot_dates(
     """
     df = snapshots
     if month is not None:
-        df = df.filter(month_floor(F.col(date_col)) == F.lit(month))
+        # floor the literal too: a mid-month date would otherwise silently
+        # match nothing (the reference truncates BOTH sides)
+        df = df.filter(month_floor(F.col(date_col)) == F.lit(month.replace(day=1)))
     return df.groupBy(month_floor(F.col(date_col)).alias("mes")).agg(
         F.max(date_col).alias("ultima_data")
     )
@@ -57,9 +59,13 @@ def latest_snapshot_rows(
     Equivalent to the reference's ``JOIN ... ON udm.ultima_data =
     ph.record_date`` pattern (kpi_fechamento_m_presente/extract.py:89-91).
     """
-    dates = latest_snapshot_dates(snapshots, date_col, month)
+    # rename the helper month key before joining: leaking a 'mes' column
+    # would collide with snapshot tables that already carry one
+    dates = latest_snapshot_dates(snapshots, date_col, month).withColumnRenamed(
+        "mes", "__snap_mes"
+    )
     cond = F.col(date_col) == F.col("ultima_data")
     return (
         snapshots.join(F.broadcast(dates), cond, "inner")
-        .drop("ultima_data")
+        .drop("ultima_data", "__snap_mes")
     )

@@ -86,6 +86,14 @@ def fechamento(
     mes = month.replace(day=1)
     cur = F.lit(mes)
 
+    # Reference semantics: ONE value feeds all three scope slots
+    # (extract.py:264-268 passes params=[employee_name]*3) — a name that
+    # isn't one of the two literals targets exactly that farmer. Passing
+    # employee_name alone therefore scopes to that employee; the separate
+    # ``scope`` parameter only matters when employee_name is None.
+    if employee_name is not None:
+        scope = employee_name
+
     cli_key = clients.select(
         "client_id", F.col("farmer_id").cast("int").alias("farmer_key")
     )
@@ -96,9 +104,14 @@ def fechamento(
     last_rows = latest_snapshot_rows(snap)
     data_positivador = snap.agg(F.max("record_date").alias("data_positivador"))
 
+    # one keyed snapshot slice shared by pos_values AND totals (the
+    # reference scans positivador separately per CTE; Catalyst does not
+    # dedupe identical subplans, so reuse explicitly)
+    last_with_key = last_rows.join(F.broadcast(cli_key), "client_id")
+
     # -- calculo_receita (extract.py:38-105) ---------------------------
     pos_values = (
-        last_rows.join(F.broadcast(cli_key), "client_id")
+        last_with_key
         .groupBy(F.col("farmer_key").alias("farmer_id"))
         .agg(
             F.expr(f"SUM({POS_REVENUE_EXPR}) AS receita_pos"),
@@ -147,12 +160,9 @@ def fechamento(
     )
 
     # -- total_captacao / total_churn at the month's last snapshot date
-    #    (extract.py:106-131; scalar-subquery J7 as a broadcast join)
-    last_date_rows = snap.join(
-        F.broadcast(data_positivador),
-        F.col("record_date") == F.col("data_positivador"),
-    ).drop("data_positivador").join(F.broadcast(cli_key), "client_id")
-    totals = last_date_rows.groupBy(F.col("farmer_key").alias("farmer_id")).agg(
+    #    (extract.py:106-131): with snap pre-filtered to one month, "rows
+    #    at the scalar MAX(record_date)" ≡ the latest-snapshot rows above
+    totals = last_with_key.groupBy(F.col("farmer_key").alias("farmer_id")).agg(
         F.sum("net_capture").alias("captacao_total"),
         F.sum("churn").alias("churn_total"),
     )

@@ -72,6 +72,11 @@ def receita_cliente(
     """Union of the three normalized detail sources (U2), optionally
     responsibility-scoped (J5) when ``farmer_id`` and ``periods`` given."""
 
+    if farmer_id is not None and periods is None:
+        # silently returning every farmer's rows for a single-farmer query
+        # would be data corruption, not a default
+        raise ValueError("farmer_id scoping requires a periods DataFrame")
+
     def in_range(col: str) -> F.Column:
         return F.col(col).between(F.lit(data_inicio), F.lit(data_fim))
 

@@ -51,7 +51,7 @@ def receita_farmer_m_passado(
         cli = cli.filter(F.col("farmer_key") == F.lit(farmer_id))
 
     emp = employees.select(
-        F.col("employee_id"), F.col("name").alias("farmer_name")
+        F.col("employee_id"), F.col("name").alias("employee_name")
     )
 
     joined = (
@@ -63,7 +63,7 @@ def receita_farmer_m_passado(
         joined.groupBy(
             month_floor(F.col("record_date")).alias("mes"),
             F.col("farmer_key").alias("farmer_id"),
-            F.col("farmer_name"),
+            F.col("employee_name"),
         )
         .agg(
             F.expr("CAST(SUM(gross_revenue) AS DECIMAL(18,2))").alias("receita_bruta"),
@@ -81,7 +81,7 @@ def receita_farmer_m_passado(
             "mes",
             month_fmt(F.col("mes")).alias("mes_formatado"),
             "farmer_id",
-            "farmer_name",
+            "employee_name",
             "receita_bruta",
             "receita_liquida",
             "comissao_bruta",

@@ -76,7 +76,7 @@ _RECEITA_FARMER_BODY = """
 SELECT CAST(date_trunc('month', r.record_date) AS DATE) AS mes,
        strftime(CAST(date_trunc('month', r.record_date) AS DATE), '%m/%Y') AS mes_formatado,
        CAST(c.farmer_id AS INTEGER) AS farmer_id,
-       e.name AS farmer_name,
+       e.name AS employee_name,
        CAST(SUM(r.gross_revenue) AS DECIMAL(18,2)) AS receita_bruta,
        CAST(SUM(r.net_revenue) AS DECIMAL(18,2)) AS receita_liquida,
        CAST(SUM(r.gross_commission) AS DECIMAL(18,2)) AS comissao_bruta,

@@ -45,6 +45,9 @@ def _canon(v) -> str:
         f = float(v)
         if math.isnan(f):
             return "NULL"
+        # kill negative zero / sub-tolerance negatives: '-0.0000' must
+        # canonicalize equal to '0.0000'
+        f = round(f, 4) + 0.0
         return f"{f:.4f}"
     if isinstance(v, dt.datetime):  # includes pd.Timestamp
         if v.time() == dt.time(0, 0) and getattr(v, "nanosecond", 0) == 0:
