@@ -56,3 +56,13 @@ def month_series(
             )
         ).alias("mes")
     )
+
+
+def safe_cast(col, to_type: str) -> Column:
+    """pd.to_numeric(errors='coerce') parity (SURVEY §2.8 F11): invalid
+    values become NULL instead of raising — under Spark's default ANSI
+    mode a plain cast of bad input would error the job, which is not the
+    reference's defensive-coercion behavior
+    (kpi_receita_farmer_m_passado/extract.py:73-75)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return c.try_cast(to_type)

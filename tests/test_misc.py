@@ -92,3 +92,11 @@ def test_sessionize_subsecond_gap_boundary(spark):
     df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
     got = {r.event_id: r.session_id for r in sessionize(df).collect()}
     assert got == {1: 1, 2: 2, 3: 2}
+
+
+def test_safe_cast_coerces_instead_of_raising(spark):
+    from etl_gamma_spark.functions.calendar import safe_cast
+
+    df = spark.createDataFrame([("12",), ("abc",), (None,)], "v string")
+    got = [r.n for r in df.select(safe_cast("v", "int").alias("n")).collect()]
+    assert got == [12, None, None]
