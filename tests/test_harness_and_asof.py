@@ -1,0 +1,68 @@
+"""Meta-tests: the differential harness must actually reject wrong
+results (a gate that can't fail is no gate), and the as-of join must agree
+with a direct per-row reference implementation on randomized data."""
+
+import datetime as dt
+import random
+
+import pytest
+
+from etl_gamma_spark.operators.temporal import asof_join
+from etl_gamma_spark.testing.oracle import compare
+from tests.conftest import SF_CORRECT
+
+
+def test_compare_rejects_value_tampering(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    compare(df, "SELECT 1 AS k, 'a' AS v UNION ALL SELECT 2, 'b'", SF_CORRECT)
+    with pytest.raises(AssertionError, match="value mismatch"):
+        compare(df, "SELECT 1 AS k, 'a' AS v UNION ALL SELECT 2, 'X'", SF_CORRECT)
+    with pytest.raises(AssertionError, match="row count"):
+        compare(df, "SELECT 1 AS k, 'a' AS v", SF_CORRECT)
+    with pytest.raises(AssertionError, match="column mismatch"):
+        compare(df, "SELECT 1 AS k, 'a' AS other", SF_CORRECT)
+
+
+def test_compare_normalizes_decimal_vs_float(spark):
+    df = spark.createDataFrame([(1,)], "k long").selectExpr(
+        "k", "CAST(1.50 AS DECIMAL(10,2)) AS v"
+    )
+    compare(df, "SELECT 1 AS k, 1.5 AS v", SF_CORRECT)  # decimal vs float ok
+    compare(df, "SELECT 1 AS k, CAST(1.5 AS DOUBLE) AS v", SF_CORRECT)
+
+
+def test_asof_join_matches_python_reference(spark):
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    lefts, rights = [], []
+    for i in range(300):
+        key = rng.randrange(8)
+        ts = base + dt.timedelta(seconds=rng.randrange(100_000))
+        if i % 2:
+            lefts.append((key, 1000 + i, ts, float(i)))
+        else:
+            rights.append((key, 2000 + i, ts, float(i)))
+    # deliberate shared-timestamp edge: right exactly at a left's ts
+    lefts.append((3, 9001, base + dt.timedelta(seconds=500), 1.0))
+    rights.append((3, 9000, base + dt.timedelta(seconds=500), 2.0))
+
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    out = asof_join(
+        spark.createDataFrame(lefts, schema),
+        spark.createDataFrame(rights, schema),
+        key="user_id", left_ts="ts", right_ts="ts",
+        right_vals=["event_id"], tiebreak="event_id",
+    ).collect()
+
+    def ref(key, ts):
+        cands = [r for r in rights if r[0] == key and r[2] <= ts]
+        if not cands:
+            return None
+        # latest ts; ties resolved by the LAST in (ts, event_id) order —
+        # matching the running last_value carry
+        cands.sort(key=lambda r: (r[2], r[1]))
+        return cands[-1][1]
+
+    got = {r.event_id: r.asof_event_id for r in out}
+    expected = {eid: ref(k, ts) for (k, eid, ts, _) in lefts}
+    assert got == expected
