@@ -54,3 +54,33 @@ def run_streaming_rollup(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_streaming_rollup_to_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint: str,
+) -> None:
+    """The production shape: stream → monthly aggregate → foreachBatch
+    writing each micro-batch's months through the idempotent
+    partition-overwrite sink (S4 semantics). Re-running a month's data
+    rewrites that month's partition only; the checkpoint makes restarts
+    exactly-once per batch."""
+    from ..sources.sink import write_partition_overwrite
+
+    agg = monthly_event_rollup(read_events_stream(spark, sf_dir))
+
+    def upsert(batch_df, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_partition_overwrite(batch_df, out_path, ["mes"])
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -72,3 +72,31 @@ def test_conform_padded_columns_are_writable(spark, tmp_path):
     conformed.write.parquet(path)  # NullType would raise here
     back = spark.read.parquet(path).collect()
     assert back[0].score is None
+
+
+def test_streaming_rollup_foreachbatch_sink(spark, tmp_path):
+    from etl_gamma_spark.streaming.monthly_rollup import (
+        monthly_event_rollup,
+        run_streaming_rollup_to_sink,
+    )
+    from etl_gamma_spark.io import load_table
+
+    out = str(tmp_path / "rollup")
+    run_streaming_rollup_to_sink(spark, SF_SMOKE, out, str(tmp_path / "ckpt"))
+    got = {
+        (r.mes, r.event_type): (r.n_events, str(r.total_value))
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.mes, r.event_type): (r.n_events, str(r.total_value))
+        for r in monthly_event_rollup(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == batch
+    # idempotent re-run with a FRESH checkpoint reprocesses and overwrites
+    # the same partitions to the same state
+    run_streaming_rollup_to_sink(spark, SF_SMOKE, out, str(tmp_path / "ckpt2"))
+    got2 = {
+        (r.mes, r.event_type): (r.n_events, str(r.total_value))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == batch
