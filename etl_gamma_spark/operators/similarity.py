@@ -285,3 +285,34 @@ def ivf_topk(
         id_col, f"{cosine_expr(vec_col, 'qv')} AS cosine"
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 8,
+    probe_radius: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup use of similarity:
+    emit (a, b, cosine) for all pairs with cosine >= threshold).
+
+    Candidates come from the cheap SRP bucket codes — pairs whose codes
+    differ in more than ``probe_radius`` of ``n_planes`` sign bits are
+    skipped before any 64-dim arithmetic; survivors get the exact cosine.
+    The candidate stage here is a code-to-code comparison (fine for
+    dim-table-sized corpora); at 100 TB band the codes and equi-join
+    buckets exactly like simhash_neardup_pairs.
+    """
+    b = lsh_buckets(embeddings, n_planes=n_planes, id_col=id_col, vec_col=vec_col)
+    left = b.selectExpr(f"{id_col} AS id_a", f"{vec_col} AS v_a", "bucket AS code_a")
+    right = b.selectExpr(f"{id_col} AS id_b", f"{vec_col} AS v_b", "bucket AS code_b")
+    cand = left.join(
+        right,
+        F.expr(
+            f"id_a < id_b AND {hamming_expr('code_a', 'code_b')} <= {probe_radius}"
+        ),
+    )
+    scored = cand.selectExpr("id_a", "id_b", f"{cosine_expr('v_a', 'v_b')} AS cosine")
+    return scored.filter(F.col("cosine") >= F.lit(threshold))

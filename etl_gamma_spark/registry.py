@@ -1690,3 +1690,31 @@ def q_receita_produto_farmer_resp(spark, sf_dir):
         months_back=11,
         farmer_id=7,
     )
+
+
+@query(
+    "embedding_neardup_pairs",
+    f"""
+WITH b AS (
+    SELECT vec_id, embedding, {SIM.bucket_expr('embedding', 64, 8, _D)} AS bucket
+    FROM embeddings
+),
+cand AS (
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           a.embedding AS ea, b2.embedding AS eb
+    FROM b a JOIN b b2
+      ON a.vec_id < b2.vec_id
+     AND {SIM.hamming_expr('a.bucket', 'b2.bucket', _D)} <= 3
+)
+SELECT id_a, id_b,
+       list_dot_product(CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[]))
+       / (sqrt(list_dot_product(CAST(ea AS DOUBLE[]), CAST(ea AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(eb AS DOUBLE[]), CAST(eb AS DOUBLE[])))) AS cosine
+FROM cand
+WHERE list_dot_product(CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(ea AS DOUBLE[]), CAST(ea AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(eb AS DOUBLE[]), CAST(eb AS DOUBLE[])))) >= 0.35
+""",
+)
+def q_embedding_neardup_pairs(spark, sf_dir):
+    return SIM.embedding_neardup_pairs(spark.table("embeddings"))

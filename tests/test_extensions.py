@@ -160,3 +160,25 @@ def test_ivf_topk_recall_vs_brute_force(spark, emb):
     # determinism across runs (fixed init, fixed iterations)
     approx2 = [r.vec_id for r in ivf_topk(emb, query_id=0, k=10, n_probe=4).collect()]
     assert approx == approx2
+
+
+def test_embedding_neardup_recall_vs_exact(spark, emb):
+    from etl_gamma_spark.operators.similarity import (
+        cosine_expr,
+        embedding_neardup_pairs,
+    )
+
+    approx = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(emb).collect()}
+    assert len(approx) > 0
+    a = emb.selectExpr("vec_id AS id_a", "embedding AS v_a")
+    b = emb.selectExpr("vec_id AS id_b", "embedding AS v_b")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.expr("id_a < id_b"))
+        .selectExpr("id_a", "id_b", f"{cosine_expr('v_a', 'v_b')} AS c")
+        .filter("c >= 0.35")
+        .collect()
+    }
+    assert approx <= exact  # no false positives (exact verify stage)
+    recall = len(approx) / len(exact)
+    assert recall >= 0.5, f"neardup recall {recall}"
