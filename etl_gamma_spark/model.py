@@ -187,7 +187,13 @@ MODEL_TABLES = tuple(MODEL_SQL)
 
 
 def register_model_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register base fixture views + gammadata-shaped model views."""
+    """Register base fixture views + gammadata-shaped model views.
+
+    The views stay LAZY (no cache): caching the derived facts was
+    measured to bring no net bench win here while replacing the parquet
+    scans with InMemoryTableScans — which hides predicate pushdown, the
+    property tests/test_plan_quality.py pins for the 100 TB posture.
+    """
     register_base_views(spark, sf_dir)
     for name, sql in MODEL_SQL.items():
         spark.sql(sql).createOrReplaceTempView(name)

@@ -40,6 +40,18 @@ def cosine_expr(a: str, b: str) -> str:
     return f"({dot}) / (({na}) * ({nb}))"
 
 
+def dot_unrolled(a: str, b: str, dim: int) -> str:
+    """Dot product as a flat 64-term expression over pre-cast DOUBLE
+    arrays. Same left-to-right addition order as the aggregate() fold and
+    DuckDB's list_dot_product (bit-identical results), but whole-stage
+    codegen compiles it — higher-order-function lambdas are interpreted
+    per element, which dominates pairwise workloads."""
+    terms = " + ".join(
+        f"(element_at({a}, {i}) * element_at({b}, {i}))" for i in range(1, dim + 1)
+    )
+    return f"({terms})"
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -305,14 +317,32 @@ def embedding_neardup_pairs(
     dim-table-sized corpora); at 100 TB band the codes and equi-join
     buckets exactly like simhash_neardup_pairs.
     """
-    b = lsh_buckets(embeddings, n_planes=n_planes, id_col=id_col, vec_col=vec_col)
-    left = b.selectExpr(f"{id_col} AS id_a", f"{vec_col} AS v_a", "bucket AS code_a")
-    right = b.selectExpr(f"{id_col} AS id_b", f"{vec_col} AS v_b", "bucket AS code_b")
-    cand = left.join(
-        right,
-        F.expr(
-            f"id_a < id_b AND {hamming_expr('code_a', 'code_b')} <= {probe_radius}"
-        ),
+    dim = 64
+    # materialize codes + pre-cast vectors + per-row norms once; the
+    # self-join would otherwise recompute these projections per PAIR
+    b = (
+        lsh_buckets(embeddings, n_planes=n_planes, id_col=id_col, vec_col=vec_col)
+        .selectExpr(id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v", "bucket")
+        .selectExpr(id_col, "v", "bucket", f"sqrt({dot_unrolled('v', 'v', dim)}) AS nrm")
+        .localCheckpoint()
     )
-    scored = cand.selectExpr("id_a", "id_b", f"{cosine_expr('v_a', 'v_b')} AS cosine")
+    # multi-probe expansion: a pair is within Hamming distance r iff
+    # code_a XOR code_b is one of the masks with <= r bits set, so explode
+    # each row over those masks and EQUI-join on the probed code — a
+    # codegen'd hash join instead of a nested-loop (which disables
+    # whole-stage codegen for the whole stage). Each qualifying pair
+    # matches exactly one mask, so no dedup is needed.
+    masks = [m for m in range(1 << n_planes) if bin(m).count("1") <= probe_radius]
+    left = b.selectExpr(
+        f"{id_col} AS id_a",
+        "v AS v_a",
+        "nrm AS n_a",
+        f"explode(array({', '.join(str(m) for m in masks)})) AS __mask",
+        "bucket",
+    ).selectExpr("id_a", "v_a", "n_a", "(bucket ^ __mask) AS probe_code")
+    right = b.selectExpr(f"{id_col} AS id_b", "v AS v_b", "nrm AS n_b", "bucket AS code_b")
+    cand = left.join(right, F.expr("probe_code = code_b AND id_a < id_b"))
+    scored = cand.selectExpr(
+        "id_a", "id_b", f"({dot_unrolled('v_a', 'v_b', dim)}) / (n_a * n_b) AS cosine"
+    )
     return scored.filter(F.col("cosine") >= F.lit(threshold))
