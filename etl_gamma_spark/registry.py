@@ -1718,3 +1718,115 @@ WHERE list_dot_product(CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[]))
 )
 def q_embedding_neardup_pairs(spark, sf_dir):
     return SIM.embedding_neardup_pairs(spark.table("embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# window running frames, JSON extraction, exact percentiles (all "not
+# present" in the reference — §2.5/§2.8 extensions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cumulative_revenue",
+    with_model(
+        """
+, monthly AS (
+    SELECT CAST(date_trunc('month', r.record_date) AS DATE) AS mes,
+           CAST(c.farmer_id AS INTEGER) AS farmer_id,
+           CAST(SUM(r.gross_revenue) AS DECIMAL(18,2)) AS receita
+    FROM revenue_records_historical r
+    JOIN clients c ON r.client_id = c.client_id
+    WHERE r.record_date >= DATE '2001-01-01' AND r.record_date < DATE '2001-07-01'
+    GROUP BY 1, 2
+)
+SELECT mes, farmer_id, receita,
+       CAST(SUM(receita) OVER (PARTITION BY farmer_id ORDER BY mes
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS receita_acumulada
+FROM monthly
+""",
+        "clients", "revenue_records_historical",
+    ),
+)
+def q_cumulative_revenue(spark, sf_dir):
+    # running frame (rowsBetween) — absent from the reference's window use
+    from pyspark.sql import Window as W
+
+    monthly = (
+        spark.table("revenue_records_historical")
+        .filter((F.col("record_date") >= "2001-01-01") & (F.col("record_date") < "2001-07-01"))
+        .join(
+            F.broadcast(
+                spark.table("clients").select(
+                    "client_id", F.col("farmer_id").cast("int").alias("farmer_id")
+                )
+            ),
+            "client_id",
+        )
+        .groupBy(F.trunc("record_date", "month").alias("mes"), "farmer_id")
+        .agg(F.expr("CAST(SUM(gross_revenue) AS DECIMAL(18,2))").alias("receita"))
+    )
+    w = (
+        W.partitionBy("farmer_id")
+        .orderBy("mes")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return monthly.select(
+        "mes", "farmer_id", "receita",
+        F.sum("receita").over(w).cast("decimal(18,2)").alias("receita_acumulada"),
+    )
+
+
+@query(
+    "events_json_extract",
+    """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+GROUP BY event_type
+""",
+)
+def q_events_json_extract(spark, sf_dir):
+    # semi-structured props column: JSON path extraction (F-family
+    # extension; the reference has no JSON anywhere)
+    ev = spark.table("events").selectExpr(
+        "event_type", "CAST(get_json_object(props, '$.k') AS BIGINT) AS k"
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("k_total"),
+        F.max("k").alias("k_max"),
+    )
+
+
+@query(
+    "revenue_percentiles",
+    with_model(
+        """
+SELECT CAST(date_trunc('month', record_date) AS DATE) AS mes,
+       CAST(quantile_cont(CAST(gross_revenue AS DOUBLE), 0.5) AS DECIMAL(18,2)) AS p50,
+       CAST(quantile_cont(CAST(gross_revenue AS DOUBLE), 0.9) AS DECIMAL(18,2)) AS p90
+FROM revenue_records_historical
+WHERE record_date >= DATE '2001-01-01' AND record_date < DATE '2001-07-01'
+GROUP BY 1
+""",
+        "revenue_records_historical",
+    ),
+)
+def q_revenue_percentiles(spark, sf_dir):
+    # exact interpolated percentiles (the approximate form is in
+    # approx_aggregates); 2dp decimal cut absorbs interpolation ulps
+    return (
+        spark.table("revenue_records_historical")
+        .filter((F.col("record_date") >= "2001-01-01") & (F.col("record_date") < "2001-07-01"))
+        .groupBy(F.trunc("record_date", "month").alias("mes"))
+        .agg(
+            F.expr(
+                "CAST(percentile(CAST(gross_revenue AS DOUBLE), 0.5) AS DECIMAL(18,2))"
+            ).alias("p50"),
+            F.expr(
+                "CAST(percentile(CAST(gross_revenue AS DOUBLE), 0.9) AS DECIMAL(18,2))"
+            ).alias("p90"),
+        )
+    )
