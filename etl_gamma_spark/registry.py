@@ -1830,3 +1830,37 @@ def q_revenue_percentiles(spark, sf_dir):
             ).alias("p90"),
         )
     )
+
+
+from .streaming.windowed import run_session_window_stream  # noqa: E402
+
+
+@query(
+    "streaming_session_windows",
+    # session_window semantics: window end = last event ts + gap; the
+    # oracle derives the same sessions with the batch lag/cumsum method
+    """
+WITH ordered AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                     - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+sessions AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+""",
+)
+def q_streaming_session_windows(spark, sf_dir):
+    return run_session_window_stream(spark, sf_dir, query_name="q_sess_win")

@@ -1,0 +1,79 @@
+"""Declarative data-quality expectations.
+
+The reference has no validation beyond DB constraints and record-count
+logging (SURVEY §5); production pipelines — and especially training-data
+pipelines — gate loads on explicit expectations. Each check compiles to
+one predicate counted in a single pass (one job for the whole suite, not
+one per rule), so a 100 TB table pays one scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    name: str
+    violation: Column  # TRUE ⇢ the row violates the rule
+
+
+def not_null(*cols: str) -> Expectation:
+    cond = None
+    for c in cols:
+        x = F.col(c).isNull()
+        cond = x if cond is None else (cond | x)
+    return Expectation(f"not_null({', '.join(cols)})", cond)
+
+
+def in_range(col: str, lo, hi) -> Expectation:
+    return Expectation(
+        f"in_range({col}, {lo}, {hi})",
+        F.col(col).isNotNull() & ~F.col(col).between(F.lit(lo), F.lit(hi)),
+    )
+
+
+def values_in(col: str, allowed: list) -> Expectation:
+    return Expectation(
+        f"values_in({col})", F.col(col).isNotNull() & ~F.col(col).isin(allowed)
+    )
+
+
+def matches(col: str, pattern: str) -> Expectation:
+    return Expectation(
+        f"matches({col}, {pattern})",
+        F.col(col).isNotNull() & ~F.col(col).rlike(pattern),
+    )
+
+
+def run_expectations(df: DataFrame, expectations: list[Expectation]) -> dict[str, int]:
+    """One aggregation pass: violation count per expectation."""
+    aggs = [
+        F.sum(F.when(e.violation, 1).otherwise(0)).alias(e.name)
+        for e in expectations
+    ]
+    row = df.agg(*aggs).first()
+    return {e.name: int(row[e.name] or 0) for e in expectations}
+
+
+def enforce(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Raise on any violation; return ``df`` unchanged when clean (use as
+    a gate in front of a sink)."""
+    report = run_expectations(df, expectations)
+    bad = {k: v for k, v in report.items() if v > 0}
+    if bad:
+        raise AssertionError(f"data-quality violations: {bad}")
+    return df
+
+
+def referential(fact: DataFrame, col: str, dim: DataFrame, dim_col: str) -> int:
+    """Orphan count: fact values absent from the dimension (anti-join —
+    this one is a join, not a predicate, so it runs separately)."""
+    return (
+        fact.select(F.col(col)).where(F.col(col).isNotNull())
+        .join(dim.select(F.col(dim_col).alias(col)).distinct(), col, "left_anti")
+        .count()
+    )

@@ -53,3 +53,39 @@ def run_windowed_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_session_window_stream(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes",
+    query_name: str = "session_windows",
+) -> DataFrame:
+    """Native streaming sessionization: ``session_window(ts, gap)`` merges
+    events into dynamic per-key windows that close after ``gap`` of
+    inactivity — the streaming sibling of operators/temporal.sessionize
+    (whose batch output it must agree with; see the registry oracle).
+
+    Complete mode + availableNow over the static fixture: all sessions
+    finalized deterministically.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -100,3 +100,31 @@ def test_streaming_rollup_foreachbatch_sink(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got2 == batch
+
+
+def test_expectations_on_model_tables(spark):
+    from etl_gamma_spark.sources import validate as V
+
+    _ensure_model(spark, SF_CORRECT)
+    clients = spark.table("clients")
+    report = V.run_expectations(
+        clients,
+        [
+            V.not_null("client_id", "farmer_id", "creation_date"),
+            V.matches("farmer_id", "^[0-9]+$"),
+        ],
+    )
+    assert all(v == 0 for v in report.values()), report
+
+    rev = spark.table("revenue_records_historical")
+    V.enforce(rev, [V.not_null("client_id", "record_date"), V.in_range("gross_revenue", 0, 10**9)])
+    assert V.referential(rev, "client_id", clients, "client_id") == 0
+
+    # violations are actually counted and enforced
+    bad = spark.createDataFrame([(1, "x"), (None, "ok")], "k long, s string")
+    rep = V.run_expectations(bad, [V.not_null("k"), V.values_in("s", ["ok"])])
+    assert rep == {"not_null(k)": 1, "values_in(s)": 1}
+    import pytest as _pt
+
+    with _pt.raises(AssertionError, match="data-quality violations"):
+        V.enforce(bad, [V.not_null("k")])
