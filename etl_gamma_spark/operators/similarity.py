@@ -37,7 +37,10 @@ def cosine_expr(a: str, b: str) -> str:
     dot = DOT.format(a=a, b=b)
     na = NORM.format(v=a)
     nb = NORM.format(v=b)
-    return f"({dot}) / (({na}) * ({nb}))"
+    # nullif: a zero-norm (all-zeros / padding) vector must yield NULL
+    # cosine, not a DIVIDE_BY_ZERO job abort under Spark's default ANSI
+    # mode; NULLs drop out of thresholds and sort last in rankings
+    return f"({dot}) / nullif(({na}) * ({nb}), 0.0D)"
 
 
 def dot_unrolled(a: str, b: str, dim: int) -> str:
@@ -304,6 +307,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.35,
     n_planes: int = 8,
     probe_radius: int = 3,
+    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -317,11 +321,10 @@ def embedding_neardup_pairs(
     dim-table-sized corpora); at 100 TB band the codes and equi-join
     buckets exactly like simhash_neardup_pairs.
     """
-    dim = 64
     # materialize codes + pre-cast vectors + per-row norms once; the
     # self-join would otherwise recompute these projections per PAIR
     b = (
-        lsh_buckets(embeddings, n_planes=n_planes, id_col=id_col, vec_col=vec_col)
+        lsh_buckets(embeddings, dim=dim, n_planes=n_planes, id_col=id_col, vec_col=vec_col)
         .selectExpr(id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v", "bucket")
         .selectExpr(id_col, "v", "bucket", f"sqrt({dot_unrolled('v', 'v', dim)}) AS nrm")
         .localCheckpoint()
@@ -343,6 +346,8 @@ def embedding_neardup_pairs(
     right = b.selectExpr(f"{id_col} AS id_b", "v AS v_b", "nrm AS n_b", "bucket AS code_b")
     cand = left.join(right, F.expr("probe_code = code_b AND id_a < id_b"))
     scored = cand.selectExpr(
-        "id_a", "id_b", f"({dot_unrolled('v_a', 'v_b', dim)}) / (n_a * n_b) AS cosine"
+        "id_a",
+        "id_b",
+        f"({dot_unrolled('v_a', 'v_b', dim)}) / nullif(n_a * n_b, 0.0D) AS cosine",
     )
     return scored.filter(F.col("cosine") >= F.lit(threshold))

@@ -22,6 +22,8 @@ class Expectation:
 
 
 def not_null(*cols: str) -> Expectation:
+    if not cols:
+        raise ValueError("not_null requires at least one column")
     cond = None
     for c in cols:
         x = F.col(c).isNull()
@@ -37,8 +39,12 @@ def in_range(col: str, lo, hi) -> Expectation:
 
 
 def values_in(col: str, allowed: list) -> Expectation:
+    # the allowed list is part of the name: two values_in rules on the
+    # same column must not collide (colliding names would silently drop
+    # one rule's violations in run_expectations)
     return Expectation(
-        f"values_in({col})", F.col(col).isNotNull() & ~F.col(col).isin(allowed)
+        f"values_in({col}, {allowed!r})",
+        F.col(col).isNotNull() & ~F.col(col).isin(allowed),
     )
 
 
@@ -51,6 +57,12 @@ def matches(col: str, pattern: str) -> Expectation:
 
 def run_expectations(df: DataFrame, expectations: list[Expectation]) -> dict[str, int]:
     """One aggregation pass: violation count per expectation."""
+    if not expectations:
+        raise ValueError("at least one expectation required")
+    names = [e.name for e in expectations]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate expectation names would shadow results: {dupes}")
     aggs = [
         F.sum(F.when(e.violation, 1).otherwise(0)).alias(e.name)
         for e in expectations
@@ -70,10 +82,10 @@ def enforce(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
 
 
 def referential(fact: DataFrame, col: str, dim: DataFrame, dim_col: str) -> int:
-    """Orphan count: fact values absent from the dimension (anti-join —
+    """Count of DISTINCT fact values absent from the dimension (anti-join —
     this one is a join, not a predicate, so it runs separately)."""
     return (
-        fact.select(F.col(col)).where(F.col(col).isNotNull())
+        fact.select(F.col(col)).where(F.col(col).isNotNull()).distinct()
         .join(dim.select(F.col(dim_col).alias(col)).distinct(), col, "left_anti")
         .count()
     )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import read_events_stream
+from . import run_to_memory
 
 
 def monthly_event_rollup(events: DataFrame) -> DataFrame:
@@ -45,15 +46,7 @@ def run_streaming_rollup(
     """Drive the rollup as a streaming query to completion and return the
     result table."""
     agg = monthly_event_rollup(read_events_stream(spark, sf_dir))
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(query_name)
+    return run_to_memory(agg, query_name, "complete")
 
 
 def run_streaming_rollup_to_sink(

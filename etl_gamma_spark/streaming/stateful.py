@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..io import read_events_stream
+from . import run_to_memory
 
 OUTPUT_SCHEMA = "user_id bigint, event_id bigint, event_type string, value double"
 STATE_SCHEMA = "seen array<bigint>"
@@ -59,12 +60,4 @@ def streaming_dedup_events(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(query_name)
+    return run_to_memory(deduped, query_name, "append")

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import read_events_stream
+from . import run_to_memory
 
 WATERMARK = "10 minutes"
 WINDOW = "1 hour"
@@ -43,16 +44,10 @@ def windowed_event_counts(events: DataFrame) -> DataFrame:
 def run_windowed_stream(
     spark: SparkSession, sf_dir: str, query_name: str = "windowed_events"
 ) -> DataFrame:
-    q = (
-        windowed_event_counts(read_events_stream(spark, sf_dir))
-        .writeStream.outputMode("append")  # only watermark-finalized windows
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
+    # append mode: only watermark-finalized windows are emitted
+    return run_to_memory(
+        windowed_event_counts(read_events_stream(spark, sf_dir)), query_name, "append"
     )
-    q.awaitTermination()
-    return spark.table(query_name)
 
 
 def run_session_window_stream(
@@ -80,12 +75,4 @@ def run_session_window_stream(
             "n_events",
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(query_name)
+    return run_to_memory(agg, query_name, "complete")

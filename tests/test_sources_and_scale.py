@@ -123,8 +123,14 @@ def test_expectations_on_model_tables(spark):
     # violations are actually counted and enforced
     bad = spark.createDataFrame([(1, "x"), (None, "ok")], "k long, s string")
     rep = V.run_expectations(bad, [V.not_null("k"), V.values_in("s", ["ok"])])
-    assert rep == {"not_null(k)": 1, "values_in(s)": 1}
+    assert rep == {"not_null(k)": 1, "values_in(s, ['ok'])": 1}
     import pytest as _pt
 
     with _pt.raises(AssertionError, match="data-quality violations"):
         V.enforce(bad, [V.not_null("k")])
+    with _pt.raises(ValueError, match="duplicate expectation"):
+        V.run_expectations(bad, [V.not_null("k"), V.not_null("k")])
+    with _pt.raises(ValueError, match="at least one"):
+        V.run_expectations(bad, [])
+    with _pt.raises(ValueError, match="at least one"):
+        V.not_null()
