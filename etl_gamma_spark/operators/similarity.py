@@ -124,13 +124,19 @@ def _plane_literal(plane: int, dim: int, d: str) -> str:
 
 
 def bucket_expr(vec_col: str, dim: int, n_planes: int, d: str = S) -> str:
-    """Bucket id = packed sign bits of the vector·plane dots."""
+    """Bucket id = packed sign bits of the vector·plane dots.
+
+    Spark side uses the UNROLLED dot (codegen; the HOF fold is interpreted
+    per element — measured ~8× slower for bucket assignment); both forms
+    sum left-to-right so the signs are engine-identical.
+    """
     bits = []
     for p in range(n_planes):
         plane_arr = _plane_literal(p, dim, d)
-        dot = DOT.format(a=vec_col, b=plane_arr) if d == S else (
-            f"list_dot_product(CAST({vec_col} AS DOUBLE[]), {plane_arr})"
-        )
+        if d == S:
+            dot = dot_unrolled(f"CAST({vec_col} AS ARRAY<DOUBLE>)", plane_arr, dim)
+        else:
+            dot = f"list_dot_product(CAST({vec_col} AS DOUBLE[]), {plane_arr})"
         bits.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END")
     return "(" + " + ".join(bits) + ")"
 
@@ -336,15 +342,22 @@ def embedding_neardup_pairs(
     # whole-stage codegen for the whole stage). Each qualifying pair
     # matches exactly one mask, so no dedup is needed.
     masks = [m for m in range(1 << n_planes) if bin(m).count("1") <= probe_radius]
-    left = b.selectExpr(
+    # pair generation carries ONLY (id, code): exploding the 64-double
+    # vectors through the mask fan-out would multiply the shuffle ~93×;
+    # vectors re-attach afterwards via two broadcast hash joins
+    codes = b.selectExpr(id_col, "bucket")
+    left = codes.selectExpr(
         f"{id_col} AS id_a",
-        "v AS v_a",
-        "nrm AS n_a",
         f"explode(array({', '.join(str(m) for m in masks)})) AS __mask",
         "bucket",
-    ).selectExpr("id_a", "v_a", "n_a", "(bucket ^ __mask) AS probe_code")
-    right = b.selectExpr(f"{id_col} AS id_b", "v AS v_b", "nrm AS n_b", "bucket AS code_b")
-    cand = left.join(right, F.expr("probe_code = code_b AND id_a < id_b"))
+    ).selectExpr("id_a", "(bucket ^ __mask) AS probe_code")
+    right = codes.selectExpr(f"{id_col} AS id_b", "bucket AS code_b")
+    pairs = left.join(right, F.expr("probe_code = code_b AND id_a < id_b")).select(
+        "id_a", "id_b"
+    )
+    va = b.selectExpr(f"{id_col} AS id_a", "v AS v_a", "nrm AS n_a")
+    vb = b.selectExpr(f"{id_col} AS id_b", "v AS v_b", "nrm AS n_b")
+    cand = pairs.join(F.broadcast(va), "id_a").join(F.broadcast(vb), "id_b")
     scored = cand.selectExpr(
         "id_a",
         "id_b",
