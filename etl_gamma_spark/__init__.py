@@ -12,15 +12,24 @@ operators (dedup, similarity search, text analysis, multimodal plumbing).
 
 Layout:
     session.py    SparkSession factory (local + cluster-shaped confs)
-    io.py         testdata readers (incl. ns-timestamp workaround)
+    io.py         testdata readers (incl. ns-timestamp workaround) + the
+                  shared streaming events reader
     model.py      gammadata-shaped semantic model — shared Spark/DuckDB SQL
+    registry.py   every query + its DuckDB oracle (driver contract backend)
     rates.py      commission constants (reference parity)
     asof.py       fixed as_of clocks (replaces the reference's NOW())
-    functions/    calendar / money / text column helpers
-    operators/    snapshots, responsibility intervals, dedup, similarity
+    cli.py        per-pipeline CLI (reference main.py/run_etl dispatcher)
+    functions/    calendar / text expression generators / diagnostics
+    operators/    snapshots, responsibility intervals, dedup (exact /
+                  MinHash+LSH / SimHash / Jaccard / CC clustering),
+                  similarity (top-k, kNN, SRP-LSH, IVF, near-dup pairs),
+                  temporal (as-of join, sessionize, top-k per group),
+                  skew (salted agg/join), multimodal (Arrow kernels)
     plans/        the six reference pipelines as pure DataFrame functions
-    sources/      sink layer (idempotent delete-scope overwrite), jdbc stub
-    streaming/    Structured Streaming incrementalization of the rollup
+    sources/      sinks (4 delete-scopes, merge upsert), schemas, catalog
+                  evolution, bucketing, gated JDBC, data-quality rules
+    streaming/    rollup / watermarked windows / session windows /
+                  stateful dedup / foreachBatch-to-sink
     testing/      DuckDB differential-oracle harness (mirrors the driver)
 """
 
