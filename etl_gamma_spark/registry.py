@@ -1864,3 +1864,81 @@ GROUP BY user_id, sid
 )
 def q_streaming_session_windows(spark, sf_dir):
     return run_session_window_stream(spark, sf_dir, query_name="q_sess_win")
+
+
+@query(
+    "receita_cube",
+    with_model(
+        """
+SELECT CAST(date_trunc('month', c2.date) AS DATE) AS mes,
+       c2.status,
+       CAST(SUM(c2.financial_value) AS DECIMAL(18,2)) AS total,
+       COUNT(*) AS n
+FROM coe c2
+WHERE c2.date >= DATE '2001-01-01' AND c2.date < DATE '2001-04-01'
+GROUP BY CUBE (1, 2)
+""",
+        "coe",
+    ),
+)
+def q_receita_cube(spark, sf_dir):
+    # full cube: subtotals over every key combination
+    coe = spark.table("coe").filter(
+        (F.col("date") >= "2001-01-01") & (F.col("date") < "2001-04-01")
+    )
+    return coe.cube(F.trunc("date", "month").alias("mes"), F.col("status")).agg(
+        F.expr("CAST(SUM(financial_value) AS DECIMAL(18,2))").alias("total"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "receita_grouping_sets",
+    with_model(
+        """
+SELECT CAST(date_trunc('month', c2.date) AS DATE) AS mes,
+       c2.status,
+       CAST(SUM(c2.financial_value) AS DECIMAL(18,2)) AS total
+FROM coe c2
+WHERE c2.date >= DATE '2001-01-01' AND c2.date < DATE '2001-04-01'
+GROUP BY GROUPING SETS ((1), (2))
+""",
+        "coe",
+    ),
+)
+def q_receita_grouping_sets(spark, sf_dir):
+    # explicit grouping sets: by-month totals and by-status totals in one
+    # pass (Spark SQL syntax; the DataFrame API has no direct form)
+    spark.table("coe").filter(
+        (F.col("date") >= "2001-01-01") & (F.col("date") < "2001-04-01")
+    ).createOrReplaceTempView("__coe_q1")
+    return spark.sql(
+        """
+        SELECT trunc(date, 'month') AS mes, status,
+               CAST(SUM(financial_value) AS DECIMAL(18,2)) AS total
+        FROM __coe_q1
+        GROUP BY GROUPING SETS ((trunc(date, 'month')), (status))
+        """
+    )
+
+
+@query(
+    "active_clients_dedup_union",
+    with_model(
+        """
+SELECT client_id FROM coe WHERE status = 'Liquidada'
+UNION
+SELECT client_id FROM operacoes_estruturadas WHERE status_operacao != 'Cancelado'
+""",
+        "coe", "operacoes_estruturadas",
+    ),
+)
+def q_active_clients_dedup_union(spark, sf_dir):
+    # UNION (not UNION ALL): set-semantics dedup across sources
+    a = spark.table("coe").filter(F.col("status") == "Liquidada").select("client_id")
+    b = (
+        spark.table("operacoes_estruturadas")
+        .filter(F.col("status_operacao") != "Cancelado")
+        .select("client_id")
+    )
+    return a.union(b).distinct()
