@@ -1800,36 +1800,51 @@ def q_events_json_extract(spark, sf_dir):
     )
 
 
+_PERCENTILES_BODY = """
+, vals AS (
+    SELECT CAST(date_trunc('month', record_date) AS DATE) AS mes,
+           CAST(gross_revenue AS DOUBLE) AS x
+    FROM revenue_records_historical
+    WHERE record_date >= DATE '2001-01-01' AND record_date < DATE '2001-07-01'
+),
+ranked AS (
+    SELECT mes, x,
+           ROW_NUMBER() OVER (PARTITION BY mes ORDER BY x) - 1 AS rn,
+           COUNT(*) OVER (PARTITION BY mes) AS n
+    FROM vals
+),
+params AS (SELECT p FROM (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE))) t(p)),
+bounds AS (
+    SELECT r.mes, pr.p, r.n,
+           CAST(FLOOR(pr.p * (r.n - 1)) AS BIGINT) AS lo,
+           pr.p * (r.n - 1) - FLOOR(pr.p * (r.n - 1)) AS frac
+    FROM (SELECT DISTINCT mes, n FROM ranked) r CROSS JOIN params pr
+),
+interp AS (
+    SELECT b.mes, b.p, vlo.x + b.frac * (vhi.x - vlo.x) AS q
+    FROM bounds b
+    JOIN ranked vlo ON vlo.mes = b.mes AND vlo.rn = b.lo
+    JOIN ranked vhi ON vhi.mes = b.mes AND vhi.rn = LEAST(b.lo + 1, b.n - 1)
+)
+SELECT mes,
+       MAX(CASE WHEN p = 0.5 THEN q END) AS p50,
+       MAX(CASE WHEN p = 0.9 THEN q END) AS p90
+FROM interp
+GROUP BY mes
+"""
+
+
 @query(
     "revenue_percentiles",
-    with_model(
-        """
-SELECT CAST(date_trunc('month', record_date) AS DATE) AS mes,
-       CAST(quantile_cont(CAST(gross_revenue AS DOUBLE), 0.5) AS DECIMAL(18,2)) AS p50,
-       CAST(quantile_cont(CAST(gross_revenue AS DOUBLE), 0.9) AS DECIMAL(18,2)) AS p90
-FROM revenue_records_historical
-WHERE record_date >= DATE '2001-01-01' AND record_date < DATE '2001-07-01'
-GROUP BY 1
-""",
-        "revenue_records_historical",
-    ),
+    with_model(_PERCENTILES_BODY, "revenue_records_historical"),
 )
 def q_revenue_percentiles(spark, sf_dir):
-    # exact interpolated percentiles (the approximate form is in
-    # approx_aggregates); 2dp decimal cut absorbs interpolation ulps
-    return (
-        spark.table("revenue_records_historical")
-        .filter((F.col("record_date") >= "2001-01-01") & (F.col("record_date") < "2001-07-01"))
-        .groupBy(F.trunc("record_date", "month").alias("mes"))
-        .agg(
-            F.expr(
-                "CAST(percentile(CAST(gross_revenue AS DOUBLE), 0.5) AS DECIMAL(18,2))"
-            ).alias("p50"),
-            F.expr(
-                "CAST(percentile(CAST(gross_revenue AS DOUBLE), 0.9) AS DECIMAL(18,2))"
-            ).alias("p90"),
-        )
-    )
+    """Exact interpolated percentiles via an explicit rank/interpolate
+    construction whose SQL body is shared VERBATIM with the oracle —
+    the engines' built-in quantile functions interpolate with
+    differently-ordered double math, caught crossing a cent boundary at
+    sf0.001 (approximate form: approx_aggregates)."""
+    return spark.sql(with_model(_PERCENTILES_BODY, "revenue_records_historical"))
 
 
 from .streaming.windowed import run_session_window_stream  # noqa: E402
