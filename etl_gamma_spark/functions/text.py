@@ -211,3 +211,16 @@ def punct_ratio(text: str, d: str) -> str:
 def digit_ratio(text: str, d: str) -> str:
     digits = f"length({regex_strip(text, '[^0-9]', d)})"
     return f"CAST({digits} AS DOUBLE) / CAST(length({text}) AS DOUBLE)"
+
+
+def quality_expr(text: str, d: str) -> str:
+    """Composite document quality score in [0, 1] — single source of truth
+    (used by text_stats, corpus_stats, and the curation pipeline's gate;
+    hand-copies of the weights drifted once already)."""
+    ntok = asize(split_ws(text, d), d)
+    return (
+        f"0.4 * least(CAST({ntok} AS DOUBLE) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - {punct_ratio(text, d)})"
+        f" + 0.3 * (1.0 - CAST({stopword_count(text, d)} AS DOUBLE)"
+        f" / CAST({ntok} AS DOUBLE))"
+    )

@@ -175,13 +175,17 @@ def fechamento(
     )
 
     # -- employee scope (P4/P6 predicates, extract.py:261-268) ---------
+    # ONE scope value feeds all three disjuncts, exactly like the
+    # reference's params=[employee_name]*3 — the name branch stays live
+    # even for the '2. Farmers' literal (an employee literally named
+    # '2. Farmers' would match, as in the reference)
     emp = employees.filter(
         F.col("hierarchy_level").isin("junior", "pleno")
         & (F.col("status") == "active")
         & (
             ((F.lit(scope) == "2. Farmers") & (F.col("group_id") == 1))
             | (F.lit(scope) == "1. Gamma Capital")
-            | (F.col("name") == F.lit(employee_name).cast("string"))
+            | (F.col("name") == F.lit(scope).cast("string"))
         )
     )
     if farmer_id is not None:

@@ -42,8 +42,13 @@ def receita_farmer_m_passado(
 
     # clients.farmer_id is TEXT holding an int — cast before the join,
     # exactly as the reference does in every query (extract.py:44,52).
+    # The raw text key is kept for GROUPING: the reference groups by the
+    # TEXT column (extract.py:54), so two spellings of one id ('7'/'07')
+    # stay separate rows — grouping on the cast would merge them.
     cli = clients.select(
-        "client_id", F.col("farmer_id").cast("int").alias("farmer_key")
+        "client_id",
+        F.col("farmer_id").alias("farmer_text"),
+        F.col("farmer_id").cast("int").alias("farmer_key"),
     )
     if farmer_id is not None:
         # optional-predicate variant (SURVEY §2.2 P5) — a plain conditional
@@ -62,7 +67,7 @@ def receita_farmer_m_passado(
     out = (
         joined.groupBy(
             month_floor(F.col("record_date")).alias("mes"),
-            F.col("farmer_key").alias("farmer_id"),
+            F.col("farmer_text"),
             F.col("employee_name"),
         )
         .agg(
@@ -80,7 +85,7 @@ def receita_farmer_m_passado(
         .select(
             "mes",
             month_fmt(F.col("mes")).alias("mes_formatado"),
-            "farmer_id",
+            F.col("farmer_text").cast("int").alias("farmer_id"),
             "employee_name",
             "receita_bruta",
             "receita_liquida",

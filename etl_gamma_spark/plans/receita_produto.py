@@ -38,7 +38,15 @@ def receita_produto_f_m_passado(
         (F.col("record_date") >= lower)
         & (month_floor(F.col("record_date")) < cur)
     )
-    cli = clients.select("client_id", F.col("farmer_id").cast("int").alias("farmer_key"))
+    # raw keys for grouping (reference extract.py:69-75 groups the
+    # NULL-able category/product and the TEXT farmer_id; relabelling to
+    # 'OUTROS' happens AFTER aggregation in transform.py:42-50 — grouping
+    # on coalesced keys would merge a NULL group with a literal 'OUTROS')
+    cli = clients.select(
+        "client_id",
+        F.col("farmer_id").alias("farmer_text"),
+        F.col("farmer_id").cast("int").alias("farmer_key"),
+    )
     if farmer_id is not None:
         cli = cli.filter(F.col("farmer_key") == F.lit(farmer_id))
     emp = employees.select("employee_id", F.col("name").alias("employee_name"))
@@ -48,9 +56,9 @@ def receita_produto_f_m_passado(
         .join(F.broadcast(emp), F.col("farmer_key") == F.col("employee_id"))
         .groupBy(
             month_floor(F.col("record_date")).alias("mes"),
-            F.coalesce(F.col("category"), F.lit("OUTROS")).alias("categoria"),
-            F.coalesce(F.col("product"), F.lit("OUTROS")).alias("produto"),
-            F.col("farmer_key").alias("farmer_id"),
+            F.col("category"),
+            F.col("product"),
+            F.col("farmer_text"),
             F.col("employee_name"),
         )
         .agg(
@@ -67,9 +75,9 @@ def receita_produto_f_m_passado(
         .select(
             "mes",
             month_fmt(F.col("mes")).alias("mes_formatado"),
-            "categoria",
-            "produto",
-            "farmer_id",
+            F.coalesce(F.col("category"), F.lit("OUTROS")).alias("categoria"),
+            F.coalesce(F.col("product"), F.lit("OUTROS")).alias("produto"),
+            F.col("farmer_text").cast("int").alias("farmer_id"),
             "employee_name",
             "receita_bruta",
             "receita_liquida",

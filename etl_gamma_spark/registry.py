@@ -88,7 +88,7 @@ JOIN employees e ON CAST(c.farmer_id AS INTEGER) = e.employee_id
 WHERE r.record_date >= CAST(date_trunc('month', {AS_OF}) - INTERVAL 11 MONTH AS DATE)
   AND date_trunc('month', r.record_date) < date_trunc('month', {AS_OF})
   {EXTRA}
-GROUP BY 1, 2, 3, 4
+GROUP BY 1, 2, c.farmer_id, 4
 """
 
 _REV_TABLES = ("clients", "employees", "revenue_records_historical")
@@ -132,6 +132,9 @@ def q_receita_farmer_m_passado_one(spark, sf_dir):
 # receita_produto_f_m_passado — A2 P7 P8 F10
 # ---------------------------------------------------------------------------
 
+# grouping is on the RAW NULL-able category/product and the TEXT
+# farmer_id (reference extract.py:69-75); 'OUTROS' relabelling is a
+# post-aggregation projection (transform.py:42-50)
 _PRODUTO_BODY = """
 SELECT CAST(date_trunc('month', r.record_date) AS DATE) AS mes,
        strftime(CAST(date_trunc('month', r.record_date) AS DATE), '%m/%Y') AS mes_formatado,
@@ -148,7 +151,7 @@ JOIN clients c ON r.client_id = c.client_id
 JOIN employees e ON CAST(c.farmer_id AS INTEGER) = e.employee_id
 WHERE r.record_date >= CAST(date_trunc('month', {AS_OF}) - INTERVAL 11 MONTH AS DATE)
   AND date_trunc('month', r.record_date) < date_trunc('month', {AS_OF})
-GROUP BY 1, 2, 3, 4, 5, 6
+GROUP BY 1, 2, r.category, r.product, c.farmer_id, 6
 HAVING CAST(SUM(r.gross_revenue) AS DECIMAL(18,2)) > 0
 """
 
@@ -720,7 +723,9 @@ def q_fechamento_presente(spark, sf_dir):
         _FECHAMENTO_BODY.format(
             MES="DATE '2024-01-01'",
             AS_OF="DATE '2024-02-15'",
-            SCOPE="group_id = 1",
+            # all three reference scope slots receive '2. Farmers': the
+            # group branch fires AND the name branch stays live
+            SCOPE="(group_id = 1 OR name = '2. Farmers')",
             IS_CURRENT="FALSE",
         ),
         *_FECHAMENTO_TABLES,
@@ -766,9 +771,7 @@ SELECT doc_id, lang,
        {T.punct_ratio('text', d)} AS punct_ratio,
        {T.digit_ratio('text', d)} AS digit_ratio,
        CAST({T.stopword_count('text', d)} AS DOUBLE) / CAST({ntok} AS DOUBLE) AS stopword_ratio,
-       0.4 * least(CAST({ntok} AS DOUBLE) / 100.0, 1.0)
-         + 0.3 * (1.0 - {T.punct_ratio('text', d)})
-         + 0.3 * (1.0 - CAST({T.stopword_count('text', d)} AS DOUBLE) / CAST({ntok} AS DOUBLE)) AS quality_score
+       {T.quality_expr('text', d)} AS quality_score
 FROM documents
 """
 
@@ -1130,12 +1133,7 @@ def q_stratified_sample(spark, sf_dir):
 
 def _corpus_stats_sql(d: str) -> str:
     ntok = T.asize(T.split_ws("text", d), d)
-    q = (
-        f"0.4 * least(CAST({ntok} AS DOUBLE) / 100.0, 1.0)"
-        f" + 0.3 * (1.0 - {T.punct_ratio('text', d)})"
-        f" + 0.3 * (1.0 - CAST({T.stopword_count('text', d)} AS DOUBLE)"
-        f" / CAST({ntok} AS DOUBLE))"
-    )
+    q = T.quality_expr('text', d)
     return f"""
 SELECT lang,
        COUNT(*) AS n_docs,
@@ -1554,12 +1552,7 @@ def q_simhash_neardup_pairs(spark, sf_dir):
 
 def _curation_sql(d: str) -> str:
     ntok = T.asize(T.split_ws("text", d), d)
-    quality = (
-        f"0.4 * least(CAST({ntok} AS DOUBLE) / 100.0, 1.0)"
-        f" + 0.3 * (1.0 - {T.punct_ratio('text', d)})"
-        f" + 0.3 * (1.0 - CAST({T.stopword_count('text', d)} AS DOUBLE)"
-        f" / CAST({ntok} AS DOUBLE))"
-    )
+    quality = T.quality_expr('text', d)
     flags = ", 'g'" if d == _D else ""
     norm = f"md5(lower(regexp_replace(trim(text), ' +', ' '{flags})))"
     return f"""
@@ -1596,6 +1589,17 @@ def q_curation_pipeline(spark, sf_dir):
     return sampled.select("doc_id", "lang", F.col("quality_score").alias("quality"))
 
 
+_PRODUTO_GROUP_BY = "GROUP BY 1, 2, r.category, r.product, c.farmer_id, 6"
+
+
+def _splice_before_group_by(body: str, extra: str) -> str:
+    """Insert predicate text immediately before the produto GROUP BY.
+    Guarded: a silent no-op here would produce an UNSCOPED oracle."""
+    if _PRODUTO_GROUP_BY not in body:
+        raise AssertionError("produto GROUP BY marker not found — oracle splice broken")
+    return body.replace(_PRODUTO_GROUP_BY, extra + "\n" + _PRODUTO_GROUP_BY)
+
+
 @query(
     "fechamento_by_name",
     with_model(
@@ -1628,8 +1632,8 @@ def q_fechamento_by_name(spark, sf_dir):
 @query(
     "receita_produto_farmer_resp",
     with_model(
-        _PRODUTO_BODY.format(AS_OF=asof.AS_OF_TPCH_SQL).rstrip().replace(
-            "GROUP BY 1, 2, 3, 4, 5, 6",
+        _splice_before_group_by(
+            _PRODUTO_BODY.format(AS_OF=asof.AS_OF_TPCH_SQL).rstrip(),
             """  AND CAST(c.farmer_id AS INTEGER) = 7
   AND EXISTS (
         WITH ft AS (SELECT * FROM client_transfers WHERE transfer_type = 'FARMER'),
@@ -1663,7 +1667,7 @@ def q_fechamento_by_name(spark, sf_dir):
           AND p.start_date <= r.record_date
           AND (p.end_date IS NULL OR r.record_date < p.end_date)
   )
-GROUP BY 1, 2, 3, 4, 5, 6""",
+""",
         ),
         *(_REV_TABLES + ("client_transfers",)),
     ),
