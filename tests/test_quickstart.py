@@ -1,0 +1,19 @@
+"""The documented example must keep working: run examples/quickstart.py
+as a subprocess (its own session, like a user would)."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_quickstart_runs_clean():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "quickstart.py")],
+        capture_output=True, text=True, timeout=420, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "written to /tmp/quickstart_out" in proc.stdout
+    assert "docs after exact dedup:" in proc.stdout
