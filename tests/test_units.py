@@ -1,0 +1,82 @@
+"""Small unit tests for helpers not otherwise covered directly."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_gamma_spark.functions.calendar import (
+    month_fmt,
+    month_floor,
+    month_series,
+    month_window,
+)
+from etl_gamma_spark.operators.multimodal import resize_thumbnail, synth_media
+from etl_gamma_spark.sources import validate as V
+from tests.conftest import SF_SMOKE
+
+
+def test_month_window_half_open(spark):
+    lower, cur = month_window(dt.date(2001, 6, 15), 11)
+    row = spark.range(1).select(lower.alias("lo"), cur.alias("hi")).first()
+    assert row.lo == dt.date(2000, 7, 1)
+    assert row.hi == dt.date(2001, 6, 1)
+
+
+def test_month_floor_and_fmt(spark):
+    row = (
+        spark.createDataFrame([(dt.date(2001, 6, 15),)], "d date")
+        .select(month_floor(F.col("d")).alias("m"), month_fmt(F.col("d")).alias("f"))
+        .first()
+    )
+    assert row.m == dt.date(2001, 6, 1)
+    assert row.f == "06/2001"
+
+
+def test_month_series_bounds_and_empty(spark):
+    months = [r.mes for r in month_series(spark, dt.date(2001, 1, 10), dt.date(2001, 4, 20)).collect()]
+    assert months == [dt.date(2001, m, 1) for m in (1, 2, 3, 4)]
+    assert month_series(spark, dt.date(2001, 5, 1), dt.date(2001, 1, 1)).count() == 0
+
+
+def test_in_range_and_matches_rules(spark):
+    df = spark.createDataFrame(
+        [(5, "abc"), (50, "a1c"), (None, None)], "n int, s string"
+    )
+    rep = V.run_expectations(
+        df, [V.in_range("n", 0, 10), V.matches("s", "^[a-z]+$")]
+    )
+    # NULLs don't violate range/regex rules (pair with not_null to require)
+    assert rep == {"in_range(n, 0, 10)": 1, "matches(s, ^[a-z]+$)": 1}
+
+
+def test_resize_thumbnail_only_visual_kinds(spark):
+    media = synth_media(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+    thumbs = resize_thumbnail(media, w=3, h=2).collect()
+    kinds = {r.kind for r in thumbs}
+    assert kinds <= {"image", "video"}
+    assert all(len(r.thumb) <= 6 for r in thumbs if r.thumb is not None)
+    assert all((r.thumb_w, r.thumb_h) == (3, 2) for r in thumbs)
+
+
+def test_word_shingles_short_doc_fallback(spark):
+    from etl_gamma_spark.functions import text as T
+
+    row = spark.sql(
+        f"SELECT {T.word_shingles(T.split_ws('t', T.SPARK), 't', T.SPARK)} AS sh "
+        "FROM (SELECT 'only two' AS t)"
+    ).first()
+    assert row.sh == ["only two"]
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    from etl_gamma_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "completely different words here now")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: tuple(r[f"m{j}"] for j in range(16)) for r in minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
