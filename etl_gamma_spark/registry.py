@@ -54,11 +54,33 @@ def _ensure_model(spark: SparkSession, sf_dir: str) -> None:
         _REGISTERED[spark] = sf_dir
 
 
+def _driver_canonical(df: DataFrame) -> DataFrame:
+    """Cast DECIMAL output columns to DOUBLE at the driver boundary.
+
+    Plans keep money arithmetic in DECIMAL end-to-end (order-independent
+    sums); only the *final* registry output converts. The driver compares
+    naive string forms: Spark Decimal('100170.90') != DuckDB float64
+    100170.9 even though numerically equal. Casting the finished decimal
+    to double yields the bit-identical nearest double that DuckDB's
+    fetchdf produces for the oracle's DECIMAL columns, so both sides
+    stringify identically. (Oracle-side integer aggregates are instead
+    CAST AS BIGINT in the SQL — DuckDB HUGEINT sums come back float64.)
+    """
+    from pyspark.sql import types as T
+
+    dec = [f.name for f in df.schema.fields if isinstance(f.dataType, T.DecimalType)]
+    if not dec:
+        return df
+    return df.select(
+        *[F.col(c).cast("double").alias(c) if c in dec else F.col(c) for c in df.columns]
+    )
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ensure_model(spark, sf_dir)
-            return fn(spark, sf_dir)
+            return _driver_canonical(fn(spark, sf_dir))
 
         QUERIES[name] = wrapped
         if oracle is not None:
@@ -1026,7 +1048,7 @@ WITH media AS (
            CAST(1 + doc_id % 30 AS INT) AS n_frames
     FROM documents
 )
-SELECT kind, COUNT(*) AS n, SUM(octet_length(payload)) AS total_bytes,
+SELECT kind, COUNT(*) AS n, CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
        MAX(width) AS max_width, MAX(n_frames) AS max_frames
 FROM media GROUP BY kind
 """,
@@ -1137,8 +1159,8 @@ def _corpus_stats_sql(d: str) -> str:
     return f"""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(length(text)) AS total_chars,
-       SUM({ntok}) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM({ntok}) AS BIGINT) AS total_tokens,
        CAST(SUM(CAST(ROUND({q}, 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS quality_sum
 FROM documents
 GROUP BY lang
@@ -1785,7 +1807,7 @@ def q_cumulative_revenue(spark, sf_dir):
     """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events
 GROUP BY event_type

@@ -6,17 +6,22 @@ order-insensitive canonicalized value multiset. Used by tests/ so every
 `queries()` / `oracle_sql()` pair is verified locally before the driver
 ever sees it.
 
-Canonicalization notes: Spark's toPandas yields decimal.Decimal /
-datetime.date objects while DuckDB's fetchdf yields float64 / datetime64 —
-both sides are normalized to the same strings (numerics at 4dp fixed
-point, midnight timestamps folded to dates) so only genuine value
-differences fail.
+Canonicalization is DRIVER-STRICT (round-2 lesson): the grading driver
+folds midnight timestamps to dates and then compares the *naive string
+form* of every value — no numeric normalization whatsoever. That means
+Spark `Decimal('100170.90')` vs DuckDB float64 `100170.9` is a FAIL even
+though the values are numerically identical; final projections must emit
+driver-canonical types (decimals → CAST AS DOUBLE, oracle integer
+aggregates → CAST AS BIGINT) so both engines hold bit-identical values
+that stringify identically. An earlier 4dp-rounding comparator here was
+more lenient than the driver and hid exactly this class of mismatch.
+The driver also crashes (scored ERR) on array-typed output columns, so
+`compare` rejects them loudly.
 """
 
 from __future__ import annotations
 
 import datetime as dt
-import decimal
 import math
 
 import duckdb
@@ -37,26 +42,26 @@ def run_duckdb(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _canon(v) -> str:
-    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+    """Driver-equivalent canonicalization: midnight-fold, then raw str().
+
+    Deliberately does NOT normalize numerics — Decimal('1.90') and 1.9
+    must compare UNEQUAL here, exactly as the driver's hasher sees them.
+    """
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, (bool, np.bool_)):
-        return str(bool(v)).lower()
-    if isinstance(v, (int, np.integer, float, np.floating, decimal.Decimal)):
-        f = float(v)
-        if math.isnan(f):
-            return "NULL"
-        # kill negative zero / sub-tolerance negatives: '-0.0000' must
-        # canonicalize equal to '0.0000'
-        f = round(f, 4) + 0.0
-        return f"{f:.4f}"
+    if isinstance(v, (float, np.floating)) and math.isnan(v):
+        return "NULL"
     if isinstance(v, dt.datetime):  # includes pd.Timestamp
         if v.time() == dt.time(0, 0) and getattr(v, "nanosecond", 0) == 0:
             return v.date().isoformat()
-        return v.isoformat()
-    if isinstance(v, dt.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ",".join(_canon(x) for x in v) + "]"
+        return str(v)
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        # the driver's pandas-based hasher raises on unhashable cells and
+        # scores the query ERR — surface that locally instead of comparing
+        raise TypeError(
+            f"array/map-typed output cell {type(v).__name__} — the driver "
+            "cannot hash this; flatten the column"
+        )
     return str(v)
 
 

