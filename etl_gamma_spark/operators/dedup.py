@@ -153,11 +153,13 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
     )
+    # sizes is a per-DOC table (O(N) rows) — shuffle hash join, never
+    # broadcast: at corpus scale broadcasting it OOMs driver + executors
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        shared.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
         .selectExpr(
             "doc_a",
             "doc_b",

@@ -344,7 +344,8 @@ def embedding_neardup_pairs(
     masks = [m for m in range(1 << n_planes) if bin(m).count("1") <= probe_radius]
     # pair generation carries ONLY (id, code): exploding the 64-double
     # vectors through the mask fan-out would multiply the shuffle ~93×;
-    # vectors re-attach afterwards via two broadcast hash joins
+    # vectors re-attach afterwards via two SHUFFLE hash joins on id —
+    # the vector table is the full corpus, never broadcast it
     codes = b.selectExpr(id_col, "bucket")
     left = codes.selectExpr(
         f"{id_col} AS id_a",
@@ -357,7 +358,7 @@ def embedding_neardup_pairs(
     )
     va = b.selectExpr(f"{id_col} AS id_a", "v AS v_a", "nrm AS n_a")
     vb = b.selectExpr(f"{id_col} AS id_b", "v AS v_b", "nrm AS n_b")
-    cand = pairs.join(F.broadcast(va), "id_a").join(F.broadcast(vb), "id_b")
+    cand = pairs.join(va, "id_a").join(vb, "id_b")
     scored = cand.selectExpr(
         "id_a",
         "id_b",

@@ -1292,10 +1292,12 @@ def q_receita_pivot_fonte(spark, sf_dir):
     )
 
 
-@query("approx_aggregates")  # approximate sketches differ per engine → rows-only
-def q_approx_aggregates(spark, sf_dir):
-    # HLL distinct + approximate percentiles; accuracy asserted vs exact
-    # in tests/test_misc.py (oracle hashes can't match sketch internals)
+def approx_aggregates(spark, sf_dir):
+    # Library API, deliberately NOT registered as a driver query: HLL /
+    # approx_percentile sketch internals can never hash-match a DuckDB
+    # oracle, and the driver contract has no rows-only tier worth scoring.
+    # Accuracy is asserted vs exact in tests/test_misc.py.
+    _ensure_model(spark, sf_dir)
     rev = spark.table("revenue_records_historical")
     return rev.agg(
         F.approx_count_distinct("client_id", rsd=0.01).alias("approx_clients"),

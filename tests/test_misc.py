@@ -63,9 +63,9 @@ def test_point_lookup_matches_join_semantics(spark):
 
 
 def test_approx_aggregates_accuracy(spark):
-    from etl_gamma_spark.registry import QUERIES
+    from etl_gamma_spark.registry import approx_aggregates
 
-    row = QUERIES["approx_aggregates"](spark, SF_CORRECT).first()
+    row = approx_aggregates(spark, SF_CORRECT).first()
     exact = (
         spark.table("revenue_records_historical")
         .selectExpr(

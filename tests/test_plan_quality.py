@@ -60,6 +60,22 @@ def test_asof_join_single_shuffle_per_side(spark):
     assert n_shuffles <= 2, plan
 
 
+def test_pair_ops_never_force_broadcast_of_per_doc_frames(spark):
+    # ngram_jaccard re-attaches per-doc shingle counts and
+    # embedding_neardup re-attaches the full vector corpus — both are
+    # O(N) tables. A broadcast() HINT there forces an OOM at corpus scale;
+    # without the hint Catalyst/AQE broadcasts only when the runtime size
+    # is actually small (fine). Assert no hint survives in the analyzed
+    # plan, and candidate generation stays an equi-join (no BNLJ).
+    for name in ["ngram_jaccard_pairs", "embedding_neardup_pairs"]:
+        df = QUERIES[name](spark, SF_CORRECT)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, (
+            f"{name}: forced broadcast hint on a per-doc/per-vector frame"
+        )
+        assert "BroadcastNestedLoopJoin" not in _explain(df), name
+
+
 def test_partitioned_output_prunes_partitions(spark, tmp_path):
     # month-partitioned sink output must serve month-filtered reads from
     # matching partitions only (PartitionFilters at the scan)
