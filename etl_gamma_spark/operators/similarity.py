@@ -55,6 +55,22 @@ def dot_unrolled(a: str, b: str, dim: int) -> str:
     return f"({terms})"
 
 
+def dist2_unrolled(a: str, b: str, dim: int, d: str = S) -> str:
+    """Squared L2 distance as a flat unrolled left-associative chain —
+    generated for BOTH dialects so centroid assignment ranks identically
+    in Spark and DuckDB (every term computed the same way, summed in the
+    same order → bit-identical doubles)."""
+    if d == S:
+        el = lambda v, i: f"element_at({v}, {i})"  # noqa: E731
+    else:
+        el = lambda v, i: f"{v}[{i}]"  # noqa: E731 (DuckDB arrays 1-indexed)
+    terms = " + ".join(
+        f"(({el(a, i)} - {el(b, i)}) * ({el(a, i)} - {el(b, i)}))"
+        for i in range(1, dim + 1)
+    )
+    return f"({terms})"
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -197,77 +213,88 @@ def lsh_topk(
 # --- IVF (inverted-file / coarse quantizer) --------------------------------
 
 
-def ivf_assign(
+def seed_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
-    n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """Lloyd's k-means with deterministic init (centroids seeded from the
-    first ``n_centroids`` vectors by id): returns (assignments, centroids).
-
-    assignments: (vec_id, centroid_id); centroids: (centroid_id, centroid
-    array<double>). Iteration count is fixed and small — IVF needs a
-    *coarse* quantizer, not a converged clustering. Each iteration is one
-    broadcast-join + one groupBy; no driver-side data.
-    """
-    emb = embeddings.selectExpr(
-        id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v"
-    )
-    centroids = (
-        emb.orderBy(id_col)
+) -> DataFrame:
+    """Deterministic coarse-quantizer seeds: the first ``n_centroids``
+    vectors by id, re-labeled with dense centroid_id 0..n-1. This is the
+    oracle-checkable quantizer the registered IVF queries use; Lloyd's
+    refinement (``train_centroids``) is the offline quality upgrade."""
+    return (
+        embeddings.orderBy(id_col)
         .limit(n_centroids)
-        .selectExpr(
-            f"CAST({id_col} AS INT) AS centroid_id_seed", "v AS centroid"
-        )
+        .selectExpr(f"{id_col} AS __seed", f"CAST({vec_col} AS ARRAY<DOUBLE>) AS centroid")
         .withColumn(
             "centroid_id",
-            F.row_number().over(Window.orderBy("centroid_id_seed")) - 1,
+            (F.row_number().over(Window.orderBy("__seed")) - 1).cast("int"),
         )
         .select("centroid_id", "centroid")
     )
-    dist = (
-        "aggregate(zip_with(v, centroid, (x, y) -> (x - y) * (x - y)),"
-        " 0D, (acc, d) -> acc + d)"
+
+
+def _assign_to(emb: DataFrame, cents: DataFrame, dim: int, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (small) centroid table,
+    rank by unrolled codegen'd squared distance with centroid_id tiebreak.
+    Input emb must carry a pre-cast ``v`` array<double> column."""
+    scored = emb.crossJoin(F.broadcast(cents)).selectExpr(
+        id_col, "v", "centroid_id", f"{dist2_unrolled('v', 'centroid', dim)} AS d2"
+    )
+    w = Window.partitionBy(id_col).orderBy("d2", "centroid_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", "centroid_id")
     )
 
-    def assign_to(cents: DataFrame) -> DataFrame:
-        scored = emb.crossJoin(F.broadcast(cents)).selectExpr(
-            id_col, "v", "centroid_id", f"{dist} AS d2"
-        )
-        w = Window.partitionBy(id_col).orderBy("d2", "centroid_id")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "v", "centroid_id")
-        )
 
+def train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement from the deterministic seeds: the
+    *offline index-training* step — run once when (re)building the index,
+    never inside a query. Iteration count is fixed and small; IVF needs a
+    coarse quantizer, not a converged clustering. Each iteration is one
+    broadcast-join + one groupBy; no driver-side data."""
+    emb = embeddings.selectExpr(id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v")
+    centroids = seed_centroids(embeddings, n_centroids, id_col, vec_col)
     for _ in range(n_iters):
-        assign = assign_to(centroids)
+        assign = _assign_to(emb, centroids, dim, id_col)
         # recompute: element-wise mean per centroid via posexplode + re-agg.
         # localCheckpoint per round: truncates the iterative lineage and
-        # stops callers of BOTH returned frames re-running every iteration
+        # stops callers re-running every iteration
         centroids = (
             assign.selectExpr("centroid_id", "posexplode(v) AS (pos, x)")
             .groupBy("centroid_id", "pos")
             .agg(F.avg("x").alias("m"))
             .groupBy("centroid_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("pm")
-            )
-            .selectExpr(
-                "centroid_id",
-                "transform(pm, s -> s.m) AS centroid",
-            )
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .selectExpr("centroid_id", "transform(pm, s -> s.m) AS centroid")
             .localCheckpoint()
         )
-    # final assignment against the FINAL centroids (not one half-step
-    # stale), so probe routing and stored assignments agree
-    final_assign = assign_to(centroids).select(id_col, "centroid_id").localCheckpoint()
-    return final_assign, centroids
+    return centroids
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Precompute the inverted file: (vec_id, centroid_id) against the
+    given centroids. At 100 TB this table is written out partitioned by
+    centroid_id so a probe scans only the probed cells; here it is
+    localCheckpointed so repeated searches don't re-assign."""
+    emb = embeddings.selectExpr(id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v")
+    return _assign_to(emb, centroids, dim, id_col).select(id_col, "centroid_id").localCheckpoint()
 
 
 def ivf_topk(
@@ -276,24 +303,31 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    dim: int = 64,
+    index: tuple[DataFrame, DataFrame] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF search: score only vectors assigned to the ``n_probe`` centroids
-    nearest to the query. At 100 TB the assignment table is precomputed and
-    partitioned by centroid_id, so a probe scans n_probe/n_centroids of
-    the corpus; recall vs brute force is measured in tests."""
-    assign, centroids = ivf_assign(embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
+    nearest to the query.
+
+    ``index`` is the prebuilt (assignments, centroids) pair from
+    ``ivf_build``/``train_centroids`` — pass it so searches never
+    re-cluster. When omitted (demo/test convenience) a Lloyd's-trained
+    index is built on the fly. Recall vs brute force is measured in tests.
+    """
+    if index is None:
+        cents = train_centroids(
+            embeddings, n_centroids, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+        index = (ivf_build(embeddings, cents, dim, id_col, vec_col), cents)
+    assign, centroids = index
     q = embeddings.filter(F.col(id_col) == query_id).selectExpr(
         f"CAST({vec_col} AS ARRAY<DOUBLE>) AS qv"
     )
-    dist = (
-        "aggregate(zip_with(qv, centroid, (x, y) -> (x - y) * (x - y)),"
-        " 0D, (acc, d) -> acc + d)"
-    )
     probe = (
         centroids.crossJoin(F.broadcast(q))
-        .selectExpr("centroid_id", f"{dist} AS d2")
+        .selectExpr("centroid_id", f"{dist2_unrolled('qv', 'centroid', dim)} AS d2")
         .orderBy("d2", "centroid_id")
         .limit(n_probe)
         .select("centroid_id")

@@ -1057,14 +1057,74 @@ def q_media_stats(spark, sf_dir):
     return MM.media_stats(MM.synth_media(spark.table("documents")))
 
 
-@query("media_features")  # Python mapInPandas stage → rows-only check
+# The Arrow kernel computes features = payload_byte[i] / 255.0 rounded to
+# float32 (FEATURE_SCHEMA array<float>); payload bytes are md5(text)
+# repeated, so the oracle reconstructs each byte from the md5 hex pair and
+# replays the same float32 rounding (CAST AS REAL) before widening to
+# DOUBLE — bit-identical in both engines. Flattened to f0..f7 because the
+# driver's hasher cannot digest array cells; the array form stays the
+# library API (operators/multimodal.py::extract_features).
+@query(
+    "media_features",
+    """
+WITH m AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           1 + CAST(n_chars % 7 AS INT) AS k,
+           md5(text) AS h
+    FROM documents
+)
+SELECT media_id, kind, CAST(16 * k AS INT) AS n_bytes,
+"""
+    + ",\n".join(
+        "       CAST(CAST(CAST(('0x' || substr(h, %d, 2)) AS INT) / 255.0 AS REAL)"
+        " AS DOUBLE) AS f%d" % (2 * i + 1, i)
+        for i in range(8)
+    )
+    + "\nFROM m",
+)
 def q_media_features(spark, sf_dir):
-    return MM.extract_features(MM.synth_media(spark.table("documents")))
+    feats = MM.extract_features(MM.synth_media(spark.table("documents")))
+    return feats.selectExpr(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[f"CAST(element_at(features, {i + 1}) AS DOUBLE) AS f{i}" for i in range(8)],
+    )
 
 
-@query("media_frame_sample")  # rows-only: 1:N Python frame explosion
+# 1:N Python frame explosion; frames emitted as lowercase hex so the
+# driver can hash them (binary cells stringify differently per engine).
+# Each sampled frame is payload[off:off+16] with off = (idx*16) % len —
+# in hex-space a 32-char slice of repeat(md5(text), k), never truncated
+# because off is a multiple of 16 below len = 16k.
+@query(
+    "media_frame_sample",
+    """
+WITH m AS (
+    SELECT doc_id AS media_id,
+           1 + CAST(n_chars % 7 AS INT) AS k,
+           1 + CAST(doc_id % 30 AS INT) AS n_frames,
+           md5(text) AS h
+    FROM documents
+    WHERE doc_id % 3 = 2
+),
+fr AS (
+    SELECT media_id, k, h, unnest(range(0, n_frames, 10)) AS idx FROM m
+)
+SELECT media_id,
+       CAST(idx AS INT) AS frame_idx,
+       substr(repeat(h, k), ((idx * 16) % (16 * k)) * 2 + 1, 32) AS frame_hex
+FROM fr
+""",
+)
 def q_media_frame_sample(spark, sf_dir):
-    return MM.sample_frames(MM.synth_media(spark.table("documents")))
+    frames = MM.sample_frames(MM.synth_media(spark.table("documents")))
+    return frames.selectExpr(
+        "media_id", "frame_idx", "lower(hex(frame)) AS frame_hex"
+    )
 
 
 @query(
@@ -1087,12 +1147,17 @@ from .streaming.stateful import streaming_dedup_events  # noqa: E402
 
 @query(
     "streaming_dedup_events",
-    # first-seen-wins dedup over a feed whose event_id is unique is the
-    # identity on (user_id, event_id, event_type, value)
+    # the feed injects an exact duplicate copy of every 10th event
+    # (dupe_every=10): first-seen-wins dedup must collapse each back to
+    # ONE row per event_id — a dedup-off passthrough would emit the
+    # doubles and hash-mismatch, so this verifies dedup semantics, not
+    # just plumbing
     "SELECT user_id, event_id, event_type, value FROM events",
 )
 def q_streaming_dedup_events(spark, sf_dir):
-    return streaming_dedup_events(spark, sf_dir, query_name="q_stream_dedup")
+    return streaming_dedup_events(
+        spark, sf_dir, query_name="q_stream_dedup", dupe_every=10
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1172,14 +1237,35 @@ def q_corpus_stats(spark, sf_dir):
     return spark.sql(_corpus_stats_sql(_S))
 
 
-@query("neardup_clusters")  # iterative algorithm → rows-only check
+# min-label connected components is a deterministic fixpoint, so the
+# iterative Spark algorithm is oracle-checkable: the DuckDB side computes
+# the same fixpoint with a recursive reachability CTE over the same LSH
+# pairs (label l reaches doc d ⇒ (d, l) ∈ walk; cluster = MIN reachable id)
+@query(
+    "neardup_clusters",
+    f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({_minhash_pairs_sql(_D)}) p WHERE est_jaccard >= 0.5
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(doc_id, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
+)
+SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id
+""",
+)
 def q_neardup_clusters(spark, sf_dir):
     docs = spark.table("documents")
     pairs = _mh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
     return _nd_clusters(docs, pairs)
 
 
-from .plans.fechamento import periodo_array  # noqa: E402
 from .streaming.windowed import run_windowed_stream  # noqa: E402
 
 
@@ -1211,11 +1297,27 @@ def q_streaming_windowed_events(spark, sf_dir):
     return run_windowed_stream(spark, sf_dir, query_name="q_windowed_events")
 
 
-@query("fechamento_periodo_array")  # F13 DATE[] column → rows-only check
-def q_fechamento_periodo_array(spark, sf_dir):
-    return periodo_array(QUERIES["fechamento_m_presente"](spark, sf_dir)).select(
-        "farmer_id", "periodo_responsabilidade"
+# F13 periodo_responsabilidade (reference builds ARRAY[inicio, fim],
+# kpi_fechamento_m_presente/extract.py:169-172): the driver's hasher
+# cannot digest array cells, so the registered query emits the flattened
+# (inicio, fim) DATE pair — same information, hash-checkable; the
+# ArrayType(DateType) form stays available via plans.fechamento
+# .periodo_array (unit-tested in tests/test_extensions.py).
+@query(
+    "fechamento_periodo",
+    None,  # oracle derived from the fechamento oracle below
+)
+def q_fechamento_periodo(spark, sf_dir):
+    return QUERIES["fechamento_m_presente"](spark, sf_dir).select(
+        "farmer_id", "periodo_inicio", "periodo_fim"
     )
+
+
+ORACLES["fechamento_periodo"] = (
+    "SELECT farmer_id, periodo_inicio, periodo_fim FROM ("
+    + ORACLES["fechamento_m_presente"]
+    + ")"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1431,12 +1533,95 @@ def q_topk_users_per_event_type(spark, sf_dir):
     return topk_per_group(totals, "event_type", "total_value", 5, "user_id")
 
 
-from .operators.similarity import ivf_topk  # noqa: E402
+from .operators.similarity import (  # noqa: E402
+    dist2_unrolled,
+    ivf_build,
+    ivf_topk,
+    seed_centroids,
+)
+
+_IVF_K = 16  # centroids
+_IVF_PROBE = 4
 
 
-@query("embedding_ivf_topk")  # iterative k-means (float avgs) → rows-only
+def _ivf_common_sql() -> str:
+    """Shared CTE prefix for the IVF oracles: deterministic seed
+    centroids (first 16 vectors, dense ids) + nearest-centroid
+    assignment. The squared distance is the SAME unrolled
+    left-associative 64-term chain the Spark plan compiles
+    (dist2_unrolled both dialects), so assignment ranks identically —
+    bit-for-bit — in both engines. Lloyd's-refined centroids stay the
+    library/offline path (operators/similarity.py::train_centroids,
+    accuracy-tested in tests/test_extensions.py); the registered queries
+    search a PREBUILT index, never cluster per call."""
+    d2 = dist2_unrolled("e.v", "c.centroid", 64, _D)
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (
+    SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_IVF_K}
+),
+c AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+           v AS centroid
+    FROM seeds
+),
+assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY {d2}, c.centroid_id
+               ) AS rn
+        FROM e CROSS JOIN c
+    ) WHERE rn = 1
+)
+"""
+
+
+def _ivf_index(spark) -> tuple:
+    emb = spark.table("embeddings")
+    cents = seed_centroids(emb, _IVF_K)
+    return ivf_build(emb, cents), cents
+
+
+@query(
+    "embedding_ivf_build",
+    _ivf_common_sql() + "SELECT vec_id, centroid_id FROM assign",
+)
+def q_embedding_ivf_build(spark, sf_dir):
+    assign, _ = _ivf_index(spark)
+    return assign
+
+
+@query(
+    "embedding_ivf_topk",
+    _ivf_common_sql()
+    + f""",
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+    SELECT centroid_id FROM c CROSS JOIN q
+    ORDER BY {dist2_unrolled('q.qv', 'c.centroid', 64, _D)}, centroid_id
+    LIMIT {_IVF_PROBE}
+),
+cand AS (
+    SELECT a.vec_id FROM assign a JOIN probe USING (centroid_id)
+    WHERE a.vec_id != 0
+)
+SELECT e.vec_id, {_DUCK_COSINE} AS cosine
+FROM e JOIN cand USING (vec_id) CROSS JOIN q
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+""",
+)
 def q_embedding_ivf_topk(spark, sf_dir):
-    return ivf_topk(spark.table("embeddings"), query_id=0, k=10)
+    return ivf_topk(
+        spark.table("embeddings"),
+        query_id=0,
+        k=10,
+        n_probe=_IVF_PROBE,
+        index=_ivf_index(spark),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -45,12 +45,25 @@ def _dedup_fn():
 
 
 def streaming_dedup_events(
-    spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup"
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_dedup",
+    dupe_every: int | None = None,
 ) -> DataFrame:
     """Run first-seen-wins dedup over the events feed as a streaming query
-    (availableNow) and return the deduplicated result."""
+    (availableNow) and return the deduplicated result.
+
+    ``dupe_every=N`` injects an exact duplicate copy of every N-th event
+    into the feed (a self-union) so the dedup semantics are observable:
+    because the copies are identical on every output column, the
+    deduplicated result is order-independent — one row per event_id —
+    while a dedup-off passthrough would emit the injected doubles.
+    """
+    feed = read_events_stream(spark, sf_dir)
+    if dupe_every is not None:
+        feed = feed.unionByName(feed.filter(f"event_id % {dupe_every} = 0"))
     deduped = (
-        read_events_stream(spark, sf_dir)
+        feed
         .groupBy("user_id")
         .applyInPandasWithState(
             _dedup_fn(),

@@ -182,3 +182,21 @@ def test_embedding_neardup_recall_vs_exact(spark, emb):
     assert approx <= exact  # no false positives (exact verify stage)
     recall = len(approx) / len(exact)
     assert recall >= 0.5, f"neardup recall {recall}"
+
+
+def test_periodo_array_f13_form(spark):
+    # reference F13 (kpi_fechamento_m_presente/extract.py:169-172) builds
+    # periodo_responsabilidade as DATE[inicio, fim]; the registered driver
+    # query carries the flattened pair — the array form is the library API
+    from pyspark.sql import types as Ty
+
+    from etl_gamma_spark.plans.fechamento import periodo_array
+    from etl_gamma_spark.registry import QUERIES
+
+    base = QUERIES["fechamento_m_presente"](spark, SF_CORRECT)
+    out = periodo_array(base)
+    field = out.schema["periodo_responsabilidade"]
+    assert isinstance(field.dataType, Ty.ArrayType)
+    assert isinstance(field.dataType.elementType, Ty.DateType)
+    row = out.select("periodo_inicio", "periodo_fim", "periodo_responsabilidade").first()
+    assert row.periodo_responsabilidade == [row.periodo_inicio, row.periodo_fim]
