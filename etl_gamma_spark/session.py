@@ -43,6 +43,16 @@ RUNTIME_CONFS = {
     # stage of embedding_neardup_pairs: 10.4 s -> 4.8 s at sf0.1,
     # identical output.
     "spark.sql.codegen.hugeMethodLimit": "8000",
+    # InferFiltersFromGenerate synthesizes `size(gen_child) > 0 AND
+    # isnotnull(gen_child)` below explode()s and pushes it past the
+    # projections, INLINING the generator child — for the shingle
+    # pipelines that re-evaluates the whole transform() with split()
+    # expanded per element_at (5x per shingle), doubling-plus the row
+    # work. explode() already emits nothing for empty/null arrays, so
+    # the inferred filter is redundant; excluding the rule cut
+    # ngram_jaccard_pairs 6.1 -> 2.9 s warm at sf0.1, identical output.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 
