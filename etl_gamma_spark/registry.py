@@ -2170,3 +2170,97 @@ def q_active_clients_dedup_union(spark, sf_dir):
         .select("client_id")
     )
     return a.union(b).distinct()
+
+
+@query(
+    "sink_overwrite_scope",
+    # expected FINAL table state after the three scoped refreshes below,
+    # stated declaratively: each month's rows come from whichever refresh
+    # last owned that month's scope.
+    """
+SELECT strftime(o_orderdate, '%Y-%m') AS mes,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  AND CASE WHEN strftime(o_orderdate, '%Y-%m') BETWEEN '1995-02' AND '1995-04'
+             THEN o_orderstatus = 'F'
+           WHEN o_orderdate BETWEEN DATE '1995-09-01' AND DATE '1995-11-30'
+             THEN o_orderstatus = 'O'
+           ELSE TRUE END
+GROUP BY 1
+""",
+)
+def q_sink_overwrite_scope(spark, sf_dir):
+    """S4 delete-then-insert scoping, driver-visible end to end.
+
+    Exercises all three sink scopes on one physical table and returns the
+    final table state (the oracle recomputes it declaratively):
+      (a) full refresh            — reference kpi_receita_farmer_m_passado/load.py:43-54
+      (b) partition overwrite     — kpi_fechamento_m_presente/load.py:49-72 (month scope)
+      (c) date-range delete+insert— kpi_receita_cliente/load.py:53-74
+    Months 1995-02..04 are last written by (b) with F-only rows; months
+    1995-09..11 by (c) with O-only rows; every other month keeps (a)'s
+    all-status rows. A wrong scope (partition leaked, range off-by-one,
+    stale files surviving a static overwrite) changes the read-back.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.sink import (
+        overwrite_date_range,
+        write_full_refresh,
+        write_partition_overwrite,
+    )
+
+    orders = spark.table("orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mes"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+            )
+            # range-scope column for (c); month first-day, derived from the
+            # partition key so both stay aligned
+            .withColumn("mes_date", F.to_date(F.concat(F.col("mes"), F.lit("-01"))))
+        )
+
+    tmp = tempfile.mkdtemp(prefix="etl_gamma_sink_scope_")
+    path = os.path.join(tmp, "monthly_orders")
+    try:
+        write_full_refresh(rollup(orders), path, partition_by=["mes"])
+        batch_f = rollup(
+            orders.filter(
+                (F.col("o_orderstatus") == "F")
+                & F.date_format("o_orderdate", "yyyy-MM").between("1995-02", "1995-04")
+            )
+        )
+        write_partition_overwrite(batch_f, path, partition_by=["mes"])
+        batch_o = rollup(
+            orders.filter(
+                (F.col("o_orderstatus") == "O")
+                & F.col("o_orderdate").between("1995-09-01", "1995-11-30")
+            )
+        )
+        overwrite_date_range(
+            spark,
+            batch_o,
+            path,
+            "mes_date",
+            dt.date(1995, 9, 1),
+            dt.date(1995, 11, 30),
+            partition_by=["mes"],
+        )
+        # materialize before the backing files are deleted
+        return (
+            spark.read.parquet(path)
+            .select("mes", "n_orders", "total_price")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
