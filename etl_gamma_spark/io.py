@@ -27,6 +27,23 @@ ALL_TABLES = TPCH_TABLES + EXTRA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the plan is narrower than the
+    session's parallelism.
+
+    Small single-file local reads produce 1-partition frames; every
+    downstream join then auto-broadcasts the tiny side and the whole
+    pipeline collapses into one single-core task (measured: the scoring
+    stage of embedding_neardup_pairs ran 32× under-parallel at sf0.1).
+    At cluster scale inputs already carry >= parallelism partitions and
+    this returns the frame untouched — no shuffle added.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..io import spread
 from .similarity import hamming_expr
 
 S = T.SPARK
@@ -61,7 +62,10 @@ def exact_dedup_keep(
 
 def _with_shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, shingles array) — word split materialized first (see
-    functions/text.py::word_shingles for why)."""
+    functions/text.py::word_shingles for why). Input is spread first so
+    the shingle projection parallelizes even from a 1-partition local
+    read (no-op at scale)."""
+    docs = spread(docs)
     return docs.selectExpr(
         id_col, f"{T.split_ws(text_col, S)} AS __w", f"{text_col} AS __t"
     ).selectExpr(id_col, f"{T.word_shingles('__w', '__t', S, n)} AS shingles")
@@ -174,7 +178,7 @@ def simhash_signatures(
 ) -> DataFrame:
     """(doc_id, simhash): 16-bit SimHash over the word multiset — per-token
     md5-derived bits, summed ±1 per position, sign-packed."""
-    tokens = docs.selectExpr(
+    tokens = spread(docs).selectExpr(
         id_col, f"explode({T.split_ws(f'lower({text_col})', S)}) AS tok"
     ).selectExpr(id_col, f"{T.hexint('tok', S)} AS h")
     sums = tokens.groupBy(id_col).agg(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..io import spread
 
 S = T.SPARK
 
@@ -175,8 +176,11 @@ def lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, bucket): sign-random-projection bucket per vector."""
-    return embeddings.selectExpr(
+    """(vec_id, bucket): sign-random-projection bucket per vector.
+    Spread first: the code projection (and everything checkpointed from
+    it) otherwise inherits a 1-partition local read and runs single-core
+    (no-op at scale)."""
+    return spread(embeddings).selectExpr(
         id_col, vec_col, f"{bucket_expr(vec_col, dim, n_planes)} AS bucket"
     )
 

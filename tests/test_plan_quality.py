@@ -40,9 +40,12 @@ def test_responsibility_filter_uses_equi_join(spark):
 
 
 def test_minhash_signatures_shuffle_free(spark):
-    # signature computation is a pure projection: no exchange at all
+    # signature computation is a pure projection: no key-based exchange.
+    # A RoundRobin exchange is allowed — io.spread deliberately widens
+    # 1-partition local reads so the projection parallelizes.
     plan = _explain(QUERIES["minhash_signatures"](spark, SF_CORRECT))
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
 
 
 def test_fechamento_all_dim_joins_broadcast(spark):
