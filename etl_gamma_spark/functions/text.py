@@ -54,6 +54,14 @@ def amin(arr: str, d: str) -> str:
     return f"array_min({arr})" if d == SPARK else f"list_min({arr})"
 
 
+def aslice(arr: str, start: str, length: int, d: str) -> str:
+    """1-based slice of ``length`` elements. Spark slice() takes a length;
+    DuckDB list_slice() takes an inclusive end index."""
+    if d == SPARK:
+        return f"slice({arr}, {start}, {length})"
+    return f"list_slice({arr}, {start}, ({start}) + {length - 1})"
+
+
 def adistinct(arr: str, d: str) -> str:
     """ORDER WARNING: the element SET is engine-equal but the order is not
     (Spark array_distinct keeps first-occurrence order, DuckDB
@@ -108,6 +116,41 @@ def word_shingles(words: str, text: str, d: str, n: int = 3) -> str:
         f"CASE WHEN {asize(words, d)} >= {n} THEN {adistinct(gen, d)}"
         f" ELSE {array_lit(text, d)} END"
     )
+
+
+# --- winnowing fingerprints ------------------------------------------------
+
+WINNOW_K = 8  # k-gram length (chars)
+WINNOW_W = 4  # winnowing window (gram hashes)
+
+
+def winnow_gram_hashes(text: str, d: str, k: int = WINNOW_K) -> str:
+    """Hash of every k-char gram of ``text`` (the 'rolling hash' pass of
+    winnowing, computed positionally — md5-derived so both engines agree
+    bit-for-bit). Documents shorter than k hash as one whole-text gram;
+    the guard also avoids Spark's descending sequence() when stop < start.
+    """
+    n = f"length({text})"
+    gen = atransform(
+        seq("1", f"{n} - {k - 1}", d), "__p", hexint(f"substr({text}, __p, {k})", d), d
+    )
+    return (
+        f"CASE WHEN {n} >= {k} THEN {gen}"
+        f" ELSE {array_lit(hexint(text, d), d)} END"
+    )
+
+
+def winnow_select(grams: str, d: str, w: int = WINNOW_W) -> str:
+    """Winnowing selection (Schleimer/Wilkerson/Aiken, SIGMOD'03): the min
+    hash of every w-length window over a PRE-MATERIALIZED gram-hash array
+    ``grams`` (bind it in its own projection first — same no-CSE reasoning
+    as word_shingles). Result keeps duplicate selections; reduce with
+    explode + DISTINCT rows, never adistinct (order divergence)."""
+    n = asize(grams, d)
+    gen = atransform(
+        seq("1", f"{n} - {w - 1}", d), "__j", amin(aslice(grams, "__j", w, d), d), d
+    )
+    return f"CASE WHEN {n} >= {w} THEN {gen} ELSE {array_lit(amin(grams, d), d)} END"
 
 
 # --- MinHash ---------------------------------------------------------------

@@ -173,6 +173,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = T.WINNOW_K,
+    w: int = T.WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-char gram, keep the min
+    hash of each w-length window; the selected DISTINCT hashes are the
+    document's fingerprint. Guarantees every shared substring of length
+    >= k + w - 1 contributes at least one shared fingerprint.
+
+    Output rows: (doc_id, fp BIGINT). Pure per-row projection + one
+    distinct shuffle — scales linearly."""
+    return (
+        spread(docs)
+        .selectExpr(id_col, f"{T.winnow_gram_hashes(text_col, S, k)} AS __g")
+        .selectExpr(id_col, f"{T.winnow_select('__g', S, w)} AS __mins")
+        .select(id_col, F.explode("__mins").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 25,
+    min_shared: int = 5,
+    k: int = T.WINNOW_K,
+    w: int = T.WINNOW_W,
+) -> DataFrame:
+    """Near-duplicate / plagiarism candidates from shared winnowing
+    fingerprints: pairs sharing >= ``min_shared`` fingerprints, via the
+    fp inverted index. Fingerprints appearing in more than ``max_df``
+    documents are dropped first (boilerplate stop-grams) — the standard
+    MOSS practice, and the scale guard: without it an ubiquitous gram
+    joins all-pairs. Remaining join fan-out is bounded by
+    sum(df^2) over rare fps only."""
+    fps = winnow_fingerprints(docs, text_col, id_col, k, w).localCheckpoint()
+    rare_fp = fps.groupBy("fp").count().filter(F.col("count") <= max_df).select("fp")
+    # per-FP frame — plain shuffle join on fp, never broadcast (O(corpus))
+    rare = fps.join(rare_fp, "fp")
+    a = rare.select(F.col(id_col).alias("doc_a"), "fp")
+    b = rare.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:

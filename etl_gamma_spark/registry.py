@@ -2264,3 +2264,73 @@ def q_sink_overwrite_scope(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash document fingerprinting) + salted agg
+# ---------------------------------------------------------------------------
+
+
+def _winnow_fp_ctes(d: str) -> str:
+    return f"""
+g AS (SELECT doc_id, {T.winnow_gram_hashes('text', d)} AS g FROM documents),
+m AS (SELECT doc_id, {T.winnow_select('g', d)} AS mins FROM g),
+fp AS (SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m)"""
+
+
+@query(
+    "winnow_fingerprints",
+    f"""
+WITH {_winnow_fp_ctes(_D)}
+SELECT doc_id, fp FROM fp
+""",
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    return DD.winnow_fingerprints(spark.table("documents"))
+
+
+@query(
+    "winnow_overlap_pairs",
+    f"""
+WITH {_winnow_fp_ctes(_D)},
+df AS (SELECT fp, COUNT(*) AS df FROM fp GROUP BY 1),
+rare AS (SELECT f.doc_id, f.fp FROM fp f JOIN df ON f.fp = df.fp WHERE df.df <= 25),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 5
+""",
+)
+def q_winnow_overlap_pairs(spark, sf_dir):
+    return DD.winnow_overlap_pairs(spark.table("documents"))
+
+
+@query(
+    "salted_skew_agg",
+    """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def q_salted_skew_agg(spark, sf_dir):
+    """Salted two-stage aggregation (operators/skew.py) differentially
+    proven against the plain one-stage GROUP BY: decimal sums and counts
+    are algebraic, so spreading a hot key over 16 salted reducers is
+    exactly result-preserving — the oracle is the unsalted form."""
+    from .operators.skew import salted_sum_aggregate
+
+    li = spark.table("lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(18,2)").alias("sum_qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("sum_price"),
+    )
+    return salted_sum_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": "sum_qty", "sum_price": "sum_price"},
+    )
