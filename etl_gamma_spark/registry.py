@@ -2334,3 +2334,63 @@ def q_salted_skew_agg(spark, sf_dir):
         ["l_returnflag", "l_linestatus"],
         {"sum_qty": "sum_qty", "sum_price": "sum_price"},
     )
+
+
+@query(
+    "bucketed_join_rollup",
+    """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+)
+def q_bucketed_join_rollup(spark, sf_dir):
+    """Fact⋈fact join through same-bucketed tables (sources/bucketing.py):
+    both sides are persisted bucketBy(8, okey) so the join plans with no
+    exchange on either side (the zero-shuffle plan is asserted in
+    tests/test_misc.py) — at 100 TB this is the co-located layout that
+    removes the dominant fact⋈fact shuffle. The oracle is the plain join:
+    bucketing must be invisible to results.
+
+    Tables are written as EXTERNAL (explicit path under a temp dir) so the
+    driver's plain session needs no warehouse dir; the in-memory catalog
+    carries the bucket spec.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.bucketing import bucketed_join, write_bucketed
+
+    li = spark.table("lineitem").selectExpr(
+        "l_orderkey AS okey", "CAST(l_extendedprice AS DECIMAL(18,2)) AS price"
+    )
+    orders = spark.table("orders").selectExpr("o_orderkey AS okey", "o_orderpriority")
+    tmp = tempfile.mkdtemp(prefix="etl_gamma_bucketed_")
+    t_li, t_ord = "etl_gamma_bkt_lineitem", "etl_gamma_bkt_orders"
+    try:
+        for t, df in ((t_li, li), (t_ord, orders)):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            (
+                df.write.mode("overwrite")
+                .option("path", os.path.join(tmp, t))
+                .bucketBy(8, "okey")
+                .sortBy("okey")
+                .saveAsTable(t)
+            )
+        return (
+            bucketed_join(spark, t_li, t_ord, "okey")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum("price").alias("revenue"),
+            )
+            .select("o_orderpriority", "n_items", "revenue")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_ord}")
+        shutil.rmtree(tmp, ignore_errors=True)

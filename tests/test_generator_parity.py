@@ -118,3 +118,19 @@ def test_minhash_parity_on_edge_texts(engines):
         ).fetchall()
     )
     assert s_rows == d_rows
+
+
+def test_winnow_parity_on_edge_texts(engines):
+    spark, con = engines
+
+    def q(d: str, explode_fn: str) -> str:
+        return (
+            f"WITH g AS (SELECT doc_id, {T.winnow_gram_hashes('text', d)} AS g FROM gen_docs), "
+            f"m AS (SELECT doc_id, {T.winnow_select('g', d)} AS mins FROM g) "
+            f"SELECT DISTINCT doc_id, fp FROM "
+            f"(SELECT doc_id, {explode_fn}(mins) AS fp FROM m)"
+        )
+
+    s = sorted((r.doc_id, r.fp) for r in spark.sql(q(T.SPARK, "explode")).collect())
+    d = sorted((i, x) for i, x in con.execute(q(T.DUCK, "unnest")).fetchall())
+    assert s == d
