@@ -53,7 +53,12 @@ FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
 def synth_media(docs: DataFrame) -> DataFrame:
     """Deterministic fake media table derived from the documents fixture:
     payload = repeated md5 bytes of the text (stands in for encoded pixels
-    / samples); metadata derived from doc stats. Pure column ops."""
+    / samples); metadata derived from doc stats. Pure column ops.
+    Spread first so the Arrow kernels downstream stream batches from all
+    cores, not the single partition of a local one-file read."""
+    from ..io import spread
+
+    docs = spread(docs)
     return docs.selectExpr(
         "doc_id AS media_id",
         "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'"

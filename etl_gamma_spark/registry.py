@@ -782,7 +782,7 @@ _D = T.DUCK
 _S = T.SPARK
 
 
-def _text_stats_sql(d: str) -> str:
+def _text_stats_sql(d: str, table: str = "documents") -> str:
     ntok = T.asize(T.split_ws("text", d), d)
     return f"""
 SELECT doc_id, lang,
@@ -794,13 +794,18 @@ SELECT doc_id, lang,
        {T.digit_ratio('text', d)} AS digit_ratio,
        CAST({T.stopword_count('text', d)} AS DOUBLE) / CAST({ntok} AS DOUBLE) AS stopword_ratio,
        {T.quality_expr('text', d)} AS quality_score
-FROM documents
+FROM {table}
 """
 
 
 @query("text_stats", _text_stats_sql(_D))
 def q_text_stats(spark, sf_dir):
-    return spark.sql(_text_stats_sql(_S))
+    # spread: the stats projection is md5/regexp-heavy and would otherwise
+    # run on the single partition of the local one-file read
+    from .io import spread
+
+    spread(spark.table("documents")).createOrReplaceTempView("__documents_wide")
+    return spark.sql(_text_stats_sql(_S, "__documents_wide"))
 
 
 def _lang_id_sql(d: str) -> str:
