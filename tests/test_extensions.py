@@ -200,3 +200,51 @@ def test_periodo_array_f13_form(spark):
     assert isinstance(field.dataType.elementType, Ty.DateType)
     row = out.select("periodo_inicio", "periodo_fim", "periodo_responsabilidade").first()
     assert row.periodo_responsabilidade == [row.periodo_inicio, row.periodo_fim]
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """MOSS theorem (Schleimer et al. §3): any shared substring of length
+    >= k + w - 1 contributes at least one shared fingerprint. Random doc
+    pairs with an injected common chunk must always overlap; pairs drawn
+    from disjoint alphabets never can."""
+    import random
+    import string
+
+    from etl_gamma_spark.functions.text import WINNOW_K, WINNOW_W
+    from etl_gamma_spark.operators.dedup import winnow_fingerprints
+
+    rng = random.Random(42)
+    guarantee_len = WINNOW_K + WINNOW_W - 1
+
+    def rand_text(alphabet, lo=20, hi=200):
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(lo, hi)))
+
+    rows = []
+    n_pairs = 50
+    for i in range(n_pairs):
+        shared = rand_text(string.ascii_lowercase, guarantee_len, 40)
+        for j in (0, 1):
+            base = rand_text(string.ascii_lowercase)
+            pos = rng.randint(0, len(base))
+            rows.append((2 * i + j, base[:pos] + shared + base[pos:]))
+    # disjoint-alphabet pairs: no common k-gram is possible
+    for i in range(n_pairs, n_pairs + 10):
+        rows.append((2 * i, rand_text("abcdefgh")))
+        rows.append((2 * i + 1, rand_text("stuvwxyz")))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs)
+    a = fps.selectExpr("doc_id AS doc_a", "fp")
+    b = fps.selectExpr("doc_id AS doc_b", "fp")
+    overlapping = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, "fp")
+        .filter("doc_b = doc_a + 1 AND doc_a % 2 = 0")
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    }
+    for i in range(n_pairs):
+        assert (2 * i, 2 * i + 1) in overlapping, f"pair {i} lost its shared chunk"
+    for i in range(n_pairs, n_pairs + 10):
+        assert (2 * i, 2 * i + 1) not in overlapping, f"disjoint pair {i} overlaps"
