@@ -42,29 +42,43 @@ def main() -> None:
         sf = -1.0
 
     # warmup: touch every base table + codegen paths once
-    materialize(QUERIES["receita_farmer_m_passado"](spark, SF_DIR))
+    try:
+        materialize(QUERIES["receita_farmer_m_passado"](spark, SF_DIR))
+    except Exception as exc:  # pragma: no cover - warmup failure is non-fatal
+        print(f"warmup failed: {exc}", file=sys.stderr)
 
+    # Fault-isolated: one failing query must never zero the whole artifact
+    # (BENCH_r02/r03 were rc=1/parsed=null from a single exception). Errors
+    # are recorded per-query and the JSON line always prints.
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         t0 = time.monotonic()
-        materialize(QUERIES[name](spark, SF_DIR))
+        try:
+            materialize(QUERIES[name](spark, SF_DIR))
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"ERROR {name}: {errors[name]}", file=sys.stderr)
+            continue
         secs = round(time.monotonic() - t0, 3)
         per_query[name] = secs
         total += secs
 
-    print(
-        json.dumps(
-            {
-                "metric": "etl_gamma_spark headline queries wall-clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
-    spark.stop()
+    result = {
+        "metric": "etl_gamma_spark headline queries wall-clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
+    try:
+        spark.stop()
+    except Exception:  # pragma: no cover - never let teardown eat the line
+        pass
 
 
 if __name__ == "__main__":

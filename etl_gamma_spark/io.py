@@ -1,11 +1,17 @@
 """Readers for the driver's parquet fixtures (TESTDATA.md).
 
 Parquet single-file tables; Catalyst gives predicate pushdown + column
-pruning on these scans for free.  The one quirk: ``events.parquet`` stores
-TIMESTAMP(NANOS) which the Spark parquet reader rejects — we read nanos as
-long (legacy conf) and rebuild a microsecond timestamp with *integer*
-division (ns-since-epoch ≈ 1.7e18 > 2^53, so float division would corrupt
-microseconds).
+pruning on these scans for free.  Quirks live in ``_normalize_ts``:
+
+- TIMESTAMP(NANOS) fixtures (older driver builds): Spark rejects them
+  natively, so the session sets ``legacy.parquet.nanosAsLong`` and we
+  rebuild a microsecond timestamp with *integer* division (ns-since-epoch
+  ≈ 1.7e18 > 2^53; float division would corrupt microseconds).
+- Untagged timestamp[us] fixtures under Spark 4: inferred as
+  TIMESTAMP_NTZ unless ``parquet.inferTimestampNTZ.enabled=false`` (set in
+  session.RUNTIME_CONFS). We also cast defensively here in case the conf
+  could not be applied to a host-locked session — the session tz is pinned
+  UTC, so NTZ→LTZ is value-preserving and matches the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -44,14 +50,22 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP (LTZ) regardless of
+    how the fixture was written / inferred (see module docstring)."""
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":  # nanos-as-long legacy read
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dtype == "timestamp_ntz":  # Spark 4 NTZ inference; session tz is UTC
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        apply_runtime_confs(spark)  # needs nanosAsLong on the live session
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
+        apply_runtime_confs(spark)  # needs nanosAsLong + NTZ confs live
+        return _normalize_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 
@@ -71,9 +85,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return stream
+    return _normalize_ts(stream)
 
 
 def register_base_views(spark: SparkSession, sf_dir: str, names=ALL_TABLES) -> dict[str, DataFrame]:

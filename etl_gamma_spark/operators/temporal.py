@@ -95,8 +95,11 @@ def sessionize(
     order = Window.partitionBy(key).orderBy(ts, tiebreak)
     run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # microsecond-exact gap: cast-to-long would truncate to whole seconds
-    # and misclassify gaps whose fractional parts straddle the threshold
-    micros = F.unix_micros(F.col(ts))
+    # and misclassify gaps whose fractional parts straddle the threshold.
+    # NTZ-tolerant: unix_micros rejects TIMESTAMP_NTZ inputs (Spark 4 may
+    # infer NTZ from untagged parquet), and the session tz is pinned UTC so
+    # the cast is value-preserving.
+    micros = F.unix_micros(F.col(ts).cast("timestamp"))
     gap_break = (
         F.when(
             micros - F.lag(micros).over(order) > gap_minutes * 60 * 1_000_000,

@@ -29,6 +29,11 @@ RUNTIME_CONFS = {
     # cannot coalesce partitions for streaming queries
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Spark 4 infers untagged parquet timestamp[us/ms] columns as
+    # TIMESTAMP_NTZ by default; NTZ breaks withWatermark/unix_micros
+    # downstream and diverges from the DuckDB oracle (which reads them as
+    # plain timestamps under the UTC session tz). Read them as LTZ.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
