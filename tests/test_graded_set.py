@@ -1,0 +1,50 @@
+"""The correctness driver grades only the first 50 of queries() — pin that
+the graded window is exactly registry.GRADED_QUERIES (a deliberate set,
+not registration order), that nothing is lost, and that every graded
+query has an oracle (full value-hash grading, not the weaker rows-only
+check)."""
+
+import importlib.util
+import os
+
+from etl_gamma_spark.registry import (
+    GRADED_QUERIES,
+    ORACLES,
+    QUERIES,
+    UNGRADED_QUERIES,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_graded_window_is_the_chosen_set():
+    entry = _load_entry()
+    names = list(entry.queries())
+    assert names[:50] == list(GRADED_QUERIES)
+    assert names[50:] == list(UNGRADED_QUERIES)
+
+
+def test_no_query_lost_and_sets_disjoint():
+    assert len(GRADED_QUERIES) == 50
+    assert set(GRADED_QUERIES) | set(UNGRADED_QUERIES) == set(QUERIES)
+    assert not set(GRADED_QUERIES) & set(UNGRADED_QUERIES)
+
+
+def test_every_graded_query_has_an_oracle():
+    missing = [n for n in GRADED_QUERIES if n not in ORACLES]
+    assert not missing, f"graded queries without oracle SQL: {missing}"
+
+
+def test_oracle_sql_covers_queries():
+    entry = _load_entry()
+    oracles = entry.oracle_sql()
+    assert set(oracles) <= set(entry.queries())
