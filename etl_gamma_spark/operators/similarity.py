@@ -72,6 +72,28 @@ def dist2_unrolled(a: str, b: str, dim: int, d: str = S) -> str:
     return f"({terms})"
 
 
+def bcast_attach(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key_src: str,
+    build_key_src: str,
+) -> DataFrame:
+    """Attach a small broadcast frame to every probe row WITHOUT a
+    BroadcastNestedLoopJoin.
+
+    ``crossJoin(broadcast(q))`` plans as BNLJ, which disables whole-stage
+    codegen for the entire probe-side stage — exactly the stage holding the
+    unrolled scoring arithmetic (CLAUDE.md: measured ~2.5× on such stages).
+    Joining on a constant key derived FROM A COLUMN (``src % 1`` — always
+    0, but not foldable, so Catalyst cannot simplify the condition to
+    literal true and fall back to a cross join) yields a
+    BroadcastHashJoin with identical output rows and codegen intact.
+    """
+    p = probe.withColumn("__j", (F.col(probe_key_src) % 1).cast("int"))
+    b = build.withColumn("__j", (F.col(build_key_src) % 1).cast("int"))
+    return p.join(F.broadcast(b), "__j").drop("__j")
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -82,13 +104,11 @@ def brute_force_topk(
     """Exact top-k by cosine similarity to the vector with ``query_id``
     (query broadcast; ties broken by id for determinism)."""
     q = embeddings.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("qv")
+        F.col(vec_col).alias("qv"), F.col(id_col).alias("__qid")
     )
-    scored = (
-        embeddings.filter(F.col(id_col) != query_id)
-        .crossJoin(F.broadcast(q))
-        .selectExpr(id_col, f"{cosine_expr(vec_col, 'qv')} AS cosine")
-    )
+    scored = bcast_attach(
+        embeddings.filter(F.col(id_col) != query_id), q, id_col, "__qid"
+    ).selectExpr(id_col, f"{cosine_expr(vec_col, 'qv')} AS cosine")
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
@@ -105,7 +125,7 @@ def knn_join(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     scored = (
-        embeddings.crossJoin(F.broadcast(q))
+        bcast_attach(embeddings, q, id_col, "query_id")
         .filter(F.col(id_col) != F.col("query_id"))
         .selectExpr("query_id", id_col, f"{cosine_expr(vec_col, 'qv')} AS cosine")
     )
@@ -214,10 +234,12 @@ def lsh_topk(
     """
     b = lsh_buckets(embeddings, dim, n_planes, id_col, vec_col)
     q = b.filter(F.col(id_col) == query_id).select(
-        F.col("bucket").alias("qbucket"), F.col(vec_col).alias("qv")
+        F.col("bucket").alias("qbucket"),
+        F.col(vec_col).alias("qv"),
+        F.col(id_col).alias("__qid"),
     )
     cand = (
-        b.crossJoin(F.broadcast(q))
+        bcast_attach(b, q, id_col, "__qid")
         .filter(F.expr(f"{hamming_expr('bucket', 'qbucket')} <= {probe_radius}"))
         .filter(F.col(id_col) != query_id)
     )
@@ -254,7 +276,7 @@ def _assign_to(emb: DataFrame, cents: DataFrame, dim: int, id_col: str) -> DataF
     """Nearest-centroid assignment: broadcast the (small) centroid table,
     rank by unrolled codegen'd squared distance with centroid_id tiebreak.
     Input emb must carry a pre-cast ``v`` array<double> column."""
-    scored = emb.crossJoin(F.broadcast(cents)).selectExpr(
+    scored = bcast_attach(emb, cents, id_col, "centroid_id").selectExpr(
         id_col, "v", "centroid_id", f"{dist2_unrolled('v', 'centroid', dim)} AS d2"
     )
     w = Window.partitionBy(id_col).orderBy("d2", "centroid_id")
@@ -338,7 +360,7 @@ def ivf_topk(
         index = (ivf_build(embeddings, cents, dim, id_col, vec_col), cents)
     assign, centroids = index
     q = embeddings.filter(F.col(id_col) == query_id).selectExpr(
-        f"CAST({vec_col} AS ARRAY<DOUBLE>) AS qv"
+        f"CAST({vec_col} AS ARRAY<DOUBLE>) AS qv", f"{id_col} AS __qid"
     )
     probe = (
         centroids.crossJoin(F.broadcast(q))
@@ -351,7 +373,7 @@ def ivf_topk(
     cand = embeddings.join(cand_ids, id_col, "left_semi").filter(
         F.col(id_col) != query_id
     )
-    scored = cand.crossJoin(F.broadcast(q)).selectExpr(
+    scored = bcast_attach(cand, q, id_col, "__qid").selectExpr(
         id_col, f"{cosine_expr(vec_col, 'qv')} AS cosine"
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

@@ -94,3 +94,24 @@ def test_partitioned_output_prunes_partitions(spark, tmp_path):
     ) or "PartitionFilters" in plan and "2001-01-01" in plan, plan
     # and the filter is NOT a post-scan row filter on the data column
     assert scan.count() > 0
+
+
+def test_lsh_topk_query_side_pushed_to_scan(spark):
+    # lsh_topk references the bucketed corpus twice (query row + corpus).
+    # The query side's `vec_id = <id>` predicate must reach its parquet
+    # scan, so the expensive bucket projection evaluates over the corpus
+    # ONCE plus a single pruned row — never over the corpus twice.
+    plan = _explain(QUERIES["embedding_lsh_topk"](spark, SF_CORRECT))
+    assert "PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)]" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_similarity_scoring_stages_keep_codegen(spark):
+    # broadcast query/centroid attachment goes through bcast_attach
+    # (constant-key BroadcastHashJoin) — a BNLJ would disable whole-stage
+    # codegen for the unrolled scoring arithmetic, the hottest stage of
+    # every similarity query. ivf_topk's 16-row centroid probe is exempt.
+    for name in ["embedding_topk", "embedding_knn_join", "embedding_lsh_topk"]:
+        plan = _explain(QUERIES[name](spark, SF_CORRECT))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
