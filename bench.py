@@ -41,9 +41,18 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    # warmup: touch every base table + codegen paths once
+    # warmup: touch every base table + codegen paths once, and spin up the
+    # Python/Arrow worker pool (mapInPandas queries otherwise pay ~7 s of
+    # one-time worker startup inside whichever of them runs first)
     try:
         materialize(QUERIES["receita_farmer_m_passado"](spark, SF_DIR))
+
+        def _noop_kernel(batches):
+            yield from batches
+
+        spark.range(32).repartition(32).mapInPandas(
+            _noop_kernel, "id long"
+        ).write.mode("overwrite").format("noop").save()
     except Exception as exc:  # pragma: no cover - warmup failure is non-fatal
         print(f"warmup failed: {exc}", file=sys.stderr)
 

@@ -118,6 +118,18 @@ def word_shingles(words: str, text: str, d: str, n: int = 3) -> str:
     )
 
 
+def word_ngrams(words: str, d: str, n: int = 2) -> str:
+    """ALL n-word grams in order, duplicates KEPT (repetition / quality
+    signals need the multiset — ``word_shingles`` dedups for set
+    similarity). Same pre-materialized ``words`` contract. Documents with
+    fewer than n words yield an empty array (explode/unnest drop them)."""
+    parts = ", ' ', ".join(elem(words, f"__i + {k}" if k else "__i", d) for k in range(n))
+    gram = f"concat({parts})"
+    gen = atransform(seq("1", f"{asize(words, d)} - {n - 1}", d), "__i", gram, d)
+    empty = "CAST(array() AS ARRAY<STRING>)" if d == SPARK else "CAST([] AS VARCHAR[])"
+    return f"CASE WHEN {asize(words, d)} >= {n} THEN {gen} ELSE {empty} END"
+
+
 # --- winnowing fingerprints ------------------------------------------------
 
 WINNOW_K = 8  # k-gram length (chars)

@@ -1,0 +1,152 @@
+"""Corpus-quality operators for training-data curation, beyond the plain
+per-row stats in ``functions/text.py``:
+
+* ``gopher_repetition`` — the repetition-based quality signals from the
+  Gopher corpus rules (Rae et al. 2021, public): fraction of the document
+  covered by its most frequent word bigram, fraction of duplicate word
+  trigrams, mean word length, word count — plus a composite pass flag.
+* ``contamination_pairs`` — benchmark-contamination detection: n-gram
+  overlap between corpus documents and a held-out benchmark subset via a
+  shingle inverted index (the standard decontamination step before
+  training).
+
+Both are pure DataFrame plans over JVM-side expressions (no Python UDFs).
+
+Scale posture:
+  * gopher_repetition — one narrow projection + two per-doc hash
+    aggregates keyed by doc_id (map-side combine collapses each document's
+    grams within its partition before the exchange); joins are
+    doc_id-equi, so AQE handles sizing. Linear in corpus size.
+  * contamination_pairs — inverted-index equi-join on the shingle key.
+    The benchmark side is the small one by construction (eval sets are
+    tiny vs the corpus); no forced broadcast — AQE decides, same policy
+    as ngram_jaccard_pairs (CLAUDE.md: never force-broadcast per-doc
+    frames).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..io import spread
+from .dedup import shingle_sets
+
+S = T.SPARK
+
+# Gopher-style thresholds, tuned to the word-soup fixture's distribution
+# so both outcomes occur (the published rules use 0.2/0.3 on natural text)
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 10_000
+GOPHER_MIN_MEAN_WL = 2.0
+GOPHER_MAX_MEAN_WL = 12.0
+GOPHER_MAX_TOP_BIGRAM = 0.12
+GOPHER_MAX_DUP_TRIGRAM = 0.25
+
+
+def gopher_repetition(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+    min_mean_wl: float = GOPHER_MIN_MEAN_WL,
+    max_mean_wl: float = GOPHER_MAX_MEAN_WL,
+    max_top_bigram: float = GOPHER_MAX_TOP_BIGRAM,
+    max_dup_trigram: float = GOPHER_MAX_DUP_TRIGRAM,
+) -> DataFrame:
+    """Per-document repetition/quality signals + composite ``gopher_pass``.
+
+    ``top_bigram_frac``  = occurrences of the most frequent word bigram
+                           over total bigrams (n_words - 1);
+    ``dup_trigram_frac`` = 1 - distinct/total word trigrams.
+    Both are NULL for documents too short to form the n-gram (the word
+    count bound already rejects those, so the pass flag coalesces repetition
+    NULLs to 0). All fractions are int/int double divisions — bit-identical
+    across engines, so the whole frame is oracle-hashable.
+    """
+    # bind the split ONCE (no CSE across lambdas — CLAUDE.md), then derive
+    # scalar stats; grams explode from the same bound array
+    words = spread(docs).selectExpr(
+        id_col, f"{T.split_ws(text_col, S)} AS w", text_col
+    )
+    base = words.selectExpr(
+        id_col,
+        "w",
+        f"{T.asize('w', S)} AS n_words",
+        f"CAST(length(replace({text_col}, ' ', '')) AS DOUBLE)"
+        f" / CAST(nullif({T.asize('w', S)}, 0) AS DOUBLE) AS mean_word_len",
+    ).localCheckpoint()  # grams + final join both derive from this projection
+
+    g2 = base.select(id_col, F.explode(F.expr(T.word_ngrams("w", S, 2))).alias("g"))
+    top2 = (
+        g2.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    g3 = base.select(id_col, F.explode(F.expr(T.word_ngrams("w", S, 3))).alias("g"))
+    d3 = g3.groupBy(id_col).agg(F.countDistinct("g").alias("n3_distinct"))
+
+    joined = (
+        base.drop("w")
+        .join(top2, id_col, "left")
+        .join(d3, id_col, "left")
+    )
+    return joined.selectExpr(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "CAST(top_bigram_n AS DOUBLE) / CAST(nullif(n_words - 1, 0) AS DOUBLE)"
+        " AS top_bigram_frac",
+        "1.0 - CAST(n3_distinct AS DOUBLE) / CAST(nullif(n_words - 2, 0) AS DOUBLE)"
+        " AS dup_trigram_frac",
+        f"""CASE WHEN n_words >= {min_words} AND n_words <= {max_words}
+             AND mean_word_len >= {min_mean_wl} AND mean_word_len <= {max_mean_wl}
+             AND coalesce(CAST(top_bigram_n AS DOUBLE)
+                          / CAST(nullif(n_words - 1, 0) AS DOUBLE), 0.0)
+                 <= {max_top_bigram}
+             AND coalesce(1.0 - CAST(n3_distinct AS DOUBLE)
+                          / CAST(nullif(n_words - 2, 0) AS DOUBLE), 0.0)
+                 <= {max_dup_trigram}
+            THEN TRUE ELSE FALSE END AS gopher_pass""",
+    )
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_mod: int = 97,
+    n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(doc_id, bench_id, n_shared, contamination): corpus documents whose
+    distinct word n-grams overlap a benchmark document's by at least
+    ``min_shared`` shingles; ``contamination`` = shared / benchmark-shingle
+    count (the fraction of the benchmark item present in the corpus doc).
+
+    The benchmark subset here is the deterministic ``doc_id % bench_mod
+    == 0`` slice of the same table (the fixtures carry no separate eval
+    set); in production the bench side is its own table and the plan is
+    unchanged. Benchmark docs are excluded from the corpus side.
+    """
+    sh = shingle_sets(docs, text_col, id_col, n).localCheckpoint()
+    bench = sh.filter((F.col(id_col) % bench_mod) == 0).select(
+        F.col(id_col).alias("bench_id"), "shingle"
+    )
+    bench_sizes = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
+    corpus = sh.filter((F.col(id_col) % bench_mod) != 0)
+    shared = (
+        corpus.join(bench, "shingle")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return shared.join(bench_sizes, "bench_id").selectExpr(
+        id_col,
+        "bench_id",
+        "n_shared",
+        "CAST(n_shared AS DOUBLE) / CAST(n_bench AS DOUBLE) AS contamination",
+    )
