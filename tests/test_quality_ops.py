@@ -1,0 +1,123 @@
+"""Independent verification of operators/quality.py — edge cases the
+fixture corpus never hits (1/2/3-word documents, maximally repetitive
+text) plus a pure-Python recomputation of every signal on real fixture
+rows (the test_reference_fidelity pattern: same numbers from code that
+shares nothing with the Spark plan or the oracle SQL)."""
+
+from collections import Counter
+
+from pyspark.sql import Row
+
+from etl_gamma_spark.operators.quality import (
+    GOPHER_MAX_DUP_TRIGRAM,
+    GOPHER_MAX_MEAN_WL,
+    GOPHER_MAX_TOP_BIGRAM,
+    GOPHER_MIN_MEAN_WL,
+    GOPHER_MIN_WORDS,
+    GOPHER_MAX_WORDS,
+    contamination_pairs,
+    gopher_repetition,
+)
+from etl_gamma_spark.io import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _py_gopher(text: str) -> dict:
+    words = text.split(" ")
+    n = len(words)
+    mean_wl = sum(len(w) for w in words) / n if n else None
+    bigrams = [" ".join(words[i : i + 2]) for i in range(n - 1)]
+    trigrams = [" ".join(words[i : i + 3]) for i in range(n - 2)]
+    top_bi = max(Counter(bigrams).values()) / len(bigrams) if bigrams else None
+    dup_tri = 1 - len(set(trigrams)) / len(trigrams) if trigrams else None
+    ok = (
+        GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+        and mean_wl is not None
+        and GOPHER_MIN_MEAN_WL <= mean_wl <= GOPHER_MAX_MEAN_WL
+        and (top_bi or 0.0) <= GOPHER_MAX_TOP_BIGRAM
+        and (dup_tri or 0.0) <= GOPHER_MAX_DUP_TRIGRAM
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": mean_wl,
+        "top_bigram_frac": top_bi,
+        "dup_trigram_frac": dup_tri,
+        "gopher_pass": ok,
+    }
+
+
+def _check_rows(rows):
+    for r in rows:
+        exp = _py_gopher(r["__text"])
+        assert r["n_words"] == exp["n_words"], r
+        for c in ("mean_word_len", "top_bigram_frac", "dup_trigram_frac"):
+            if exp[c] is None:
+                assert r[c] is None, (c, r)
+            else:
+                assert abs(r[c] - exp[c]) < 1e-12, (c, r, exp[c])
+        assert r["gopher_pass"] == exp["gopher_pass"], (r, exp)
+
+
+def test_gopher_short_and_repetitive_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one"),
+            Row(doc_id=2, text="two words"),
+            Row(doc_id=3, text="now three words"),
+            Row(doc_id=4, text=" ".join(["spam"] * 40)),  # pure repetition
+            Row(doc_id=5, text=" ".join(f"w{i}" for i in range(40))),  # no repeats
+            Row(doc_id=6, text=" ".join(["a b"] * 20)),  # long words fail wl gate? no: len 1
+        ]
+    )
+    out = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    texts = {1: "one", 2: "two words", 3: "now three words",
+             4: " ".join(["spam"] * 40), 5: " ".join(f"w{i}" for i in range(40)),
+             6: " ".join(["a b"] * 20)}
+    rows = [dict(out[i].asDict(), __text=texts[i]) for i in sorted(out)]
+    _check_rows(rows)
+    # the interesting verdicts, stated explicitly
+    assert out[1]["top_bigram_frac"] is None and out[1]["dup_trigram_frac"] is None
+    assert not out[1]["gopher_pass"]  # below min word count
+    assert not out[4]["gopher_pass"]  # all-repeat doc trips both fractions
+    assert out[5]["gopher_pass"]  # diverse doc passes
+    assert out[4]["dup_trigram_frac"] > 0.9
+    assert out[5]["dup_trigram_frac"] == 0.0
+
+
+def test_gopher_matches_python_on_fixture(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = gopher_repetition(docs).orderBy("doc_id").limit(50).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").orderBy("doc_id").limit(50).collect()
+    }
+    _check_rows([dict(r.asDict(), __text=texts[r["doc_id"]]) for r in got])
+
+
+def test_contamination_python_recount(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {
+        (r["doc_id"], r["bench_id"]): (r["n_shared"], r["contamination"])
+        for r in contamination_pairs(docs).collect()
+    }
+
+    def shingles(text):
+        w = text.split(" ")
+        if len(w) < 3:
+            return {text}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    corpus = {r["doc_id"]: shingles(r["text"]) for r in docs.select("doc_id", "text").collect()}
+    bench = {i: s for i, s in corpus.items() if i % 97 == 0}
+    expected = {}
+    for bid, bsh in bench.items():
+        for did, dsh in corpus.items():
+            if did % 97 == 0:
+                continue
+            shared = len(bsh & dsh)
+            if shared >= 2:
+                expected[(did, bid)] = (shared, shared / len(bsh))
+    assert set(got) == set(expected)
+    for k, (n, frac) in expected.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - frac) < 1e-12
