@@ -134,3 +134,22 @@ def test_winnow_parity_on_edge_texts(engines):
     s = sorted((r.doc_id, r.fp) for r in spark.sql(q(T.SPARK, "explode")).collect())
     d = sorted((i, x) for i, x in con.execute(q(T.DUCK, "unnest")).fetchall())
     assert s == d
+
+
+def test_word_ngrams_parity(engines):
+    # duplicates KEPT and order preserved (the multiset builder for
+    # repetition signals) — positional compare, not set compare
+    spark, con = engines
+    for n in (2, 3):
+        def q(d: str, explode_fn: str) -> str:
+            return (
+                f"WITH w AS (SELECT doc_id, {T.split_ws('text', d)} AS w FROM gen_docs) "
+                f"SELECT doc_id, {explode_fn}({T.word_ngrams('w', d, n)}) AS g FROM w"
+            )
+        s = sorted((r.doc_id, r.g) for r in spark.sql(q(T.SPARK, "explode")).collect())
+        d = sorted((i, x) for i, x in con.execute(q(T.DUCK, "unnest")).fetchall())
+        assert s == d, f"n={n}"
+        # multiset check: repetition must survive (text 3 is 'a a a a a')
+        from collections import Counter
+        reps = Counter(g for i, g in s if i == 3)
+        assert max(reps.values()) == 6 - n, reps

@@ -115,3 +115,15 @@ def test_similarity_scoring_stages_keep_codegen(spark):
         plan = _explain(QUERIES[name](spark, SF_CORRECT))
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_quality_ops_plan_shape(spark):
+    # per-doc aggregate frames join back on doc_id WITHOUT a forced
+    # broadcast hint (O(N) tables — AQE may broadcast at small SF, a real
+    # cluster shuffle-joins); candidate generation stays hash-equi
+    for name in ["gopher_repetition", "contamination_pairs"]:
+        df = QUERIES[name](spark, SF_CORRECT)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, name
+        plan = _explain(df)
+        assert "BroadcastNestedLoopJoin" not in plan, name
