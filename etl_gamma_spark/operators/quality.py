@@ -26,7 +26,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -111,6 +111,73 @@ def gopher_repetition(
                           / CAST(nullif(n_words - 2, 0) AS DOUBLE), 0.0)
                  <= {max_dup_trigram}
             THEN TRUE ELSE FALSE END AS gopher_pass""",
+    )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    capacity: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan: documents are concatenated
+    in deterministic (``part_col``, ``doc_id``) order and split into
+    fixed-``capacity`` token windows; each document gets its start offset
+    and the first/last bin it lands in (documents may straddle bins —
+    the standard packing for causal-LM training shards).
+
+    One running-sum window per ``part_col`` group (a single shuffle keyed
+    by the partition column); all arithmetic is integer, so the frame is
+    exactly oracle-comparable. At 100 TB each source group packs
+    independently — parallelism = number of sources × AQE partitioning.
+    """
+    toks = spread(docs).selectExpr(
+        id_col,
+        part_col,
+        f"CAST({T.asize(T.split_ws(text_col, S), S)} AS BIGINT) AS n_tokens",
+    )
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    cum = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    return cum.selectExpr(
+        id_col,
+        part_col,
+        "n_tokens",
+        "CAST(cum - n_tokens AS BIGINT) AS start_offset",
+        f"CAST((cum - n_tokens) DIV {capacity} AS BIGINT) AS bin_first",
+        # empty docs occupy no window: last = first, not floor((cum-1)/c)
+        f"""CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) DIV {capacity}
+                 ELSE (cum - 1) DIV {capacity} END AS BIGINT) AS bin_last""",
+    )
+
+
+def dataset_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    part_col: str = "source",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic, stratified train/val/test assignment: the split is a
+    pure function of the document id (md5 bucket 0-99), so re-runs,
+    backfills, and incremental ingests always agree — no RNG, no seed
+    management. Returns per-(source, split) counts; the per-document
+    labeling is the inner projection (reusable as its own step).
+
+    Scale: one narrow projection + one two-key hash aggregate.
+    """
+    bucket = f"{T.hexint(f'CAST({id_col} AS STRING)', S)} % 100"
+    labeled = spread(docs).selectExpr(
+        id_col,
+        part_col,
+        f"""CASE WHEN {bucket} < {train_pct} THEN 'train'
+             WHEN {bucket} < {train_pct + val_pct} THEN 'val'
+             ELSE 'test' END AS split""",
+    )
+    return (
+        labeled.groupBy(part_col, "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .selectExpr(part_col, "split", "CAST(n_docs AS BIGINT) AS n_docs")
     )
 
 

@@ -2487,6 +2487,54 @@ def q_contamination_pairs(spark, sf_dir):
     return Q.contamination_pairs(spark.table("documents"))
 
 
+def _sequence_pack_sql(d: str, capacity: int = 512) -> str:
+    # integer division dialect: Spark `a DIV b`, DuckDB `a // b`
+    idiv = "DIV" if d == _S else "//"
+    return f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST({T.asize(T.split_ws('text', d), d)} AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+    FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) {idiv} {capacity} AS BIGINT) AS bin_first,
+       CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) {idiv} {capacity}
+            ELSE (cum - 1) {idiv} {capacity} END AS BIGINT) AS bin_last
+FROM c
+"""
+
+
+@query("sequence_pack", _sequence_pack_sql(_D))
+def q_sequence_pack(spark, sf_dir):
+    return Q.sequence_pack(spark.table("documents"))
+
+
+def _dataset_split_sql(d: str, train_pct: int = 90, val_pct: int = 5) -> str:
+    bucket = f"{T.hexint('CAST(doc_id AS STRING)', d)} % 100"
+    return f"""
+WITH labeled AS (
+    SELECT doc_id, source,
+           CASE WHEN {bucket} < {train_pct} THEN 'train'
+                WHEN {bucket} < {train_pct + val_pct} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM labeled GROUP BY source, split
+"""
+
+
+@query("dataset_split", _dataset_split_sql(_D))
+def q_dataset_split(spark, sf_dir):
+    return Q.dataset_split(spark.table("documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-graded ordering (VERDICT r3 item 4)
 #
@@ -2529,6 +2577,8 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     # window only by displacing an existing green entry deliberately
     "gopher_repetition",
     "contamination_pairs",
+    "sequence_pack",
+    "dataset_split",
 )
 
 GRADED_QUERIES: tuple[str, ...] = tuple(
