@@ -102,7 +102,12 @@ def test_lsh_topk_query_side_pushed_to_scan(spark):
     # scan, so the expensive bucket projection evaluates over the corpus
     # ONCE plus a single pruned row — never over the corpus twice.
     plan = _explain(QUERIES["embedding_lsh_topk"](spark, SF_CORRECT))
-    assert "PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)]" in plan, plan
+    scan_meta = [
+        line.strip() for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    assert any("EqualTo(vec_id,0)" in line for line in scan_meta), (
+        f"query-side equality not pushed; PushedFilters lines: {scan_meta}"
+    )
     assert "BroadcastNestedLoopJoin" not in plan
 
 
