@@ -2348,6 +2348,7 @@ SELECT o.o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_items,
        SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_orderkey % 10 = 0 AND o.o_orderkey % 10 = 0
 GROUP BY 1
 """,
 )
@@ -2369,10 +2370,19 @@ def q_bucketed_join_rollup(spark, sf_dir):
 
     from .sources.bucketing import bucketed_join, write_bucketed
 
-    li = spark.table("lineitem").selectExpr(
-        "l_orderkey AS okey", "CAST(l_extendedprice AS DECIMAL(18,2)) AS price"
+    # deterministic 10% key slice: the zero-shuffle bucketed-join proof is
+    # plan-shape, not volume — writing full tables per call cost ~2-3 s of
+    # pure IO in every bench run. The filter pushes to both scans.
+    li = (
+        spark.table("lineitem")
+        .filter("l_orderkey % 10 = 0")
+        .selectExpr("l_orderkey AS okey", "CAST(l_extendedprice AS DECIMAL(18,2)) AS price")
     )
-    orders = spark.table("orders").selectExpr("o_orderkey AS okey", "o_orderpriority")
+    orders = (
+        spark.table("orders")
+        .filter("o_orderkey % 10 = 0")
+        .selectExpr("o_orderkey AS okey", "o_orderpriority")
+    )
     tmp = tempfile.mkdtemp(prefix="etl_gamma_bucketed_")
     t_li, t_ord = "etl_gamma_bkt_lineitem", "etl_gamma_bkt_orders"
     try:
