@@ -1,0 +1,74 @@
+"""Format-agnostic readers/writers: parquet, ORC, CSV, JSON(-lines).
+
+The fixture corpus is parquet, but an engine replacing the reference's
+Postgres extracts (utils/db_connection.py in /root/reference) must ingest
+whatever lands — exports are routinely CSV or JSON-lines. Policy:
+
+* **Schema is always explicit.** ``inferSchema``/sampling costs a full
+  extra pass over the data at 100 TB and infers unstable types across
+  batches; callers pass a StructType (usually from ``sources.schemas`` or
+  an existing table's ``.schema``). Malformed rows fail loudly
+  (mode=FAILFAST) — silently nulled columns poison downstream money
+  arithmetic.
+* Text formats get explicit timestamp/date formats so a CSV written by
+  this layer round-trips bit-identically through the session's UTC clock.
+* Writers default to snappy parquet; CSV/JSON writers exist for export
+  interop, not as the scale path (they lose types and compress worse —
+  the docstring is the warning label).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+FORMATS = ("parquet", "orc", "csv", "json")
+
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_DATE_FMT = "yyyy-MM-dd"
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read ``path`` in ``fmt``. Self-describing formats (parquet/orc) may
+    omit ``schema``; text formats (csv/json) REQUIRE it (see module
+    policy)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    reader = spark.read
+    if fmt == "csv":
+        if schema is None:
+            raise ValueError("csv reads require an explicit schema (no inferSchema at scale)")
+        reader = reader.options(
+            header="true", mode="FAILFAST", timestampFormat=_TS_FMT, dateFormat=_DATE_FMT
+        )
+    elif fmt == "json":
+        if schema is None:
+            raise ValueError("json reads require an explicit schema (no sampling pass at scale)")
+        reader = reader.options(mode="FAILFAST", timestampFormat=_TS_FMT, dateFormat=_DATE_FMT)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if options:
+        reader = reader.options(**options)
+    return getattr(reader, fmt)(path)
+
+
+def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite", **options: str) -> None:
+    """Write ``df`` to ``path`` in ``fmt``. CSV/JSON are export interop —
+    they erase types (decimal→string on re-read without a schema) and are
+    not the 100 TB storage path; parquet/orc are."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.options(header="true", timestampFormat=_TS_FMT, dateFormat=_DATE_FMT)
+    elif fmt == "json":
+        writer = writer.options(timestampFormat=_TS_FMT, dateFormat=_DATE_FMT)
+    if options:
+        writer = writer.options(**options)
+    getattr(writer, fmt)(path)
