@@ -48,6 +48,10 @@ PIPELINES = {
     "receita_produto_f_m_passado": ("receita_produto_f_m_passado", ["mes", "farmer_id"]),
     "fechamento_m_presente": ("fechamento_m_presente", ["mes"]),
     "fechamento_m_passado": ("fechamento_m_passado", ["mes"]),
+    # extension surface: the training-data curation composition (quality
+    # gate → exact dedup → stratified sample), partitioned by language so
+    # per-language refreshes replace only their partitions
+    "curation": ("curation_pipeline", ["lang"]),
 }
 
 
