@@ -17,14 +17,22 @@ from etl_gamma_spark.operators.similarity import brute_force_topk, lsh_topk
 from tests.conftest import SF_CORRECT
 
 
+# Cached for reuse within this module, UNPERSISTED at teardown: Spark's
+# cache manager substitutes InMemoryTableScan for ANY later plan reading
+# the same parquet path — a leaked cache made test_plan_quality's
+# PushedFilters assertions vacuous for the rest of the session.
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF_CORRECT}/documents.parquet").cache()
+    df = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def test_exact_dedup_keeps_smallest_id(spark):
@@ -39,14 +47,17 @@ def test_exact_dedup_keeps_smallest_id(spark):
 
 def test_minhash_estimates_track_true_jaccard(spark, docs):
     pairs = minhash_lsh_pairs(docs).cache()
-    assert pairs.count() > 0, "LSH produced no candidate pairs"
-    true = ngram_jaccard_pairs(docs, threshold=0.0)
-    joined = pairs.join(true, ["doc_a", "doc_b"])
-    err = joined.select(
-        F.avg(F.abs(F.col("est_jaccard") - F.col("jaccard"))).alias("mae")
-    ).first()
-    # K=16 weak permutations → loose but real tracking
-    assert err.mae is not None and err.mae < 0.35
+    try:
+        assert pairs.count() > 0, "LSH produced no candidate pairs"
+        true = ngram_jaccard_pairs(docs, threshold=0.0)
+        joined = pairs.join(true, ["doc_a", "doc_b"])
+        err = joined.select(
+            F.avg(F.abs(F.col("est_jaccard") - F.col("jaccard"))).alias("mae")
+        ).first()
+        # K=16 weak permutations → loose but real tracking
+        assert err.mae is not None and err.mae < 0.35
+    finally:
+        pairs.unpersist()
 
 
 def test_high_jaccard_pairs_are_lsh_candidates(spark, docs):
@@ -110,24 +121,27 @@ def test_neardup_clusters_match_union_find(spark, docs):
     from etl_gamma_spark.operators.dedup import neardup_clusters
 
     pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.3).cache()
-    labels = {
-        r.doc_id: r.cluster_id for r in neardup_clusters(docs, pairs).collect()
-    }
-    # reference union-find on the collected edge list
-    parent = {r.doc_id: r.doc_id for r in docs.select("doc_id").collect()}
+    try:
+        labels = {
+            r.doc_id: r.cluster_id for r in neardup_clusters(docs, pairs).collect()
+        }
+        # reference union-find on the collected edge list
+        parent = {r.doc_id: r.doc_id for r in docs.select("doc_id").collect()}
 
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
 
-    for r in pairs.collect():
-        ra, rb = find(r.doc_a), find(r.doc_b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    expected = {d: find(d) for d in parent}
-    assert labels == expected
+        for r in pairs.collect():
+            ra, rb = find(r.doc_a), find(r.doc_b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {d: find(d) for d in parent}
+        assert labels == expected
+    finally:
+        pairs.unpersist()
 
 
 def test_stratified_sample_deterministic_and_bounded(spark, docs):
