@@ -158,3 +158,41 @@ def test_dataset_split_deterministic_and_complete(spark):
     total = sum(a.values())
     train = sum(v for (s, sp), v in a.items() if sp == "train")
     assert 0.75 <= train / total <= 1.0  # ~90% modulo small-sample noise
+
+
+def test_gopher_and_pack_on_seeded_random_corpus(spark):
+    """Fuzz beyond the fixture's word-soup distribution: one Spark
+    round-trip over a few hundred seeded-random docs (varying word
+    lengths, repetition levels, sizes straddling every gate), checked
+    against the pure-Python model."""
+    import random
+
+    from etl_gamma_spark.operators.quality import gopher_repetition, sequence_pack
+
+    rng = random.Random(20260813)
+    vocab = [f"w{i}" * rng.randint(1, 5) for i in range(80)]
+    rows = []
+    for did in range(300):
+        n = rng.choice([1, 2, 3, 5, 9, 10, 11, 40, 150])
+        if rng.random() < 0.3:  # repetitive block
+            block = [rng.choice(vocab)] * rng.randint(2, 6)
+            words = (block * (n // len(block) + 1))[:n]
+        else:
+            words = [rng.choice(vocab) for _ in range(n)]
+        rows.append((did, " ".join(words), f"s{did % 3}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    got = gopher_repetition(df).collect()
+    texts = {i: t for i, t, _ in rows}
+    _check_rows([dict(r.asDict(), __text=texts[r["doc_id"]]) for r in got])
+
+    packed = {r["doc_id"]: r for r in sequence_pack(df, capacity=64).collect()}
+    running = {}
+    for did, text, src in sorted(rows, key=lambda x: (x[2], x[0])):
+        n = len(text.split(" "))
+        start = running.get(src, 0)
+        running[src] = start + n
+        r = packed[did]
+        assert r["start_offset"] == start, did
+        assert r["bin_first"] == start // 64, did
+        assert r["bin_last"] == (start // 64 if n == 0 else (start + n - 1) // 64), did
