@@ -363,7 +363,7 @@ def ivf_topk(
         f"CAST({vec_col} AS ARRAY<DOUBLE>) AS qv", f"{id_col} AS __qid"
     )
     probe = (
-        centroids.crossJoin(F.broadcast(q))
+        bcast_attach(centroids, q, "centroid_id", "__qid")
         .selectExpr("centroid_id", f"{dist2_unrolled('qv', 'centroid', dim)} AS d2")
         .orderBy("d2", "centroid_id")
         .limit(n_probe)

@@ -115,8 +115,13 @@ def test_similarity_scoring_stages_keep_codegen(spark):
     # broadcast query/centroid attachment goes through bcast_attach
     # (constant-key BroadcastHashJoin) — a BNLJ would disable whole-stage
     # codegen for the unrolled scoring arithmetic, the hottest stage of
-    # every similarity query. ivf_topk's 16-row centroid probe is exempt.
-    for name in ["embedding_topk", "embedding_knn_join", "embedding_lsh_topk"]:
+    # every similarity query.
+    for name in [
+        "embedding_topk",
+        "embedding_knn_join",
+        "embedding_lsh_topk",
+        "embedding_ivf_topk",
+    ]:
         plan = _explain(QUERIES[name](spark, SF_CORRECT))
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
