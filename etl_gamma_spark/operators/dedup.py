@@ -91,12 +91,25 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over the MinHash
     signature (4 bands × 4 rows), with the MinHash-estimated Jaccard.
 
     Returns (doc_a, doc_b, est_jaccard) for pairs sharing ≥1 band bucket.
+
+    Band buckets holding more than ``max_bucket`` documents are dropped
+    before candidate generation — the skew guard for duplicate-heavy
+    corpora (the corpora dedup exists for): every member of a large
+    duplicate cluster shares band keys, so one bucket's self-join output
+    is quadratic in cluster size. An over-cap bucket is, by construction,
+    a near-identical cluster — route it through :func:`exact_dedup_groups`
+    instead of pairwise LSH. Per-bucket join work is thus bounded at
+    ``max_bucket²`` regardless of corpus size.
     """
     # localCheckpoint (not cache): materialized once, lineage truncated,
     # and storage is released by the ContextCleaner when the frame goes out
@@ -112,8 +125,18 @@ def minhash_lsh_pairs(
         )
         bands = b if bands is None else bands.unionByName(b)
 
-    left = bands.select(F.col(id_col).alias("doc_a"), "band", "bkey")
-    right = bands.select(F.col(id_col).alias("doc_b"), "band", "bkey")
+    # bucket-size cap: per-bucket count is a map-side-combinable agg; the
+    # ok-bucket frame is per-BUCKET (not per-doc) and joins back on the
+    # band key — no broadcast hint (O(#buckets) can approach O(corpus))
+    ok = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count("*").alias("__bc"))
+        .filter(F.col("__bc") <= max_bucket)
+        .select("band", "bkey")
+    )
+    capped = bands.join(ok, ["band", "bkey"])
+    left = capped.select(F.col(id_col).alias("doc_a"), "band", "bkey")
+    right = capped.select(F.col(id_col).alias("doc_b"), "band", "bkey")
     cand = (
         left.join(right, ["band", "bkey"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -143,14 +166,33 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    max_df: int = 50,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs via a shingle inverted index:
-    |A∩B| from a self-join on shingle, |A∪B| = |A|+|B|-|A∩B|."""
+    """n-gram Jaccard similarity pairs via a shingle inverted index:
+    |A∩B| from a self-join on shingle, |A∪B| = |A|+|B|-|A∩B|.
+
+    Shingles appearing in more than ``max_df`` documents are dropped from
+    the inverted index first (same stop-gram practice as
+    :func:`winnow_overlap_pairs`): a boilerplate shingle present in ~every
+    document makes that one join key's output quadratic in corpus size —
+    the classic skewed-key scale killer. Set sizes (|A|, |B|) still count
+    ALL shingles, so the reported jaccard is exact when no shingle of the
+    pair was capped and a strict lower bound otherwise (conservative for
+    dedup: capped boilerplate never manufactures similarity)."""
     sh = shingle_sets(docs, text_col, id_col, n).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    # df-cap stop-shingles; per-SHINGLE frame joins back on shingle — no
+    # broadcast hint (O(vocabulary) ~ O(corpus) at scale)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("shingle")
+    )
+    shr = sh.join(rare, "shingle")
+    a = shr.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shr.select(F.col(id_col).alias("doc_b"), "shingle")
     shared = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -334,6 +376,7 @@ def simhash_neardup_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     n_bands: int = 4,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: candidates generated by banding the
     signature into ``n_bands`` slices (pigeonhole: any pair within Hamming
@@ -343,6 +386,14 @@ def simhash_neardup_pairs(
     32-bit default: with 16-bit signatures each band key has only 4 bits
     (16 values), so every band bucket holds ~N/16 docs and the candidate
     join degenerates toward all-pairs; 8-bit band keys keep buckets sparse.
+
+    Band buckets above ``max_bucket`` documents are dropped before the
+    candidate self-join (skew guard — a degenerate value such as empty /
+    boilerplate text puts a whole duplicate cluster in one bucket and
+    makes its join output quadratic). Over-cap clusters belong to
+    :func:`exact_dedup_groups`. For corpus-scale runs the primary knob is
+    band WIDTH (wider signatures → more distinct band keys → sparser
+    buckets); the cap bounds what width cannot: true duplicate mass.
     """
     if max_hamming >= n_bands:
         raise ValueError(
@@ -363,8 +414,15 @@ def simhash_neardup_pairs(
             f"(CAST(simhash AS BIGINT) >> {b * band_bits}) & {(1 << band_bits) - 1} AS bkey",
         )
         bands = part if bands is None else bands.unionByName(part)
-    left = bands.selectExpr(f"{id_col} AS doc_a", "simhash AS sim_a", "band", "bkey")
-    right = bands.selectExpr(f"{id_col} AS doc_b", "simhash AS sim_b", "band", "bkey")
+    ok = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count("*").alias("__bc"))
+        .filter(F.col("__bc") <= max_bucket)
+        .select("band", "bkey")
+    )
+    capped = bands.join(ok, ["band", "bkey"])
+    left = capped.selectExpr(f"{id_col} AS doc_a", "simhash AS sim_a", "band", "bkey")
+    right = capped.selectExpr(f"{id_col} AS doc_b", "simhash AS sim_b", "band", "bkey")
     return (
         left.join(right, ["band", "bkey"])
         .filter(F.col("doc_a") < F.col("doc_b"))

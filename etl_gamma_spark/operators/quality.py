@@ -188,6 +188,7 @@ def contamination_pairs(
     bench_mod: int = 97,
     n: int = 3,
     min_shared: int = 2,
+    max_df: int = 1000,
 ) -> DataFrame:
     """(doc_id, bench_id, n_shared, contamination): corpus documents whose
     distinct word n-grams overlap a benchmark document's by at least
@@ -198,6 +199,15 @@ def contamination_pairs(
     == 0`` slice of the same table (the fixtures carry no separate eval
     set); in production the bench side is its own table and the plan is
     unchanged. Benchmark docs are excluded from the corpus side.
+
+    Shingles held by more than ``max_df`` CORPUS documents are dropped
+    from the corpus side before the join (skew guard, same stop-gram
+    practice as ngram_jaccard_pairs/winnowing): a boilerplate shingle's
+    posting list otherwise fans out |corpus_df| × |bench_df| rows through
+    one join key. Benchmark shingle counts (the contamination
+    denominator) are untouched, so the ratio is a lower bound when a
+    boilerplate gram was capped — conservative in the right direction
+    (boilerplate overlap is not contamination evidence).
     """
     sh = shingle_sets(docs, text_col, id_col, n).localCheckpoint()
     bench = sh.filter((F.col(id_col) % bench_mod) == 0).select(
@@ -205,6 +215,15 @@ def contamination_pairs(
     )
     bench_sizes = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
     corpus = sh.filter((F.col(id_col) % bench_mod) != 0)
+    # df-cap stop-shingles on the corpus side (per-SHINGLE frame — joins
+    # back on shingle, no broadcast hint)
+    rare = (
+        corpus.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("shingle")
+    )
+    corpus = corpus.join(rare, "shingle")
     shared = (
         corpus.join(bench, "shingle")
         .groupBy(id_col, "bench_id")

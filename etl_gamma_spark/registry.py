@@ -864,7 +864,7 @@ def q_minhash_signatures(spark, sf_dir):
     return DD.minhash_signatures(spark.table("documents"))
 
 
-def _minhash_pairs_sql(d: str) -> str:
+def _minhash_pairs_sql(d: str, max_bucket: int = 1024) -> str:
     bands = ",\n       ".join(T.band_key_exprs(d))
     band_union = "\nUNION ALL ".join(
         f"SELECT doc_id, {b} AS band, band{b} AS bkey FROM banded"
@@ -893,9 +893,17 @@ banded AS (
 bands_long AS (
 {band_union}
 ),
+bucket_ok AS (
+    SELECT band, bkey FROM bands_long
+    GROUP BY band, bkey HAVING COUNT(*) <= {max_bucket}
+),
+bands_ok AS (
+    SELECT l.doc_id, l.band, l.bkey
+    FROM bands_long l JOIN bucket_ok o ON l.band = o.band AND l.bkey = o.bkey
+),
 cand AS (
     SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-    FROM bands_long l JOIN bands_long r ON l.band = r.band AND l.bkey = r.bkey
+    FROM bands_ok l JOIN bands_ok r ON l.band = r.band AND l.bkey = r.bkey
     WHERE l.doc_id < r.doc_id
 )
 SELECT c.doc_a, c.doc_b,
@@ -911,7 +919,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return DD.minhash_lsh_pairs(spark.table("documents"))
 
 
-def _jaccard_pairs_sql(d: str, threshold: float) -> str:
+def _jaccard_pairs_sql(d: str, threshold: float, max_df: int = 50) -> str:
     return f"""
 WITH words AS (
     SELECT doc_id, {T.split_ws('text', d)} AS w, text FROM documents
@@ -921,9 +929,13 @@ sh0 AS (
 ),
 sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {max_df}
+),
+shr AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare r ON s.shingle = r.shingle),
 shared AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    FROM shr a JOIN shr b ON a.shingle = b.shingle
     WHERE a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
@@ -1732,7 +1744,9 @@ from .operators.dedup import exact_dedup_keep as _exact_keep  # noqa: E402
 from .operators.dedup import simhash_neardup_pairs as _simhash_pairs  # noqa: E402
 
 
-def _simhash_pairs_sql(d: str, bits: int = 32, max_hamming: int = 3) -> str:
+def _simhash_pairs_sql(
+    d: str, bits: int = 32, max_hamming: int = 3, max_bucket: int = 1024
+) -> str:
     base = _simhash_sql(d, bits).strip()
     band_bits = bits // 4
     mask = (1 << band_bits) - 1
@@ -1747,10 +1761,18 @@ WITH sigs AS ({base}),
 bands AS (
 {bands}
 ),
+bucket_ok AS (
+    SELECT band, bkey FROM bands
+    GROUP BY band, bkey HAVING COUNT(*) <= {max_bucket}
+),
+bands_ok AS (
+    SELECT b.doc_id, b.simhash, b.band, b.bkey
+    FROM bands b JOIN bucket_ok o ON b.band = o.band AND b.bkey = o.bkey
+),
 cand AS (
     SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
            l.simhash AS a_sim, r.simhash AS b_sim
-    FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey
+    FROM bands_ok l JOIN bands_ok r ON l.band = r.band AND l.bkey = r.bkey
     WHERE l.doc_id < r.doc_id
 )
 SELECT doc_a, doc_b, {ham} AS hamming
@@ -2466,7 +2488,9 @@ def q_gopher_repetition(spark, sf_dir):
     return Q.gopher_repetition(spark.table("documents"))
 
 
-def _contamination_sql(d: str, bench_mod: int = 97, min_shared: int = 2) -> str:
+def _contamination_sql(
+    d: str, bench_mod: int = 97, min_shared: int = 2, max_df: int = 1000
+) -> str:
     return f"""
 WITH words AS (
     SELECT doc_id, {T.split_ws('text', d)} AS w, text FROM documents
@@ -2479,7 +2503,11 @@ bench AS (
     SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % {bench_mod} = 0
 ),
 bsz AS (SELECT bench_id, COUNT(*) AS n_bench FROM bench GROUP BY 1),
-corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {bench_mod} <> 0),
+corpus0 AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {bench_mod} <> 0),
+rare AS (
+    SELECT shingle FROM corpus0 GROUP BY shingle HAVING COUNT(*) <= {max_df}
+),
+corpus AS (SELECT c.doc_id, c.shingle FROM corpus0 c JOIN rare r USING (shingle)),
 shared AS (
     SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
     FROM corpus c JOIN bench b USING (shingle)

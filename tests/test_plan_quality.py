@@ -127,6 +127,74 @@ def test_similarity_scoring_stages_keep_codegen(spark):
         assert "BroadcastHashJoin" in plan, name
 
 
+def test_pair_generators_bounded_on_duplicate_heavy_corpus(spark):
+    # The adversarial corpus dedup exists for: 10k copies of one
+    # boilerplate document. Without the skew caps every band bucket /
+    # shingle posting list holds all 10k docs and candidate generation
+    # emits ~n²/2 ≈ 50M pairs through ONE join key. With the caps
+    # (max_bucket / max_df) those keys are dropped before the self-join,
+    # so candidate output stays O(n·cap) — here exactly 0, because every
+    # key is over-cap. (The cluster itself is exact-dedup's job: all
+    # copies share one md5 fingerprint.)
+    from etl_gamma_spark.operators.dedup import (
+        exact_dedup_groups,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_neardup_pairs,
+    )
+    from etl_gamma_spark.operators.quality import contamination_pairs
+
+    n = 10_000
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "'the same boilerplate header text appears on every page of this"
+        " corpus dump over and over' AS text",
+    )
+    assert minhash_lsh_pairs(docs).count() == 0
+    assert simhash_neardup_pairs(docs).count() == 0
+    assert ngram_jaccard_pairs(docs).count() == 0
+    assert contamination_pairs(docs).count() == 0
+    # the duplicate mass is still fully visible to exact dedup
+    [grp] = exact_dedup_groups(docs).collect()
+    assert grp.n_docs == n and grp.keeper == 0
+
+    # and a duplicate cluster BELOW the caps still pairs up completely:
+    # the caps remove degenerate keys, not legitimate near-dup signal
+    small = spark.range(20).selectExpr(
+        "id AS doc_id",
+        "'a perfectly ordinary duplicated paragraph of words' AS text",
+    )
+    assert minhash_lsh_pairs(small).count() == 20 * 19 // 2
+
+
+def test_pair_candidate_joins_degrade_to_shuffle_not_broadcast(spark):
+    # AQE skew-join canary: at corpus scale no side of a candidate
+    # self-join fits in a broadcast. Simulate that by forbidding
+    # broadcast (threshold -1) and assert every capped pair op plans its
+    # joins as shuffle joins (sort-merge / shuffled-hash) — which AQE's
+    # skew-join splitter can then subdivide — never a nested loop and
+    # never a forced broadcast that would OOM at 100×.
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in [
+            "minhash_lsh_pairs",
+            "simhash_neardup_pairs",
+            "ngram_jaccard_pairs",
+            "contamination_pairs",
+        ]:
+            plan = _explain(QUERIES[name](spark, SF_CORRECT))
+            assert "BroadcastNestedLoopJoin" not in plan, name
+            assert "BroadcastHashJoin" not in plan, (
+                f"{name}: forced broadcast survives a -1 threshold"
+            )
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_quality_ops_plan_shape(spark):
     # per-doc aggregate frames join back on doc_id WITHOUT a forced
     # broadcast hint (O(N) tables — AQE may broadcast at small SF, a real
