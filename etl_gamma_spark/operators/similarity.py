@@ -88,9 +88,24 @@ def bcast_attach(
     0, but not foldable, so Catalyst cannot simplify the condition to
     literal true and fall back to a cross join) yields a
     BroadcastHashJoin with identical output rows and codegen intact.
+
+    The key columns are coalesced (``coalesce(src % 1, 0)`` — still
+    column-derived, still unfoldable) so NULL-keyed rows keep the
+    cross-join row semantics this helper replaces; a bare ``NULL % 1``
+    would silently drop those probe rows at the equi-join.
     """
-    p = probe.withColumn("__j", (F.col(probe_key_src) % 1).cast("int"))
-    b = build.withColumn("__j", (F.col(build_key_src) % 1).cast("int"))
+    for side, frame in (("probe", probe), ("build", build)):
+        if "__j" in frame.columns:
+            raise ValueError(
+                f"bcast_attach: {side} frame already carries a '__j' column; "
+                "rename it first (the helper uses '__j' as its join key)"
+            )
+    p = probe.withColumn(
+        "__j", F.coalesce(F.col(probe_key_src) % 1, F.lit(0)).cast("int")
+    )
+    b = build.withColumn(
+        "__j", F.coalesce(F.col(build_key_src) % 1, F.lit(0)).cast("int")
+    )
     return p.join(F.broadcast(b), "__j").drop("__j")
 
 

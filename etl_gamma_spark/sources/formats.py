@@ -44,8 +44,17 @@ def read_any(
     if fmt == "csv":
         if schema is None:
             raise ValueError("csv reads require an explicit schema (no inferSchema at scale)")
+        # nullValue/emptyValue disambiguate NULL vs '' (by default Spark
+        # writes both as an empty field and reads it back as NULL). The
+        # \\N sentinel is the MySQL/Hive convention; a literal '\\N' field
+        # value is the one residual ambiguity (reads back as NULL).
         reader = reader.options(
-            header="true", mode="FAILFAST", timestampFormat=_TS_FMT, dateFormat=_DATE_FMT
+            header="true",
+            mode="FAILFAST",
+            timestampFormat=_TS_FMT,
+            dateFormat=_DATE_FMT,
+            nullValue="\\N",
+            emptyValue="",
         )
     elif fmt == "json":
         if schema is None:
@@ -66,7 +75,12 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite", **opt
         raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
     writer = df.write.mode(mode)
     if fmt == "csv":
-        writer = writer.options(header="true", timestampFormat=_TS_FMT, dateFormat=_DATE_FMT)
+        writer = writer.options(
+            header="true",
+            timestampFormat=_TS_FMT,
+            dateFormat=_DATE_FMT,
+            nullValue="\\N",
+        )
     elif fmt == "json":
         writer = writer.options(timestampFormat=_TS_FMT, dateFormat=_DATE_FMT)
     if options:

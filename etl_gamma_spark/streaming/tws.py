@@ -49,7 +49,7 @@ def tws_available() -> bool:
 
 
 def _user_stats_processor():
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
@@ -85,12 +85,20 @@ def _user_stats_processor():
             if self._state.exists():
                 prev_n, prev_total, prev_ts = self._state.get()
                 n, total, last_ts = prev_n, Decimal(prev_total), prev_ts
+            six = Decimal("0.000001")
             for pdf in rows:
                 n += len(pdf)
                 # ROUND(value, 6) per row, then exact Decimal sum —
-                # associative+commutative, so shuffle order is irrelevant
+                # associative+commutative, so shuffle order is irrelevant.
+                # HALF_UP on the shortest decimal repr (Decimal(str(v)))
+                # mirrors Spark/DuckDB ROUND; Python's round() would be
+                # banker's-rounding on the binary double and diverge at
+                # half boundaries (e.g. 1.0000005).
                 total += sum(
-                    (Decimal(str(round(float(v), 6))) for v in pdf["value"]),
+                    (
+                        Decimal(str(v)).quantize(six, rounding=ROUND_HALF_UP)
+                        for v in pdf["value"]
+                    ),
                     Decimal("0"),
                 )
                 batch_max = pdf["ts"].max()

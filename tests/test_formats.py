@@ -33,6 +33,22 @@ def test_csv_and_json_require_schema(spark, tmp_path):
             read_any(spark, path, fmt)
 
 
+def test_csv_null_vs_empty_string_roundtrip(spark, tmp_path):
+    # Default Spark CSV writes NULL and '' as the same empty field and
+    # reads both back as NULL. The \\N nullValue sentinel (ADVICE round 4)
+    # must keep them distinct through a full write→read cycle.
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("s", StringType())]
+    )
+    src = spark.createDataFrame([(1, None), (2, ""), (3, "x")], schema)
+    path = str(tmp_path / "ne.csv")
+    write_any(src, path, "csv")
+    back = read_any(spark, path, "csv", schema=schema)
+    assert {r.id: r.s for r in back.collect()} == {1: None, 2: "", 3: "x"}
+
+
 def test_unknown_format_rejected(spark, tmp_path):
     src = load_table(spark, SF_SMOKE, "nation")
     with pytest.raises(ValueError, match="unsupported format"):

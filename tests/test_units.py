@@ -80,3 +80,23 @@ def test_minhash_identical_docs_same_signature(spark):
     sigs = {r.doc_id: tuple(r[f"m{j}"] for j in range(16)) for r in minhash_signatures(df).collect()}
     assert sigs[1] == sigs[2]
     assert sigs[1] != sigs[3]
+
+
+def test_bcast_attach_null_keys_and_collision_guard(spark):
+    # NULL-keyed probe rows must survive (cross-join semantics — ADVICE
+    # round 4: a bare NULL % 1 key silently dropped them), and a
+    # pre-existing __j column must be rejected, not silently clobbered.
+    from etl_gamma_spark.operators.similarity import bcast_attach
+
+    probe = spark.createDataFrame(
+        [(1,), (None,), (3,)], "k bigint"
+    )
+    build = spark.createDataFrame([(None, "attached")], "bk bigint, tag string")
+    got = {r.k: r.tag for r in bcast_attach(probe, build, "k", "bk").collect()}
+    assert got == {1: "attached", None: "attached", 3: "attached"}
+
+    clash = probe.withColumn("__j", F.lit(9))
+    with pytest.raises(ValueError, match="__j"):
+        bcast_attach(clash, build, "k", "bk")
+    with pytest.raises(ValueError, match="__j"):
+        bcast_attach(probe, clash.withColumnRenamed("k", "bk"), "k", "bk")
