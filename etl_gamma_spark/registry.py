@@ -2597,6 +2597,15 @@ def q_dataset_split(spark, sf_dir):
 #   embedding_knn_join            window-top-k shape also proven by
 #                                 embedding_topk + topk_users_per_event_type
 #   receita_cube                  GROUPING SETS family; rollup + grouping_sets graded
+#
+# Round-5 rotation (VERDICT r4 item 2): the four curation ops
+# (gopher_repetition, contamination_pairs, sequence_pack, dataset_split)
+# move INTO the graded window so the driver hash-checks the newest
+# operator family; displaced to the tail, each transitively proven:
+#   winnow_fingerprints           consumed verbatim by graded winnow_overlap_pairs
+#   embedding_ivf_build           consumed verbatim by graded embedding_ivf_topk
+#   media_frame_sample            same mapInPandas plumbing as graded media_stats
+#   receita_grouping_sets         GROUPING SETS family; receita_rollup graded
 # ---------------------------------------------------------------------------
 
 UNGRADED_QUERIES: tuple[str, ...] = (
@@ -2611,12 +2620,10 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "media_features",
     "embedding_knn_join",
     "receita_cube",
-    # round-4 additions — pytest-oracle-checked; rotate into the graded
-    # window only by displacing an existing green entry deliberately
-    "gopher_repetition",
-    "contamination_pairs",
-    "sequence_pack",
-    "dataset_split",
+    "winnow_fingerprints",
+    "embedding_ivf_build",
+    "media_frame_sample",
+    "receita_grouping_sets",
 )
 
 GRADED_QUERIES: tuple[str, ...] = tuple(
