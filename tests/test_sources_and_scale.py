@@ -134,3 +134,48 @@ def test_expectations_on_model_tables(spark):
         V.run_expectations(bad, [])
     with _pt.raises(ValueError, match="at least one"):
         V.not_null()
+
+
+def test_multi_file_inputs_identical_results_no_plan_degradation(spark, tmp_path):
+    # io.spread() and the single-file fixtures could mask partition-count
+    # assumptions: a 1-partition local read makes every small join
+    # auto-broadcast and hides ordering/layout sensitivity. Re-materialize
+    # documents + embeddings as 8-file parquet and assert the heavy pair /
+    # similarity queries return IDENTICAL row sets with no plan
+    # degradation (no nested-loop joins sneaking in). All tested outputs
+    # are row-local or order-independent computations, so any difference
+    # is a real partition-layout sensitivity.
+    import os
+
+    from etl_gamma_spark.registry import QUERIES
+
+    mdir = tmp_path / "sf_multi"
+    mdir.mkdir()
+    for fname in os.listdir(SF_SMOKE):
+        table = fname.split(".")[0]
+        if table in ("documents", "embeddings"):
+            df = spark.read.parquet(f"{SF_SMOKE}/{fname}")
+            df.repartition(8).write.parquet(str(mdir / fname))
+        else:
+            os.symlink(f"{SF_SMOKE}/{fname}", str(mdir / fname))
+    assert len([f for f in os.listdir(mdir / "documents.parquet") if f.endswith(".parquet")]) == 8
+
+    for name in [
+        "minhash_lsh_pairs",
+        "ngram_jaccard_pairs",
+        "simhash_neardup_pairs",
+        "winnow_overlap_pairs",
+        "embedding_topk",
+        "embedding_lsh_topk",
+        "embedding_neardup_pairs",
+    ]:
+        base = sorted(map(str, QUERIES[name](spark, SF_SMOKE).collect()))
+        multi_df = QUERIES[name](spark, str(mdir))
+        plan = multi_df._jdf.queryExecution().explainString(
+            multi_df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        multi = sorted(map(str, multi_df.collect()))
+        assert multi == base, f"{name}: results differ across file layouts"
