@@ -20,7 +20,7 @@ Scale posture per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -125,16 +125,17 @@ def minhash_lsh_pairs(
         )
         bands = b if bands is None else bands.unionByName(b)
 
-    # bucket-size cap: per-bucket count is a map-side-combinable agg; the
-    # ok-bucket frame is per-BUCKET (not per-doc) and joins back on the
-    # band key — no broadcast hint (O(#buckets) can approach O(corpus))
-    ok = (
-        bands.groupBy("band", "bkey")
-        .agg(F.count("*").alias("__bc"))
+    # bucket-size cap as a WINDOW count over (band, bkey): the self-join
+    # below shuffles on exactly those keys anyway, so the window's
+    # exchange is reusable — a groupBy+join formulation costs an extra
+    # aggregate shuffle (measured ~20% slower at sf0.1)
+    capped = (
+        bands.withColumn(
+            "__bc", F.count("*").over(Window.partitionBy("band", "bkey"))
+        )
         .filter(F.col("__bc") <= max_bucket)
-        .select("band", "bkey")
+        .drop("__bc")
     )
-    capped = bands.join(ok, ["band", "bkey"])
     left = capped.select(F.col(id_col).alias("doc_a"), "band", "bkey")
     right = capped.select(F.col(id_col).alias("doc_b"), "band", "bkey")
     cand = (
@@ -182,15 +183,14 @@ def ngram_jaccard_pairs(
     sh = shingle_sets(docs, text_col, id_col, n).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
-    # df-cap stop-shingles; per-SHINGLE frame joins back on shingle — no
-    # broadcast hint (O(vocabulary) ~ O(corpus) at scale)
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("__df"))
+    # df-cap stop-shingles as a window count over shingle — the inverted-
+    # index self-join shuffles on shingle anyway (exchange reuse; a
+    # groupBy+join would add an aggregate shuffle)
+    shr = (
+        sh.withColumn("__df", F.count("*").over(Window.partitionBy("shingle")))
         .filter(F.col("__df") <= max_df)
-        .select("shingle")
+        .drop("__df")
     )
-    shr = sh.join(rare, "shingle")
     a = shr.select(F.col(id_col).alias("doc_a"), "shingle")
     b = shr.select(F.col(id_col).alias("doc_b"), "shingle")
     shared = (
@@ -414,13 +414,13 @@ def simhash_neardup_pairs(
             f"(CAST(simhash AS BIGINT) >> {b * band_bits}) & {(1 << band_bits) - 1} AS bkey",
         )
         bands = part if bands is None else bands.unionByName(part)
-    ok = (
-        bands.groupBy("band", "bkey")
-        .agg(F.count("*").alias("__bc"))
+    capped = (
+        bands.withColumn(
+            "__bc", F.count("*").over(Window.partitionBy("band", "bkey"))
+        )
         .filter(F.col("__bc") <= max_bucket)
-        .select("band", "bkey")
+        .drop("__bc")
     )
-    capped = bands.join(ok, ["band", "bkey"])
     left = capped.selectExpr(f"{id_col} AS doc_a", "simhash AS sim_a", "band", "bkey")
     right = capped.selectExpr(f"{id_col} AS doc_b", "simhash AS sim_b", "band", "bkey")
     return (

@@ -215,15 +215,15 @@ def contamination_pairs(
     )
     bench_sizes = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
     corpus = sh.filter((F.col(id_col) % bench_mod) != 0)
-    # df-cap stop-shingles on the corpus side (per-SHINGLE frame — joins
-    # back on shingle, no broadcast hint)
-    rare = (
-        corpus.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("__df"))
+    # df-cap stop-shingles on the corpus side as a window count — the
+    # bench join shuffles on shingle anyway (exchange reuse)
+    corpus = (
+        corpus.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .filter(F.col("__df") <= max_df)
-        .select("shingle")
+        .drop("__df")
     )
-    corpus = corpus.join(rare, "shingle")
     shared = (
         corpus.join(bench, "shingle")
         .groupBy(id_col, "bench_id")

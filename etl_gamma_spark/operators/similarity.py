@@ -409,9 +409,18 @@ def embedding_neardup_pairs(
     Candidates come from the cheap SRP bucket codes — pairs whose codes
     differ in more than ``probe_radius`` of ``n_planes`` sign bits are
     skipped before any 64-dim arithmetic; survivors get the exact cosine.
-    The candidate stage here is a code-to-code comparison (fine for
-    dim-table-sized corpora); at 100 TB band the codes and equi-join
-    buckets exactly like simhash_neardup_pairs.
+
+    Candidate generation is BANDED like simhash_neardup_pairs: the code
+    splits into ``n_bands`` fragments, and since a pair within Hamming
+    distance r has SOME band differing by <= floor(r / n_bands) bits
+    (pigeonhole on the distance, not the bits), each band side multi-probes
+    its <=floor(r/n_bands)-bit mask neighborhood and equi-joins on the
+    (band, probed-fragment) key — 2×5 = 10× fan-out for the 8-bit/r=3
+    default vs 93× for whole-code mask probing. Band matches are a
+    superset, so an exact code-Hamming verify runs before any vector
+    attaches. At corpus scale the knob is ``n_planes`` (wider codes →
+    more distinct band keys → sparser buckets); the join stays the same
+    shape.
     """
     # materialize codes + pre-cast vectors + per-row norms once; the
     # self-join would otherwise recompute these projections per PAIR
@@ -421,26 +430,67 @@ def embedding_neardup_pairs(
         .selectExpr(id_col, "v", "bucket", f"sqrt({dot_unrolled('v', 'v', dim)}) AS nrm")
         .localCheckpoint()
     )
-    # multi-probe expansion: a pair is within Hamming distance r iff
-    # code_a XOR code_b is one of the masks with <= r bits set, so explode
-    # each row over those masks and EQUI-join on the probed code — a
-    # codegen'd hash join instead of a nested-loop (which disables
-    # whole-stage codegen for the whole stage). Each qualifying pair
-    # matches exactly one mask, so no dedup is needed.
-    masks = [m for m in range(1 << n_planes) if bin(m).count("1") <= probe_radius]
-    # pair generation carries ONLY (id, code): exploding the 64-double
-    # vectors through the mask fan-out would multiply the shuffle ~93×;
-    # vectors re-attach afterwards via two SHUFFLE hash joins on id —
-    # the vector table is the full corpus, never broadcast it
+    # banded multi-probe candidate generation. Pair generation carries
+    # ONLY (id, code): exploding the 64-double vectors through the probe
+    # fan-out would multiply the shuffle ~10×; vectors re-attach
+    # afterwards via two SHUFFLE hash joins on id — the vector table is
+    # the full corpus, never broadcast it.
+    n_bands = 2
+    band_bits = n_planes // n_bands
+    band_mask = (1 << band_bits) - 1
+    pb_radius = probe_radius // n_bands
+    pmasks = [m for m in range(1 << band_bits) if bin(m).count("1") <= pb_radius]
     codes = b.selectExpr(id_col, "bucket")
-    left = codes.selectExpr(
-        f"{id_col} AS id_a",
-        f"explode(array({', '.join(str(m) for m in masks)})) AS __mask",
-        "bucket",
-    ).selectExpr("id_a", "(bucket ^ __mask) AS probe_code")
-    right = codes.selectExpr(f"{id_col} AS id_b", "bucket AS code_b")
-    pairs = left.join(right, F.expr("probe_code = code_b AND id_a < id_b")).select(
-        "id_a", "id_b"
+
+    def _band_long(frame, id_alias, code_alias, probe):
+        out = None
+        for band in range(n_bands):
+            frag = f"((bucket >> {band * band_bits}) & {band_mask})"
+            if probe:
+                part = frame.selectExpr(
+                    f"{id_col} AS {id_alias}",
+                    f"bucket AS {code_alias}",
+                    f"{band} AS __band",
+                    f"explode(array({', '.join(str(m) for m in pmasks)})) AS __mask",
+                    f"{frag} AS __frag",
+                ).selectExpr(
+                    id_alias, code_alias, "__band", "(__frag ^ __mask) AS __bkey"
+                )
+            else:
+                part = frame.selectExpr(
+                    f"{id_col} AS {id_alias}",
+                    f"bucket AS {code_alias}",
+                    f"{band} AS __band",
+                    f"{frag} AS __bkey",
+                )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    left = _band_long(codes, "id_a", "code_a", probe=True)
+    right = _band_long(codes, "id_b", "code_b", probe=False)
+    # dedup WITHOUT a shuffle: within one band a pair matches exactly one
+    # probe mask (the mask equals the fragment xor), so duplicates only
+    # arise across bands — keep the FIRST matching band's row (band j
+    # matched and every earlier band's fragment differs by more than the
+    # per-band probe radius), a pure predicate instead of a distinct()
+    first_band = " OR ".join(
+        "(__band = {b}{earlier})".format(
+            b=band,
+            earlier="".join(
+                f" AND bit_count((code_a ^ code_b) & {band_mask << (j * band_bits)})"
+                f" > {pb_radius}"
+                for j in range(band)
+            ),
+        )
+        for band in range(n_bands)
+    )
+    pairs = (
+        left.join(right, ["__band", "__bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr(first_band))
+        # verify the EXACT code Hamming before any vector arithmetic
+        .filter(F.expr(f"{hamming_expr('code_a', 'code_b')} <= {probe_radius}"))
+        .select("id_a", "id_b")
     )
     va = b.selectExpr(f"{id_col} AS id_a", "v AS v_a", "nrm AS n_a")
     vb = b.selectExpr(f"{id_col} AS id_b", "v AS v_b", "nrm AS n_b")

@@ -195,6 +195,16 @@ def test_pair_candidate_joins_degrade_to_shuffle_not_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_embedding_neardup_candidate_stage_is_banded(spark):
+    # candidate generation must equi-join on (band, probed fragment) keys
+    # — the banded shape that scales with code width — and carry an exact
+    # code-Hamming verify (bit_count on the xor) BEFORE vectors attach
+    plan = _explain(QUERIES["embedding_neardup_pairs"](spark, SF_CORRECT))
+    assert "__band" in plan and "__bkey" in plan, "banded join keys missing"
+    assert "bit_count" in plan, "exact Hamming verify missing"
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_quality_ops_plan_shape(spark):
     # per-doc aggregate frames join back on doc_id WITHOUT a forced
     # broadcast hint (O(N) tables — AQE may broadcast at small SF, a real
