@@ -38,6 +38,8 @@ import datetime as dt
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .similarity import bcast_attach
+
 
 def _farmer_transfers(transfers: DataFrame) -> DataFrame:
     return transfers.filter(F.col("transfer_type") == "FARMER")
@@ -222,7 +224,7 @@ def filter_by_responsibility_bucketed(
     if farmer_id is not None:
         p = p.filter(F.col("farmer_id") == F.lit(farmer_id))
     p = (
-        p.crossJoin(F.broadcast(bound))
+        bcast_attach(p, bound, "start_date", "__max_d")
         .filter(F.col("start_date") <= F.col("__max_d"))
         .withColumn("__end_eff", F.coalesce(F.col("end_date"), F.date_add(F.col("__max_d"), 1)))
         .filter(F.col("start_date") < F.col("__end_eff"))

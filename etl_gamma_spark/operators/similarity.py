@@ -84,15 +84,15 @@ def bcast_attach(
     ``crossJoin(broadcast(q))`` plans as BNLJ, which disables whole-stage
     codegen for the entire probe-side stage — exactly the stage holding the
     unrolled scoring arithmetic (CLAUDE.md: measured ~2.5× on such stages).
-    Joining on a constant key derived FROM A COLUMN (``src % 1`` — always
-    0, but not foldable, so Catalyst cannot simplify the condition to
-    literal true and fall back to a cross join) yields a
+    Joining on a constant key derived FROM A COLUMN (``hash(src) % 1`` —
+    always 0, but not foldable, so Catalyst cannot simplify the condition
+    to literal true and fall back to a cross join) yields a
     BroadcastHashJoin with identical output rows and codegen intact.
 
-    The key columns are coalesced (``coalesce(src % 1, 0)`` — still
-    column-derived, still unfoldable) so NULL-keyed rows keep the
-    cross-join row semantics this helper replaces; a bare ``NULL % 1``
-    would silently drop those probe rows at the equi-join.
+    ``hash`` accepts any column type (ints, text, dates, arrays) and never
+    returns NULL (NULL input hashes to the seed), so rows with NULL keys
+    keep the cross-join row semantics this helper replaces; the coalesce
+    is belt-and-braces only.
     """
     for side, frame in (("probe", probe), ("build", build)):
         if "__j" in frame.columns:
@@ -101,10 +101,10 @@ def bcast_attach(
                 "rename it first (the helper uses '__j' as its join key)"
             )
     p = probe.withColumn(
-        "__j", F.coalesce(F.col(probe_key_src) % 1, F.lit(0)).cast("int")
+        "__j", F.coalesce(F.hash(F.col(probe_key_src)) % 1, F.lit(0)).cast("int")
     )
     b = build.withColumn(
-        "__j", F.coalesce(F.col(build_key_src) % 1, F.lit(0)).cast("int")
+        "__j", F.coalesce(F.hash(F.col(build_key_src)) % 1, F.lit(0)).cast("int")
     )
     return p.join(F.broadcast(b), "__j").drop("__j")
 

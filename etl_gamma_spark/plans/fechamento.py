@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions.calendar import month_floor, month_fmt
 from ..operators.responsibility import client_farmer_periods
+from ..operators.similarity import bcast_attach
 from ..operators.snapshots import latest_snapshot_rows
 from ..rates import RATE_COE_STRUCT
 from .receita_farmer_presente import (
@@ -193,7 +194,7 @@ def fechamento(
 
     comp = compensation.filter(F.col("target_date") == cur)
 
-    joined = (
+    joined = bcast_attach(
         emp.select(
             F.col("employee_id").alias("farmer_id"),
             F.col("name").alias("farmer_name"),
@@ -202,8 +203,10 @@ def fechamento(
         .join(F.broadcast(comp.withColumnRenamed("employee_id", "farmer_id")), "farmer_id", "left")
         .join(F.broadcast(totals), "farmer_id", "left")
         .join(F.broadcast(calculo_receita), "farmer_id", "left")
-        .join(F.broadcast(periodo), "farmer_id", "left")
-        .crossJoin(F.broadcast(data_positivador))
+        .join(F.broadcast(periodo), "farmer_id", "left"),
+        data_positivador,
+        "farmer_id",
+        "data_positivador",
     )
 
     bonus_churn = _bonus_case("churn_total", "target_churn", "junior_churn_bonus", "pleno_churn_bonus")

@@ -215,3 +215,20 @@ def test_quality_ops_plan_shape(spark):
         assert "ResolvedHint" not in analyzed, name
         plan = _explain(df)
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_no_cross_join_anywhere_in_package():
+    """crossJoin(broadcast(1-row)) plans as BroadcastNestedLoopJoin and
+    disables whole-stage codegen for the entire probe stage (CLAUDE.md).
+    similarity.bcast_attach exists precisely to replace it; this source
+    scan keeps the "no BNLJ" invariant grep-enforceable."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "etl_gamma_spark"
+    offenders = [
+        str(p)
+        for p in pkg.rglob("*.py")
+        for line in p.read_text().splitlines()
+        if ".crossJoin(" in line
+    ]
+    assert offenders == [], offenders
