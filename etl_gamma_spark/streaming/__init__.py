@@ -7,11 +7,12 @@ result table.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 # Checkpoint/state-store base for the local memory-sink runs: tmpfs when
 # available (the WAL + HDFSBackedStateStore writes are the bulk of each
@@ -23,6 +24,31 @@ _FAST_DIR = os.environ.get(
     "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
 )
 
+# State-store partition count for the local runs. A stateful streaming
+# query creates one state-store instance PER shuffle partition, and each
+# instance pays a fixed WAL + commit + snapshot cost per micro-batch —
+# with the session's 32 shuffle partitions that fixed cost dominates the
+# demo aggregates (measured at sf0.1: windowed 14.7→3.1 s, sessions
+# 4.2→1.9 s, rollup 2.9→1.7 s going 32→4). On a real cluster this knob is
+# sized to state VOLUME (keys × state size / executor memory), not to the
+# batch default — hence env-overridable, and safe to vary per run because
+# every run here starts from a fresh checkpoint (the partition count is
+# pinned into checkpoint metadata on the first batch).
+STREAM_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+
+
+@contextlib.contextmanager
+def stream_shuffle_partitions(spark: SparkSession):
+    """Temporarily size ``spark.sql.shuffle.partitions`` for a stateful
+    streaming run (see STREAM_SHUFFLE_PARTITIONS); restores the session
+    value afterwards so batch plans are unaffected."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 def run_to_memory(df: DataFrame, query_name: str, output_mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) through a
@@ -32,15 +58,16 @@ def run_to_memory(df: DataFrame, query_name: str, output_mode: str) -> DataFrame
     spark = df.sparkSession
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_", dir=_FAST_DIR)
     try:
-        q = (
-            df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(query_name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_shuffle_partitions(spark):
+            q = (
+                df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(query_name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return spark.table(query_name)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)

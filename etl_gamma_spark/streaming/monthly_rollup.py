@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import read_events_stream
-from . import run_to_memory
+from . import run_to_memory, stream_shuffle_partitions
 
 
 def monthly_event_rollup(events: DataFrame) -> DataFrame:
@@ -69,11 +69,12 @@ def run_streaming_rollup_to_sink(
             return
         write_partition_overwrite(batch_df, out_path, ["mes"])
 
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(agg.sparkSession):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
