@@ -431,3 +431,47 @@ def simhash_neardup_pairs(
         .selectExpr("doc_a", "doc_b", f"{hamming_expr('sim_a', 'sim_b')} AS hamming")
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cluster_prune(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Select ONE representative document per near-duplicate cluster — the
+    corpus-pruning step that turns :func:`neardup_clusters` labels into a
+    deduplicated training set (keep the highest-``score_col`` member, ties
+    to the lowest id — a total order, so the choice is deterministic).
+
+    Output: (doc_id, cluster_id, <score_col>, n_members) — one row per
+    cluster; ``n_members`` is the cluster size, so downstream bookkeeping
+    (how much mass dedup removed per cluster) needs no second pass.
+
+    Scale posture: a single hash aggregate keyed by cluster_id —
+    ``min(struct(-score, id))`` is an ordinary reducible aggregate, so
+    map-side combine collapses each partition's cluster members before the
+    exchange. No window over the cluster partition: a degenerate corpus
+    (everything near-identical → one giant cluster) would funnel that
+    cluster's every row through a single window task, while the agg only
+    funnels pre-combined partials.
+    """
+    joined = docs.select(id_col, score_col).join(clusters, id_col)
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col(score_col)).alias("neg_score"),
+                    F.col(id_col).alias("rep_id"),
+                )
+            ).alias("__best"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            F.col("__best.rep_id").alias(id_col),
+            "cluster_id",
+            (-F.col("__best.neg_score")).alias(score_col),
+            "n_members",
+        )
+    )

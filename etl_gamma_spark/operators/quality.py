@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 from ..io import spread
 from .dedup import shingle_sets
+from .similarity import bcast_attach
 
 S = T.SPARK
 
@@ -235,4 +236,58 @@ def contamination_pairs(
         "bench_id",
         "n_shared",
         "CAST(n_shared AS DOUBLE) / CAST(n_bench AS DOUBLE) AS contamination",
+    )
+
+
+def source_balance(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebalance the corpus to a UNIFORM source mixture by deterministic
+    hash downsampling — the data-mixing step of a training pipeline (fix
+    an over-represented crawl without an RNG, so the same corpus always
+    yields the same mix).
+
+    Every source keeps ``min_count / count`` of its rows, where
+    ``min_count`` is the smallest source's size: the expected kept volume
+    is equal per source (no upsampling — the floor source passes whole).
+    Membership is ``hash(text) % 1e6`` against an integer cross-multiplied
+    threshold — pure int arithmetic, no double rounding, engine-equal.
+
+    Scale posture: one count aggregate over the stratum column (#sources
+    rows — broadcast back), then a scan-local filter; the kept set never
+    shuffles. Adding a target-weight dict instead of the uniform mix is a
+    literal swap of the threshold expression.
+    """
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__c"))
+    floor_ = counts.agg(F.min("__c").alias("__min_c"))
+    thresholds = bcast_attach(counts, floor_, "__c", "__min_c")
+    h = F.expr(f"{T.hexint(text_col, S)} % 1000000")
+    return (
+        docs.join(F.broadcast(thresholds), stratum_col)
+        .filter(h * F.col("__c") < F.col("__min_c") * F.lit(1_000_000))
+        .select(id_col, stratum_col)
+    )
+
+
+def token_histogram(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus-level token frequency top-k (vocabulary/frequency analysis —
+    the first look at any new training corpus, and the input to frequency-
+    based vocab construction).
+
+    Scale posture: explode → hash aggregate (map-side combine collapses
+    each partition's token runs before the exchange) → ``TakeOrderedAndProject``
+    (orderBy+limit never global-sorts: each task keeps its local top-k and
+    the driver merges k-sized heaps). Ties at the cut are broken by token
+    text — a total order, so the k-th row is deterministic in both engines.
+    """
+    words = spread(docs).selectExpr(f"{T.split_ws(text_col, S)} AS w")
+    return (
+        words.select(F.explode("w").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(k)
     )

@@ -1183,6 +1183,7 @@ def q_streaming_dedup_events(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from .operators.dedup import (  # noqa: E402
+    cluster_prune as _cluster_prune,
     minhash_lsh_pairs as _mh_pairs,
     neardup_clusters as _nd_clusters,
     stratified_sample as _strat_sample,
@@ -1257,10 +1258,9 @@ def q_corpus_stats(spark, sf_dir):
 # min-label connected components is a deterministic fixpoint, so the
 # iterative Spark algorithm is oracle-checkable: the DuckDB side computes
 # the same fixpoint with a recursive reachability CTE over the same LSH
-# pairs (label l reaches doc d ⇒ (d, l) ∈ walk; cluster = MIN reachable id)
-@query(
-    "neardup_clusters",
-    f"""
+# pairs (label l reaches doc d ⇒ (d, l) ∈ walk; cluster = MIN reachable id).
+# Shared by the neardup_clusters and cluster_prune oracles.
+_CLUSTERS_RECURSIVE = f"""
 WITH RECURSIVE pairs AS (
     SELECT doc_a, doc_b FROM ({_minhash_pairs_sql(_D)}) p WHERE est_jaccard >= 0.5
 ),
@@ -1273,14 +1273,45 @@ walk(doc_id, label) AS (
     SELECT doc_id, doc_id FROM documents
     UNION
     SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
+),
+clusters AS (
+    SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id
 )
-SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id
-""",
+"""
+
+
+@query(
+    "neardup_clusters",
+    _CLUSTERS_RECURSIVE + "SELECT doc_id, cluster_id FROM clusters",
 )
 def q_neardup_clusters(spark, sf_dir):
     docs = spark.table("documents")
     pairs = _mh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
     return _nd_clusters(docs, pairs)
+
+
+# the same clusters, pruned to one representative each (highest n_chars,
+# ties to the lowest doc_id — the total order both engines replicate)
+@query(
+    "cluster_prune",
+    _CLUSTERS_RECURSIVE
+    + """
+SELECT doc_id, cluster_id, n_chars, CAST(n_members AS BIGINT) AS n_members
+FROM (
+    SELECT d.doc_id, c.cluster_id, d.n_chars,
+           COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, d.doc_id
+           ) AS rk
+    FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+) WHERE rk = 1
+""",
+)
+def q_cluster_prune(spark, sf_dir):
+    docs = spark.table("documents")
+    pairs = _mh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    return _cluster_prune(docs, _nd_clusters(docs, pairs))
 
 
 from .streaming.windowed import run_windowed_stream  # noqa: E402
@@ -2573,6 +2604,40 @@ def q_dataset_split(spark, sf_dir):
     return Q.dataset_split(spark.table("documents"))
 
 
+def _source_balance_sql(d: str) -> str:
+    # integer cross-multiplied threshold: (h % 1e6) * c < min_c * 1e6
+    # keeps ~min_c/c of each source with zero double arithmetic
+    return f"""
+WITH counts AS (
+    SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+),
+mn AS (SELECT MIN(c) AS min_c FROM counts)
+SELECT d.doc_id, d.source
+FROM documents d JOIN counts USING (source), mn
+WHERE ({T.hexint('text', d)} % 1000000) * c < min_c * 1000000
+"""
+
+
+@query("source_balance", _source_balance_sql(_D))
+def q_source_balance(spark, sf_dir):
+    return Q.source_balance(spark.table("documents"))
+
+
+def _token_histogram_sql(d: str, k: int = 100) -> str:
+    return f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest({T.split_ws('text', d)}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT {k}
+"""
+
+
+@query("token_histogram", _token_histogram_sql(_D))
+def q_token_histogram(spark, sf_dir):
+    return Q.token_histogram(spark.table("documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-graded ordering (VERDICT r3 item 4)
 #
@@ -2606,6 +2671,16 @@ def q_dataset_split(spark, sf_dir):
 #   embedding_ivf_build           consumed verbatim by graded embedding_ivf_topk
 #   media_frame_sample            same mapInPandas plumbing as graded media_stats
 #   receita_grouping_sets         GROUPING SETS family; receita_rollup graded
+#
+# Round-5 additions (cluster_prune, source_balance, token_histogram) enter
+# the graded window; displaced to the tail, each transitively proven:
+#   embedding_topk                exact-cosine scoring + window top-k both
+#                                 carried by graded embedding_lsh_topk and
+#                                 embedding_ivf_topk (identical rerank exprs)
+#   fechamento_periodo            literal projection of graded fechamento_m_presente
+#   streaming_session_windows     session semantics shared with graded
+#                                 user_sessions (same oracle); streaming
+#                                 plumbing proven by the 3 graded streaming queries
 # ---------------------------------------------------------------------------
 
 UNGRADED_QUERIES: tuple[str, ...] = (
@@ -2624,6 +2699,9 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "embedding_ivf_build",
     "media_frame_sample",
     "receita_grouping_sets",
+    "embedding_topk",
+    "fechamento_periodo",
+    "streaming_session_windows",
 )
 
 GRADED_QUERIES: tuple[str, ...] = tuple(

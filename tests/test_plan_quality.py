@@ -232,3 +232,19 @@ def test_no_cross_join_anywhere_in_package():
         if ".crossJoin(" in line
     ]
     assert offenders == [], offenders
+
+
+def test_round5_curation_plan_shapes(spark):
+    # cluster_prune: representative via reducible agg, never a window over
+    # the cluster partition (one giant cluster would serialize a window);
+    # token_histogram: top-k via TakeOrderedAndProject, never a global sort;
+    # source_balance: thresholds (#sources rows) broadcast, kept set unshuffled
+    plan = _explain(QUERIES["cluster_prune"](spark, SF_CORRECT))
+    assert "Window" not in plan
+    plan = _explain(QUERIES["token_histogram"](spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    plan = _explain(QUERIES["source_balance"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -196,3 +196,56 @@ def test_gopher_and_pack_on_seeded_random_corpus(spark):
         assert r["start_offset"] == start, did
         assert r["bin_first"] == start // 64, did
         assert r["bin_last"] == (start // 64 if n == 0 else (start + n - 1) // 64), did
+
+
+# --- round-5 curation ops: cluster_prune / source_balance / token_histogram
+
+
+def test_cluster_prune_picks_longest_then_lowest_id(spark):
+    from etl_gamma_spark.operators.dedup import cluster_prune
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        "doc_id bigint, n_chars bigint",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (9, 4)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    got = {r.cluster_id: r for r in cluster_prune(docs, clusters).collect()}
+    # cluster 1: max n_chars ties between 2 and 3 -> lowest id wins
+    assert got[1].doc_id == 2 and got[1].n_chars == 30 and got[1].n_members == 3
+    assert got[4].doc_id == 9 and got[4].n_chars == 7 and got[4].n_members == 2
+
+
+def test_source_balance_uniform_mix(spark):
+    import hashlib
+
+    from etl_gamma_spark.operators.dedup import stratified_sample  # noqa: F401
+    from etl_gamma_spark.operators.quality import source_balance
+
+    rows = [(i, f"text number {i}", "big" if i % 10 else "small") for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    kept = source_balance(docs).collect()
+    # pure-Python recomputation: every source keeps rows whose 60-bit md5
+    # bucket clears min_count/count — smallest source passes whole
+    counts = {"big": 450, "small": 50}
+    expect = set()
+    for i, text, src in rows:
+        h = int(hashlib.md5(text.encode()).hexdigest()[:15], 16) % 1_000_000
+        if h * counts[src] < 50 * 1_000_000:
+            expect.add((i, src))
+    assert {(r.doc_id, r.source) for r in kept} == expect
+    # the floor source survives intact
+    assert sum(1 for r in kept if r.source == "small") == 50
+
+
+def test_token_histogram_tie_break_at_cut(spark):
+    from etl_gamma_spark.operators.quality import token_histogram
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c c d d z")], "doc_id bigint, text string"
+    )
+    got = token_histogram(docs, k=3).collect()
+    # counts: a=3, b/c/d=2, z=1; ties at the cut resolve by token text
+    assert [(r.token, r.n) for r in got] == [("a", 3), ("b", 2), ("c", 2)]
