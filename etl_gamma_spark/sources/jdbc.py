@@ -3,10 +3,12 @@ executemany loads — utils/db_connection.py:18-80).
 
 In production this engine reads the warehouse through Spark's JDBC source
 with predicate-pushdown partitioning and writes vectorized batches (no
-row-at-a-time executemany). The test container has no database or JDBC
-driver, so everything here is config assembly + a gated reader: calling it
-without a reachable driver raises a clear error instead of failing deep in
-py4j.
+row-at-a-time executemany). The test container has no Postgres, so the
+Postgres wrappers stay gated behind env config — but the underlying
+read/write machinery is REAL and proven in-sandbox against embedded
+Apache Derby (the JDBC database Spark already ships for its Hive
+metastore): tests/test_sink.py round-trips a frame through
+``write_url``/``read_url`` including a range-partitioned parallel scan.
 """
 
 from __future__ import annotations
@@ -45,32 +47,32 @@ class JdbcConfig:
         return f"jdbc:postgresql://{self.host}:{self.port}/{self.database}"
 
 
-def read_table(
+def read_url(
     spark: SparkSession,
-    cfg: JdbcConfig,
-    table: str,
+    url: str,
+    dbtable: str,
+    driver: str,
+    user: str | None = None,
+    password: str | None = None,
     partition_column: str | None = None,
     num_partitions: int = 16,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
+    fetchsize: int = 10_000,
 ) -> DataFrame:
-    """Parallel JDBC scan: with a numeric ``partition_column`` Spark issues
-    ``num_partitions`` range-bounded queries — the distributed replacement
-    for the reference's single-connection pd.read_sql."""
-    if not cfg.host:
-        raise RuntimeError(
-            "JDBC source not configured (set DB_HOST/DB_NAME/...); "
-            "this container has no database — use the parquet model views"
-        )
+    """Engine-agnostic parallel JDBC scan: with a numeric
+    ``partition_column`` Spark issues ``num_partitions`` range-bounded
+    queries — the distributed replacement for the reference's
+    single-connection pd.read_sql (S1)."""
     reader = (
         spark.read.format("jdbc")
-        .option("url", cfg.url)
-        .option("dbtable", f"{cfg.schema}.{table}")
-        .option("user", cfg.user)
-        .option("password", cfg.password)
-        .option("driver", "org.postgresql.Driver")
-        .option("fetchsize", "10000")
+        .option("url", url)
+        .option("dbtable", dbtable)
+        .option("driver", driver)
+        .option("fetchsize", str(fetchsize))
     )
+    if user is not None:
+        reader = reader.option("user", user).option("password", password or "")
     if partition_column is not None:
         reader = (
             reader.option("partitionColumn", partition_column)
@@ -81,19 +83,71 @@ def read_table(
     return reader.load()
 
 
+def write_url(
+    df: DataFrame,
+    url: str,
+    dbtable: str,
+    driver: str,
+    mode: str = "append",
+    user: str | None = None,
+    password: str | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """Engine-agnostic vectorized JDBC write (batchsize-batched INSERTs) —
+    replaces the reference's iterrows()+executemany row loop (S5)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", dbtable)
+        .option("driver", driver)
+        .option("batchsize", str(batchsize))
+    )
+    if user is not None:
+        writer = writer.option("user", user).option("password", password or "")
+    writer.mode(mode).save()
+
+
+def read_table(
+    spark: SparkSession,
+    cfg: JdbcConfig,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 16,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """Postgres warehouse scan (reference S1), env-gated: the container has
+    no database, so an unconfigured call raises a clear error instead of
+    failing deep in py4j."""
+    if not cfg.host:
+        raise RuntimeError(
+            "JDBC source not configured (set DB_HOST/DB_NAME/...); "
+            "this container has no database — use the parquet model views"
+        )
+    return read_url(
+        spark,
+        cfg.url,
+        f"{cfg.schema}.{table}",
+        "org.postgresql.Driver",
+        user=cfg.user,
+        password=cfg.password,
+        partition_column=partition_column,
+        num_partitions=num_partitions,
+        lower_bound=lower_bound,
+        upper_bound=upper_bound,
+    )
+
+
 def write_table(df: DataFrame, cfg: JdbcConfig, table: str, mode: str = "append") -> None:
-    """Vectorized JDBC write (batchsize-batched INSERTs) — replaces the
-    reference's iterrows()+executemany row loop (S5)."""
+    """Vectorized Postgres write (S5), env-gated like :func:`read_table`."""
     if not cfg.host:
         raise RuntimeError("JDBC sink not configured; use the parquet sinks")
-    (
-        df.write.format("jdbc")
-        .option("url", cfg.url)
-        .option("dbtable", f"analysis.{table}")
-        .option("user", cfg.user)
-        .option("password", cfg.password)
-        .option("driver", "org.postgresql.Driver")
-        .option("batchsize", "10000")
-        .mode(mode)
-        .save()
+    write_url(
+        df,
+        cfg.url,
+        f"analysis.{table}",
+        "org.postgresql.Driver",
+        mode=mode,
+        user=cfg.user,
+        password=cfg.password,
     )

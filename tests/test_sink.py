@@ -136,3 +136,50 @@ def test_merge_upsert(spark, tmp_path):
     # idempotent: same merge twice → same state
     merge_upsert(spark, upd, path, ["k"])
     assert {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()} == got
+
+
+# --- S1/S5 proven on a REAL JDBC engine: embedded Apache Derby (the JDBC
+# database Spark ships for its Hive metastore — no extra driver needed)
+
+
+def test_jdbc_round_trip_on_embedded_derby(spark, tmp_path):
+    """write_url (vectorized batch INSERT) then read_url, plain and as a
+    range-partitioned parallel scan: same rows, declared partitioning."""
+    import decimal
+    import datetime as dt
+
+    from etl_gamma_spark.sources.jdbc import read_url, write_url
+
+    url = f"jdbc:derby:{tmp_path}/wh_db;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                f"client {i}",
+                decimal.Decimal(i) / 100,
+                float(i) * 0.5,
+                dt.date(2024, 1 + i % 12, 1),
+            )
+            for i in range(200)
+        ],
+        "id bigint, name string, amount decimal(18,2), score double, d date",
+    )
+    write_url(df, url, "clients", drv, mode="overwrite")
+
+    back = read_url(spark, url, "clients", drv)
+    # the JDBC reader annotates fields with driver metadata (jdbcClientType
+    # etc.); the TYPES must survive the round-trip exactly
+    assert back.dtypes == df.dtypes
+    assert back.exceptAll(df).unionAll(df.exceptAll(back)).count() == 0
+
+    part = read_url(
+        spark, url, "clients", drv,
+        partition_column="id", num_partitions=4, lower_bound=0, upper_bound=200,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.exceptAll(df).unionAll(df.exceptAll(part)).count() == 0
+
+    # append mode really appends (the S5 batch-insert path, not recreate)
+    write_url(df.limit(10), url, "clients", drv, mode="append")
+    assert read_url(spark, url, "clients", drv).count() == 210
