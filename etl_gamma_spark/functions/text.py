@@ -62,6 +62,17 @@ def aslice(arr: str, start: str, length: int, d: str) -> str:
     return f"list_slice({arr}, {start}, ({start}) + {length - 1})"
 
 
+def ajoin(arr: str, sep: str, d: str) -> str:
+    fn = "array_join" if d == SPARK else "array_to_string"
+    return f"{fn}({arr}, '{sep}')"
+
+
+def idiv(a: str, b: str, d: str) -> str:
+    """Integer division. Spark DIV truncates toward zero, DuckDB // floors —
+    engine-equal ONLY for non-negative operands (every call site here)."""
+    return f"(({a}) DIV ({b}))" if d == SPARK else f"(({a}) // ({b}))"
+
+
 def adistinct(arr: str, d: str) -> str:
     """ORDER WARNING: the element SET is engine-equal but the order is not
     (Spark array_distinct keeps first-occurrence order, DuckDB
@@ -128,6 +139,21 @@ def word_ngrams(words: str, d: str, n: int = 2) -> str:
     gen = atransform(seq("1", f"{asize(words, d)} - {n - 1}", d), "__i", gram, d)
     empty = "CAST(array() AS ARRAY<STRING>)" if d == SPARK else "CAST([] AS VARCHAR[])"
     return f"CASE WHEN {asize(words, d)} >= {n} THEN {gen} ELSE {empty} END"
+
+
+def word_chunks(words: str, d: str, w: int = 10) -> str:
+    """Fixed-width ``w``-word chunks (the pluggable "paragraph" splitter for
+    chunk-level dedup — this corpus has no newline structure, so spans of
+    ``w`` consecutive words stand in for paragraphs; swapping in a
+    newline/sentence splitter is a one-expression change). The last chunk
+    may be shorter. Same pre-materialized ``words`` contract as
+    :func:`word_shingles`. ``greatest(n,1)`` keeps the DIV operands
+    non-negative so Spark DIV ≡ DuckDB // (see :func:`idiv`)."""
+    n = asize(words, d)
+    great = f"greatest({n}, 1)" if d == SPARK else f"greatest({n}, 1)"
+    hi = idiv(f"{great} - 1", str(w), d)
+    chunk = ajoin(aslice(words, f"__i * {w} + 1", w, d), " ", d)
+    return atransform(seq("0", hi, d), "__i", chunk, d)
 
 
 # --- winnowing fingerprints ------------------------------------------------

@@ -1,0 +1,64 @@
+"""Change-data-capture apply: MERGE a keyed change set into a base
+snapshot without a transactional table format.
+
+The reference refreshes targets by scoped delete-then-insert
+(reference utils/db_connection.py delete+insert pattern; our
+sources/sink.py implements those scopes). At 100 TB the rewrite-the-scope
+model breaks down when changes touch a thin slice of many partitions —
+the standard lakehouse answer is MERGE (Delta/Iceberg). This operator is
+the engine-level MERGE kernel expressed as a plain full-outer join +
+CASE, so it runs on any store and its semantics are oracle-checkable.
+
+Scale posture: ONE shuffle join keyed by the merge key (AQE handles
+change-set skew); the change side is usually ≪ base, so AQE's size
+statistics will pick a broadcast join for small change sets
+automatically — nothing here forces a strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    value_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change set to a base snapshot (latest-wins upsert/delete).
+
+    ``changes`` carries (key, *value_cols, op) with op ∈ {'U', 'D'} and at
+    most one row per key (dedup upstream — e.g. latest-by-timestamp):
+
+    * matched, op='U'   → change row's values replace the base row's
+    * matched, op='D'   → row dropped
+    * unmatched, op='U' → inserted
+    * unmatched, op='D' → no-op (delete of an absent key)
+    * base keys without a change row pass through untouched
+
+    Output schema: (key, *value_cols) — a full next snapshot.
+    """
+    b = base.select(key, *value_cols)
+    c = changes.select(
+        F.col(key).alias("__ck"),
+        *[F.col(v).alias(f"__c_{v}") for v in value_cols],
+        F.col(op_col).alias("__op"),
+    )
+    joined = b.join(c, F.col(key) == F.col("__ck"), "full_outer")
+    merged = joined.filter(
+        F.col("__op").isNull() | (F.col("__op") == "U")
+    ).select(
+        F.coalesce(F.col(key), F.col("__ck")).alias(key),
+        *[
+            F.when(F.col("__op") == "U", F.col(f"__c_{v}"))
+            .otherwise(F.col(v))
+            .alias(v)
+            for v in value_cols
+        ],
+    )
+    # both delete branches are the one filter above: a matched 'D' drops
+    # the base row it joined to, an unmatched 'D' emits nothing
+    return merged

@@ -433,6 +433,58 @@ def simhash_neardup_pairs(
     )
 
 
+def chunk_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Sub-document exact dedup (RefinedWeb/CCNet "line dedup"): split every
+    document into chunks, drop every repeated chunk CORPUS-WIDE (keep only
+    the first occurrence by (doc_id, position)), and reassemble the cleaned
+    text — removes boilerplate (headers, nav bars, license blurbs) that
+    document-level dedup can't touch because the surrounding text differs.
+
+    Chunk = ``chunk_words`` consecutive words (functions/text.py::word_chunks
+    — the splitter is pluggable; real corpora would split on newlines).
+
+    Output: (doc_id, n_chunks, n_kept, text_clean) — one row per input
+    document; a fully-deduplicated document survives with ``n_kept = 0``
+    and empty ``text_clean`` (filtering those out is the caller's policy).
+
+    Scale posture: two shuffles, both keyed fine-grained — (1) by chunk
+    text for the keep-first window (chunk keys are near-unique, so no
+    window-partition skew beyond true boilerplate runs, which is exactly
+    the mass being removed), (2) by doc_id to reassemble. The reassembly
+    aggregate carries (pos, chunk) structs — bounded by document size, not
+    corpus size. Chunk arrays are derived in one projection per pass; no
+    Python, no driver state.
+    """
+    base = spread(docs).selectExpr(
+        id_col, f"{T.split_ws(text_col, S)} AS __w"
+    ).selectExpr(id_col, f"{T.word_chunks('__w', S, chunk_words)} AS __c")
+    exploded = base.select(id_col, F.posexplode("__c").alias("pos", "chunk"))
+    keep_first = Window.partitionBy("chunk").orderBy(id_col, "pos")
+    kept = (
+        exploded.withColumn("__rn", F.row_number().over(keep_first))
+        .filter(F.col("__rn") == 1)
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, chunk)))"
+            ", x -> x.chunk), ' ')"
+        ).alias("text_clean"),
+    )
+    totals = base.select(id_col, F.size("__c").cast("bigint").alias("n_chunks"))
+    return totals.join(agg, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
 def cluster_prune(
     docs: DataFrame,
     clusters: DataFrame,

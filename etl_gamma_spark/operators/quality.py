@@ -272,6 +272,49 @@ def source_balance(
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Most DISTINCTIVE terms per document — the tf-idf ranking step of
+    keyword extraction / topic tagging, scored with INTEGER rational
+    arithmetic so both engines rank bit-identically: ``score =
+    (tf · 10⁶) div df`` is order-isomorphic to tf/df (and to tf·idf for a
+    fixed corpus size, since idf = log(N/df) is monotone decreasing in df)
+    without ever computing a float log whose last-bit rounding could
+    differ across engines.
+
+    Output: (doc_id, token, tf, df, score, rank) — top ``k`` per document,
+    ties broken by token text (total order).
+
+    Scale posture: explode → (doc, token) hash agg (map-side combinable)
+    → token-keyed df aggregate over the tf frame (already one row per
+    (doc, token), so df = plain count) → token-keyed shuffle join (vocab
+    is corpus-scale: no broadcast, AQE sizes it) → per-doc rank window.
+    """
+    words = spread(docs).selectExpr(id_col, f"{T.split_ws(text_col, S)} AS __w")
+    tf = (
+        words.select(id_col, F.explode("__w").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "token").selectExpr(
+        id_col,
+        "token",
+        "CAST(tf AS BIGINT) AS tf",
+        "CAST(df AS BIGINT) AS df",
+        "(tf * 1000000) DIV df AS score",
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def token_histogram(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
     """Corpus-level token frequency top-k (vocabulary/frequency analysis —
     the first look at any new training corpus, and the input to frequency-

@@ -115,6 +115,80 @@ def sessionize(
     )
 
 
+def retention_cohorts(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: bucket every entity by its FIRST-seen day
+    (the cohort), then count how many of each cohort were active again N
+    days later — the standard product-analytics retention triangle.
+
+    Output: (cohort_day, day_offset, n_users). Day granularity because the
+    test events span one month; swapping ``to_date`` for ``date_trunc``
+    retunes to weekly/monthly cohorts.
+
+    Scale posture: two aggregates, both keyed by the entity — (1) min-ts
+    per entity (map-side combinable), (2) distinct (entity, day) via a
+    groupBy rather than COUNT(DISTINCT ...) so the heavy dedup happens
+    pre-join; the final (cohort, offset) aggregate is tiny (≤ days²/2
+    cells). The activity→cohort join is keyed by entity — AQE broadcasts
+    the cohort side when it is small enough.
+    """
+    firsts = events.groupBy(key).agg(
+        F.min(F.to_date(ts)).alias("cohort_day")
+    )
+    activity = events.select(key, F.to_date(ts).alias("activity_day")).distinct()
+    return (
+        activity.join(firsts, key)
+        .select(
+            "cohort_day",
+            F.datediff("activity_day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many entities performed step 1, then
+    step 2 STRICTLY AFTER their first step 1, then step 3 strictly after
+    that, … (first-touch semantics: each stage anchors on the EARLIEST
+    qualifying event, the standard conversion-funnel definition).
+
+    Output: (step_idx, step, n_users) — one row per funnel stage,
+    monotonically non-increasing counts.
+
+    Scale posture: one filtered aggregate + one entity-keyed join per
+    stage — stage frames shrink monotonically, and every join is on the
+    entity key (no window over the whole event stream). The per-stage
+    aggregate is map-side combinable min(ts).
+    """
+    if not steps:
+        raise ValueError("funnel_steps needs at least one step")
+    out = None
+    prev = None  # (key, __t) entities that reached the previous stage
+    for i, step in enumerate(steps):
+        stage = events.filter(F.col(type_col) == step).select(
+            key, F.col(ts).alias("__ets")
+        )
+        if prev is not None:
+            stage = stage.join(prev, key).filter(F.col("__ets") > F.col("__t"))
+        reached = stage.groupBy(key).agg(F.min("__ets").alias("__t"))
+        row = reached.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("step_idx"), F.lit(step).alias("step"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+        prev = reached
+    return out
+
+
 def topk_per_group(
     df: DataFrame,
     group: str,

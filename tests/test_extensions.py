@@ -262,3 +262,121 @@ def test_winnowing_guarantee_shared_substring(spark):
         assert (2 * i, 2 * i + 1) in overlapping, f"pair {i} lost its shared chunk"
     for i in range(n_pairs, n_pairs + 10):
         assert (2 * i, 2 * i + 1) not in overlapping, f"disjoint pair {i} overlaps"
+
+
+# --- round-5 batch 2: chunk dedup, CDC merge, events analytics, tf-idf ----
+
+
+def test_chunk_dedup_keeps_first_occurrence_and_reassembles(spark):
+    from etl_gamma_spark.operators.dedup import chunk_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # exactly one 10-word chunk
+    uniq1 = " ".join(f"u{i}" for i in range(10))
+    uniq3 = " ".join(f"v{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq1}"),  # first occurrence of boiler kept
+            (2, boiler),               # only chunk already seen -> emptied
+            (3, f"{boiler} {uniq3}"),  # boiler stripped, tail kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in chunk_dedup(df).collect()}
+    assert out[1].n_chunks == 2 and out[1].n_kept == 2
+    assert out[1].text_clean == f"{boiler} {uniq1}"
+    assert out[2].n_chunks == 1 and out[2].n_kept == 0 and out[2].text_clean == ""
+    assert out[3].n_chunks == 2 and out[3].n_kept == 1
+    assert out[3].text_clean == uniq3
+
+
+def test_chunk_dedup_short_doc_single_chunk(spark):
+    from etl_gamma_spark.operators.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [(1, "just three words"), (2, "just three words")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in chunk_dedup(df).collect()}
+    assert out[1].n_chunks == 1 and out[1].n_kept == 1
+    assert out[2].n_chunks == 1 and out[2].n_kept == 0
+
+
+def test_apply_changes_exercises_all_four_branches(spark):
+    from etl_gamma_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "key long, v long"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, 99, "U"),  # matched update
+            (3, 0, "D"),   # matched delete
+            (4, 44, "U"),  # unmatched insert
+            (5, 0, "D"),   # unmatched delete -> no-op
+        ],
+        "key long, v long, op string",
+    )
+    got = {r.key: r.v for r in apply_changes(base, changes, "key", ["v"]).collect()}
+    assert got == {1: 10, 2: 99, 4: 44}
+
+
+def test_funnel_requires_strict_temporal_order(spark):
+    import datetime as dt
+
+    from etl_gamma_spark.operators.temporal import funnel_steps
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        (2, t(5), "click"), (2, t(6), "view"),      # click precedes view
+        (3, t(1), "view"), (3, t(1), "click"),      # same ts: strict > fails
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r.step: r.n_users
+        for r in funnel_steps(df, ["view", "click", "purchase"]).collect()
+    }
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_retention_cohorts_offsets(spark):
+    import datetime as dt
+
+    from etl_gamma_spark.operators.temporal import retention_cohorts
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1, 5)), (1, d(2024, 1, 1, 9)),  # same day counts once
+        (1, d(2024, 1, 3, 6)),
+        (2, d(2024, 1, 2, 1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort_day), r.day_offset): r.n_users
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
+
+
+def test_tfidf_prefers_rare_tokens_for_equal_tf(spark):
+    from etl_gamma_spark.operators.quality import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common rare1 common common"),
+            (2, "common rare2"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.token, r.score))
+    # doc 2: rare2 (tf 1, df 1 -> 1e6) outranks common (tf 1, df 2 -> 5e5)
+    assert sorted(by_doc[2])[0][1] == "rare2"
+    # doc 1: tf dominates -- common has tf 3 / df 2 -> 1.5e6 > rare1 1e6
+    assert sorted(by_doc[1])[0][1] == "common"

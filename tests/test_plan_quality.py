@@ -248,3 +248,32 @@ def test_round5_curation_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round5_batch2_plan_shapes(spark):
+    # chunk_dedup: exactly the two data shuffles the algorithm needs (by
+    # chunk for keep-first, by doc_id for reassembly) plus the totals join;
+    # never a nested-loop join, never a global sort
+    plan = _explain(QUERIES["chunk_dedup"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    n_shuffles = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_shuffles <= 5, f"chunk_dedup shuffle count grew: {n_shuffles}\n{plan}"
+
+    # cdc_merge: the merge itself is ONE join keyed by the merge key; the
+    # change-set derivation adds its own agg exchange, nothing quadratic
+    plan = _explain(QUERIES["cdc_merge"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # tfidf: the df side is vocabulary-scale -- candidate join must be able
+    # to degrade to a shuffle join at corpus scale, so no FORCED broadcast
+    # hint anywhere (AQE may still pick broadcast at tiny SF, that's fine)
+    from etl_gamma_spark.operators.quality import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    logical = str(tfidf_top_terms(docs)._jdf.queryExecution().logical())
+    assert "UnresolvedHint" not in logical and "hint" not in logical.lower()
+
+    # funnel: every stage join is an equi-join on the entity key
+    plan = _explain(QUERIES["funnel_steps"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
