@@ -2825,6 +2825,26 @@ def q_funnel_steps(spark, sf_dir):
     return funnel_steps(spark.table("events"), list(_FUNNEL_STEPS))
 
 
+from .streaming.interval_join import run_interval_join_stream  # noqa: E402
+
+
+@query(
+    "streaming_interval_join",
+    # inner stream-stream join: emission is immediate (only outer joins
+    # await the watermark), so the availableNow result over the static
+    # feed equals the batch self-join
+    """
+SELECT v.user_id, v.event_id AS view_id, CAST(v.ts AS TIMESTAMP) AS view_ts,
+       p.event_id AS purchase_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts
+FROM events v JOIN events p ON v.user_id = p.user_id
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+""",
+)
+def q_streaming_interval_join(spark, sf_dir):
+    return run_interval_join_stream(spark, sf_dir, query_name="q_vp_interval_join")
+
+
 # ---------------------------------------------------------------------------
 # Driver-graded ordering (VERDICT r3 item 4)
 #
@@ -2889,7 +2909,11 @@ def q_funnel_steps(spark, sf_dir):
 #                                 + CASE merge shape)
 # ---------------------------------------------------------------------------
 
+# streaming_interval_join enters ungraded: streaming plumbing is carried
+# by the 3 graded streaming queries and the join's batch-equivalent
+# semantics are pytest-oracle-checked; rotate it in if a slot frees up.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "streaming_interval_join",
     "exact_dedup",
     "stratified_sample",
     "topk_users_per_event_type",

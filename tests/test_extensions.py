@@ -380,3 +380,14 @@ def test_tfidf_prefers_rare_tokens_for_equal_tf(spark):
     assert sorted(by_doc[2])[0][1] == "rare2"
     # doc 1: tf dominates -- common has tf 3 / df 2 -> 1.5e6 > rare1 1e6
     assert sorted(by_doc[1])[0][1] == "common"
+
+
+def test_streaming_interval_join_declares_watermarks_both_sides(spark):
+    from etl_gamma_spark.io import read_events_stream
+    from etl_gamma_spark.streaming.interval_join import view_purchase_join
+
+    df = view_purchase_join(read_events_stream(spark, SF_CORRECT))
+    analyzed = str(df._jdf.queryExecution().analyzed())
+    # both sides must carry a watermark or the join state grows unbounded
+    assert analyzed.count("EventTimeWatermark") == 2, analyzed
+    assert "Join Inner" in analyzed
