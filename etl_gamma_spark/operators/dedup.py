@@ -453,9 +453,13 @@ def chunk_dedup(
     and empty ``text_clean`` (filtering those out is the caller's policy).
 
     Scale posture: two shuffles, both keyed fine-grained — (1) by chunk
-    text for the keep-first window (chunk keys are near-unique, so no
-    window-partition skew beyond true boilerplate runs, which is exactly
-    the mass being removed), (2) by doc_id to reassemble. The reassembly
+    text for keep-first, (2) by doc_id to reassemble. Keep-first is a
+    ``min(struct(doc_id, pos))`` AGGREGATE, not a row_number window: the
+    aggregate's map-side combine collapses each partition's occurrences of
+    a hot chunk before the exchange, where a window would funnel every
+    occurrence of a corpus-wide boilerplate chunk (precisely the mass this
+    operator removes) through one task. The aggregate's output IS the kept
+    set — one row per distinct chunk, no join back. The reassembly
     aggregate carries (pos, chunk) structs — bounded by document size, not
     corpus size. Chunk arrays are derived in one projection per pass; no
     Python, no driver state.
@@ -464,10 +468,14 @@ def chunk_dedup(
         id_col, f"{T.split_ws(text_col, S)} AS __w"
     ).selectExpr(id_col, f"{T.word_chunks('__w', S, chunk_words)} AS __c")
     exploded = base.select(id_col, F.posexplode("__c").alias("pos", "chunk"))
-    keep_first = Window.partitionBy("chunk").orderBy(id_col, "pos")
     kept = (
-        exploded.withColumn("__rn", F.row_number().over(keep_first))
-        .filter(F.col("__rn") == 1)
+        exploded.groupBy("chunk")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))
+            ).alias("__k")
+        )
+        .select(F.col("__k.kid").alias(id_col), F.col("__k.kpos").alias("pos"), "chunk")
     )
     agg = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
