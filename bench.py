@@ -80,6 +80,10 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        # single-run timings on a shared host are noise-sensitive (measured
+        # 1.6–34 s for the SAME query at different ambient load); record the
+        # 1/5/15-min load averages so the artifact carries its conditions
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     if errors:
         result["errors"] = errors

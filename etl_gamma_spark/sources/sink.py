@@ -151,3 +151,51 @@ def merge_upsert(
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Bin-pack a table's files toward ``target_mb`` each — the periodic
+    maintenance job every long-lived 100 TB table needs (streaming sinks
+    and per-partition overwrites accrete small files; small files mean
+    per-file open/footer overhead and task-scheduling floors on every
+    downstream scan).
+
+    Uses ``repartition`` (round-robin, even output sizes), not
+    ``coalesce``: coalesce merges co-located partitions without a shuffle
+    but inherits their skew, so one output file can end up with most of
+    the bytes. Staged-then-swap like :func:`merge_upsert`, so readers
+    never see a half-written table. Returns the target file count.
+
+    With ``partition_by``, files are packed WITHIN each partition
+    directory (repartition by the partition columns + a bucket spreader
+    would be the per-partition refinement; at this layer we keep the
+    table-wide count, letting the partition writer split by directory).
+    """
+    total_bytes = 0
+    for root, _, files in os.walk(path):
+        total_bytes += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path).repartition(n_files)
+    tmp = path.rstrip("/") + "._compacting"
+    w = df.write.mode("overwrite").option("partitionOverwriteMode", "static")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    final = spark.read.parquet(tmp)
+    wf = final.write.mode("overwrite").option("partitionOverwriteMode", "static")
+    if partition_by:
+        wf = wf.partitionBy(*partition_by)
+    wf.parquet(path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n_files

@@ -183,3 +183,49 @@ def test_jdbc_round_trip_on_embedded_derby(spark, tmp_path):
     # append mode really appends (the S5 batch-insert path, not recreate)
     write_url(df.limit(10), url, "clients", drv, mode="append")
     assert read_url(spark, url, "clients", drv).count() == 210
+
+
+def test_compact_small_files_reduces_count_and_preserves_rows(spark, tmp_path):
+    import os
+
+    from etl_gamma_spark.sources.sink import compact_small_files
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS k")
+    df.repartition(40).write.parquet(path)
+
+    def parquet_files(p):
+        return [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    assert len(parquet_files(path)) == 40
+    n = compact_small_files(spark, path, target_mb=128)
+    assert n == 1
+    files = parquet_files(path)
+    assert len(files) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(id) s").first().s == df.selectExpr("sum(id) s").first().s
+    assert not os.path.exists(path + "._compacting")
+
+
+def test_compact_small_files_partitioned_table(spark, tmp_path):
+    import os
+
+    from etl_gamma_spark.sources.sink import compact_small_files
+
+    path = str(tmp_path / "part")
+    df = spark.range(5_000).selectExpr("id", "id % 3 AS k")
+    df.repartition(20).write.partitionBy("k").parquet(path)
+    compact_small_files(spark, path, target_mb=128, partition_by=["k"])
+    back = spark.read.parquet(path)
+    assert back.count() == 5_000
+    assert {r.k for r in back.select("k").distinct().collect()} == {0, 1, 2}
+    # partition directories survive the rewrite
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("k=")
+    ) == ["k=0", "k=1", "k=2"]
