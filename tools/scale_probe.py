@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""Scale probe: replicate the sf0.1 FACT tables N× (dims unchanged) and
+time the heavy plans at 1× vs N× on the same session — the local
+evidence behind the "would this survive a 100× scale-up" question.
+
+Replication preserves join structure instead of blowing it up:
+  * lineitem/orders copies shift their orderkeys (same custkeys → the
+    customer join fans out N×, like N months of history would);
+  * events copies shift event_id, keep user_id (sessions get longer);
+  * documents copies shift doc_id and append a per-copy suffix token so
+    copies are NEAR-duplicates, not exact ones (pair generators see a
+    realistic duplicate-heavy corpus, not a degenerate one — the skew
+    caps are exercised, not bypassed);
+  * embeddings copies shift vec_id and nudge the first component per
+    copy (keeps cosine near-dup candidate counts linear in N).
+
+Timings are min-of-``--reps`` (default 2) to damp shared-host noise;
+load averages are printed alongside. Usage:
+
+    python tools/scale_probe.py [--copies 10] [--reps 2] [--out /tmp/scale10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+DIM_TABLES = ["region", "nation", "customer", "supplier", "part"]
+PROBE_QUERIES = [
+    "receita_farmer_m_passado",
+    "receita_produto_f_m_passado",
+    "fechamento_m_passado",
+    "responsibility_filter",
+    "receita_cliente",
+    "chunk_dedup",
+    "minhash_lsh_pairs",
+    "tfidf_top_terms",
+    "embedding_lsh_topk",
+    "cdc_merge",
+    "token_histogram",
+    "user_sessions",
+]
+
+
+def replicate(spark, out_dir: str, copies: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in DIM_TABLES:
+        shutil.copy(
+            os.path.join(BASE, f"{t}.parquet"), os.path.join(out_dir, f"{t}.parquet")
+        )
+
+    def write(df, name):
+        # single file like the fixtures so io.spread()'s behavior matches
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"_{name}")
+        )
+        part = [
+            f
+            for f in os.listdir(os.path.join(out_dir, f"_{name}"))
+            if f.endswith(".parquet")
+        ][0]
+        shutil.move(
+            os.path.join(out_dir, f"_{name}", part),
+            os.path.join(out_dir, f"{name}.parquet"),
+        )
+        shutil.rmtree(os.path.join(out_dir, f"_{name}"))
+
+    def stacked(name, mutate):
+        base = spark.read.parquet(os.path.join(BASE, f"{name}.parquet"))
+        parts = [mutate(base, i) for i in range(copies)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    shift = 1_000_000_000
+    write(
+        stacked("orders", lambda df, i: df.withColumn(
+            "o_orderkey", df.o_orderkey + F.lit(i * shift))),
+        "orders",
+    )
+    write(
+        stacked("lineitem", lambda df, i: df.withColumn(
+            "l_orderkey", df.l_orderkey + F.lit(i * shift))),
+        "lineitem",
+    )
+    write(
+        stacked("events", lambda df, i: df.withColumn(
+            "event_id", df.event_id + F.lit(i * shift))),
+        "events",
+    )
+    write(
+        stacked("documents", lambda df, i: df
+                .withColumn("doc_id", df.doc_id + F.lit(i * shift))
+                .withColumn("text", F.concat(df.text, F.lit(f" copytag{i}")))),
+        "documents",
+    )
+    write(
+        stacked("embeddings", lambda df, i: df
+                .withColumn("vec_id", df.vec_id + F.lit(i * shift))
+                .withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform(embedding, (x, j) -> CASE WHEN j = 0 "
+                        f"THEN x + CAST({i} AS FLOAT) * CAST(0.001 AS FLOAT) "
+                        f"ELSE x END)"
+                    ),
+                )),
+        "embeddings",
+    )
+
+
+def time_queries(spark, sf_dir: str, reps: int) -> dict[str, float]:
+    from etl_gamma_spark.registry import QUERIES, _REGISTERED
+
+    _REGISTERED.pop(spark, None)  # force re-registration for this dir
+    out = {}
+    for name in PROBE_QUERIES:
+        best = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt_ = time.monotonic() - t0
+            best = dt_ if best is None else min(best, dt_)
+        out[name] = round(best, 2)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--out", default="/tmp/scale_probe")
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    from etl_gamma_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    if not args.skip_build:
+        print(f"building {args.copies}x replica at {args.out} ...", flush=True)
+        replicate(spark, args.out, args.copies)
+
+    print("load", os.getloadavg(), flush=True)
+    base = time_queries(spark, BASE, args.reps)
+    print("load", os.getloadavg(), flush=True)
+    scaled = time_queries(spark, args.out, args.reps)
+    print("load", os.getloadavg(), flush=True)
+
+    print(f"\n{'query':32s} {'1x':>7s} {args.copies:>5d}x  ratio")
+    for name in PROBE_QUERIES:
+        r = scaled[name] / base[name] if base[name] else float("nan")
+        print(f"{name:32s} {base[name]:7.2f} {scaled[name]:6.2f}  {r:4.1f}x")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
