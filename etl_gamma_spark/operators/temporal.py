@@ -189,6 +189,47 @@ def funnel_steps(
     return out
 
 
+def gap_fill_monthly(
+    df: DataFrame,
+    key: str,
+    month_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Regularize a sparse per-entity monthly series: emit one row for
+    EVERY month in each entity's [first, last] observed span, carrying the
+    last observed value forward across gaps (pandas ``resample('MS') +
+    ffill`` — the reference stack's idiom — as a relational plan).
+
+    Output: (key, month_col, value_col, is_observed); observed months pass
+    through, gap months get the previous value and ``is_observed = false``.
+
+    Scale posture: one aggregate for per-entity spans, a generated month
+    grid (rows = entity-months, never more than the filled output), one
+    entity+month-keyed left join, and ONE window partitioned by entity
+    ordered by month — month is unique per entity so the ordering is a
+    total order, and partitions are span-sized, not corpus-sized.
+    """
+    spans = df.groupBy(key).agg(
+        F.min(month_col).alias("__a"), F.max(month_col).alias("__b")
+    )
+    grid = spans.select(
+        key,
+        F.explode(F.expr("sequence(__a, __b, interval 1 month)")).alias(month_col),
+    )
+    joined = grid.join(df.select(key, month_col, value_col), [key, month_col], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(month_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key,
+        month_col,
+        F.last(value_col, ignorenulls=True).over(w).alias(value_col),
+        F.col(value_col).isNotNull().alias("is_observed"),
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     group: str,

@@ -2825,6 +2825,54 @@ def q_funnel_steps(spark, sf_dir):
     return funnel_steps(spark.table("events"), list(_FUNNEL_STEPS))
 
 
+_GAP_FILL_BODY = """
+, monthly AS (
+    SELECT c.farmer_id,
+           CAST(date_trunc('month', r.record_date) AS DATE) AS mes,
+           CAST(SUM(r.gross_revenue) AS DECIMAL(18,2)) AS receita
+    FROM revenue_records_historical r
+    JOIN clients c ON r.client_id = c.client_id
+    GROUP BY 1, 2
+),
+spans AS (
+    SELECT farmer_id, MIN(mes) AS a, MAX(mes) AS b FROM monthly GROUP BY 1
+),
+grid AS (
+    SELECT farmer_id,
+           CAST(unnest(generate_series(a, b, INTERVAL 1 MONTH)) AS DATE) AS mes
+    FROM spans
+)
+SELECT g.farmer_id, g.mes,
+       last_value(m.receita IGNORE NULLS) OVER (
+           PARTITION BY g.farmer_id ORDER BY g.mes
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS receita,
+       m.receita IS NOT NULL AS is_observed
+FROM grid g LEFT JOIN monthly m USING (farmer_id, mes)
+"""
+
+
+@query(
+    "receita_gap_fill",
+    with_model(_GAP_FILL_BODY, "clients", "revenue_records_historical"),
+)
+def q_receita_gap_fill(spark, sf_dir):
+    from .operators.temporal import gap_fill_monthly
+
+    j = spark.table("revenue_records_historical").join(
+        F.broadcast(spark.table("clients")), "client_id"
+    )
+    monthly = (
+        j.selectExpr(
+            "farmer_id",
+            "CAST(date_trunc('month', record_date) AS DATE) AS mes",
+            "gross_revenue",
+        )
+        .groupBy("farmer_id", "mes")
+        .agg(F.expr("CAST(SUM(gross_revenue) AS DECIMAL(18,2))").alias("receita"))
+    )
+    return gap_fill_monthly(monthly, "farmer_id", "mes", "receita")
+
+
 from .streaming.interval_join import run_interval_join_stream  # noqa: E402
 
 
@@ -2912,7 +2960,12 @@ def q_streaming_interval_join(spark, sf_dir):
 # streaming_interval_join enters ungraded: streaming plumbing is carried
 # by the 3 graded streaming queries and the join's batch-equivalent
 # semantics are pytest-oracle-checked; rotate it in if a slot frees up.
+# receita_gap_fill enters ungraded: the month-series generation is carried
+# by graded ultimas_datas_meses (F4/J8) and the running-frame window by
+# graded cumulative_revenue; the forward-fill composition is
+# pytest-oracle-checked.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "receita_gap_fill",
     "streaming_interval_join",
     "exact_dedup",
     "stratified_sample",

@@ -391,3 +391,27 @@ def test_streaming_interval_join_declares_watermarks_both_sides(spark):
     # both sides must carry a watermark or the join state grows unbounded
     assert analyzed.count("EventTimeWatermark") == 2, analyzed
     assert "Join Inner" in analyzed
+
+
+def test_gap_fill_monthly_fills_and_flags(spark):
+    import datetime as dt
+
+    from etl_gamma_spark.operators.temporal import gap_fill_monthly
+
+    rows = [
+        ("a", dt.date(2024, 1, 1), 10),
+        ("a", dt.date(2024, 4, 1), 40),  # gap: feb, mar carry 10
+        ("b", dt.date(2024, 2, 1), 7),   # single month, no gaps
+    ]
+    df = spark.createDataFrame(rows, "k string, mes date, v long")
+    got = {
+        (r.k, str(r.mes)): (r.v, r.is_observed)
+        for r in gap_fill_monthly(df, "k", "mes", "v").collect()
+    }
+    assert got == {
+        ("a", "2024-01-01"): (10, True),
+        ("a", "2024-02-01"): (10, False),
+        ("a", "2024-03-01"): (10, False),
+        ("a", "2024-04-01"): (40, True),
+        ("b", "2024-02-01"): (7, True),
+    }
