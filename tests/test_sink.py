@@ -229,3 +229,34 @@ def test_compact_small_files_partitioned_table(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(path) if d.startswith("k=")
     ) == ["k=0", "k=1", "k=2"]
+
+
+def test_write_clustered_files_own_disjoint_key_ranges(spark, tmp_path):
+    import os
+
+    from etl_gamma_spark.sources.sink import write_clustered
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(100_000).selectExpr("id", "id % 997 AS k")
+    write_clustered(df, path, "id", n_files=4)
+
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        r = spark.read.parquet(f).selectExpr(
+            "min(id) AS lo", "max(id) AS hi", "count(*) AS n"
+        ).first()
+        ranges.append((r.lo, r.hi, r.n))
+    ranges.sort()
+    for (lo1, hi1, _), (lo2, _, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: {ranges}"
+    # balanced within sampling tolerance
+    sizes = [n for _, _, n in ranges]
+    assert min(sizes) > 0.5 * max(sizes), sizes
+    assert sum(sizes) == 100_000
