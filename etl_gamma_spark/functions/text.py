@@ -150,7 +150,7 @@ def word_chunks(words: str, d: str, w: int = 10) -> str:
     :func:`word_shingles`. ``greatest(n,1)`` keeps the DIV operands
     non-negative so Spark DIV ≡ DuckDB // (see :func:`idiv`)."""
     n = asize(words, d)
-    great = f"greatest({n}, 1)" if d == SPARK else f"greatest({n}, 1)"
+    great = f"greatest({n}, 1)"  # same spelling in both dialects
     hi = idiv(f"{great} - 1", str(w), d)
     chunk = ajoin(aslice(words, f"__i * {w} + 1", w, d), " ", d)
     return atransform(seq("0", hi, d), "__i", chunk, d)

@@ -27,6 +27,7 @@ def apply_changes(
     key: str,
     value_cols: list[str],
     op_col: str = "op",
+    assert_unique: bool = False,
 ) -> DataFrame:
     """Apply a CDC change set to a base snapshot (latest-wins upsert/delete).
 
@@ -40,7 +41,19 @@ def apply_changes(
     * base keys without a change row pass through untouched
 
     Output schema: (key, *value_cols) — a full next snapshot.
+
+    Contract (caller-enforced; pass ``assert_unique=True`` to pay one
+    validation pass): change keys are NON-NULL and unique — a duplicated
+    change key would fan the full-outer join out into duplicate snapshot
+    rows. Ops outside {'U','D'} are treated as 'D' (conservative: an
+    unrecognized instruction never fabricates values), and a NULL op on
+    a change row acts as 'U'; both conventions hold identically in the
+    registry oracle (same filter + CASE predicates).
     """
+    if assert_unique:
+        from ..sources.sink import assert_unique_grain
+
+        assert_unique_grain(changes, [key])
     b = base.select(key, *value_cols)
     c = changes.select(
         F.col(key).alias("__ck"),
@@ -48,12 +61,16 @@ def apply_changes(
         F.col(op_col).alias("__op"),
     )
     joined = b.join(c, F.col(key) == F.col("__ck"), "full_outer")
+    # mirror the registry oracle exactly so engine and oracle cannot
+    # diverge on out-of-contract rows: the survival filter is on op
+    # (WHERE c.op IS NULL OR c.op = 'U') and value selection is on change
+    # presence (CASE WHEN c.key IS NOT NULL ...)
     merged = joined.filter(
         F.col("__op").isNull() | (F.col("__op") == "U")
     ).select(
         F.coalesce(F.col(key), F.col("__ck")).alias(key),
         *[
-            F.when(F.col("__op") == "U", F.col(f"__c_{v}"))
+            F.when(F.col("__ck").isNotNull(), F.col(f"__c_{v}"))
             .otherwise(F.col(v))
             .alias(v)
             for v in value_cols

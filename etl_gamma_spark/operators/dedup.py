@@ -464,9 +464,15 @@ def chunk_dedup(
     corpus size. Chunk arrays are derived in one projection per pass; no
     Python, no driver state.
     """
+    # localCheckpoint: the chunk arrays feed two consumers under different
+    # exchanges (by chunk, by doc_id) — ReuseExchange cannot dedupe them,
+    # so without materialization the split + interpreted word_chunks
+    # transform would run twice per document
     base = spread(docs).selectExpr(
         id_col, f"{T.split_ws(text_col, S)} AS __w"
-    ).selectExpr(id_col, f"{T.word_chunks('__w', S, chunk_words)} AS __c")
+    ).selectExpr(
+        id_col, f"{T.word_chunks('__w', S, chunk_words)} AS __c"
+    ).localCheckpoint()
     exploded = base.select(id_col, F.posexplode("__c").alias("pos", "chunk"))
     kept = (
         exploded.groupBy("chunk")

@@ -72,7 +72,9 @@ def read_url(
         .option("fetchsize", str(fetchsize))
     )
     if user is not None:
-        reader = reader.option("user", user).option("password", password or "")
+        reader = reader.option("user", user)
+    if password is not None:
+        reader = reader.option("password", password)
     if partition_column is not None:
         reader = (
             reader.option("partitionColumn", partition_column)
@@ -103,7 +105,9 @@ def write_url(
         .option("batchsize", str(batchsize))
     )
     if user is not None:
-        writer = writer.option("user", user).option("password", password or "")
+        writer = writer.option("user", user)
+    if password is not None:
+        writer = writer.option("password", password)
     writer.mode(mode).save()
 
 

@@ -168,8 +168,13 @@ def compact_small_files(
     Uses ``repartition`` (round-robin, even output sizes), not
     ``coalesce``: coalesce merges co-located partitions without a shuffle
     but inherits their skew, so one output file can end up with most of
-    the bytes. Staged-then-swap like :func:`merge_upsert`, so readers
-    never see a half-written table. Returns the target file count.
+    the bytes. The compacted content is byte-equivalent to the original,
+    so the swap is a filesystem DIRECTORY RENAME — the table is written
+    once (merge_upsert must re-write because its content changes), and
+    the reader-visible gap is the remove+rename instant, not a full
+    rewrite. On an object store or with concurrent readers, do the swap
+    through a table format's metadata commit instead. Returns the target
+    file count.
 
     With ``partition_by``, files are packed WITHIN each partition
     directory (repartition by the partition columns + a bucket spreader
@@ -190,14 +195,10 @@ def compact_small_files(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
-    final = spark.read.parquet(tmp)
-    wf = final.write.mode("overwrite").option("partitionOverwriteMode", "static")
-    if partition_by:
-        wf = wf.partitionBy(*partition_by)
-    wf.parquet(path)
     import shutil
 
-    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
     return n_files
 
 
