@@ -277,3 +277,16 @@ def test_round5_batch2_plan_shapes(spark):
     # funnel: every stage join is an equi-join on the entity key
     plan = _explain(QUERIES["funnel_steps"](spark, SF_CORRECT))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round5_batch3_plan_shapes(spark):
+    # gap_fill: grid explode + one left join + one window, no nested loop,
+    # no global sort
+    plan = _explain(QUERIES["receita_gap_fill"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "explode(sequence(" in plan
+
+    # retention: both aggregates + the join are entity-keyed
+    plan = _explain(QUERIES["retention_cohorts"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan
