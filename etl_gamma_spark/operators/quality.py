@@ -272,6 +272,54 @@ def source_balance(
     )
 
 
+def source_mix(
+    docs: DataFrame,
+    weights: dict[str, int],
+    stratum_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebalance the corpus to a TARGET mixture — the weighted sibling of
+    :func:`source_balance` (uniform is ``weights ≡ 1``). Kept volume per
+    source is proportional to its integer weight, scaled so the most
+    over-subscribed source (min cᵢ/wᵢ) is kept whole and nothing
+    upsamples; sources absent from ``weights`` are EXCLUDED.
+
+    All arithmetic is integer and mirrored verbatim in the oracle: the
+    binding source is argmin of ``(c·10⁶) div w`` (ties → source name),
+    and membership is ``hash(text) % 10⁴`` against the cross-multiplied
+    threshold ``h · w_m · cₛ < c_m · wₛ · 10⁴`` — no double rounding
+    anywhere. (10⁴ granularity keeps the cross-product far from int64
+    overflow even at 10¹²-row sources.)
+
+    Scale posture: identical to source_balance — one stratum-count
+    aggregate, a broadcast threshold attach, and a scan-local filter.
+    """
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        list(weights.items()), f"{stratum_col} string, __wt long"
+    )
+    counts = (
+        docs.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .join(F.broadcast(wdf), stratum_col)
+        .withColumn("__score", F.expr("(__c * 1000000) DIV __wt"))
+    )
+    binding = counts.agg(
+        F.min(F.struct("__score", stratum_col, "__c", "__wt")).alias("__m")
+    ).select(F.col("__m.__c").alias("__cm"), F.col("__m.__wt").alias("__wm"))
+    thresholds = bcast_attach(counts, binding, "__c", "__cm")
+    h = F.expr(f"{T.hexint(text_col, S)} % 10000")
+    return (
+        docs.join(F.broadcast(thresholds), stratum_col)
+        .filter(
+            h * F.col("__wm") * F.col("__c")
+            < F.col("__cm") * F.col("__wt") * F.lit(10_000)
+        )
+        .select(id_col, stratum_col)
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     text_col: str = "text",

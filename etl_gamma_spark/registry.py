@@ -2825,6 +2825,30 @@ def q_funnel_steps(spark, sf_dir):
     return funnel_steps(spark.table("events"), list(_FUNNEL_STEPS))
 
 
+# weighted target mixture for the source_mix carrier; VALUES list and the
+# operator call share this dict so engine and oracle cannot drift
+_MIX_WEIGHTS = {f"src{i}": (i % 3) + 1 for i in range(10)}
+
+
+def _source_mix_sql(d: str) -> str:
+    vals = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
+    return f"""
+WITH w(source, wt) AS (VALUES {vals}),
+counts AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+j AS (SELECT source, c, wt, {T.idiv('c * 1000000', 'wt', d)} AS score
+      FROM counts JOIN w USING (source)),
+m AS (SELECT c AS cm, wt AS wm FROM j ORDER BY score, source LIMIT 1)
+SELECT d.doc_id, d.source
+FROM documents d JOIN j USING (source), m
+WHERE ({T.hexint('text', d)} % 10000) * wm * c < cm * wt * 10000
+"""
+
+
+@query("source_mix", _source_mix_sql(_D))
+def q_source_mix(spark, sf_dir):
+    return Q.source_mix(spark.table("documents"), _MIX_WEIGHTS)
+
+
 _GAP_FILL_BODY = """
 , monthly AS (
     SELECT c.farmer_id,
@@ -2964,7 +2988,10 @@ def q_streaming_interval_join(spark, sf_dir):
 # by graded ultimas_datas_meses (F4/J8) and the running-frame window by
 # graded cumulative_revenue; the forward-fill composition is
 # pytest-oracle-checked.
+# source_mix enters ungraded: identical plan shape and arithmetic family
+# as graded source_balance (weighted threshold instead of uniform).
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "source_mix",
     "receita_gap_fill",
     "streaming_interval_join",
     "exact_dedup",

@@ -249,3 +249,27 @@ def test_token_histogram_tie_break_at_cut(spark):
     got = token_histogram(docs, k=3).collect()
     # counts: a=3, b/c/d=2, z=1; ties at the cut resolve by token text
     assert [(r.token, r.n) for r in got] == [("a", 3), ("b", 2), ("c", 2)]
+
+
+def test_source_mix_weighted_proportions_and_exclusion(spark):
+    from etl_gamma_spark.operators.quality import source_mix
+
+    rows = []
+    for i in range(300):
+        rows.append((i, f"a text {i}", "A"))          # weight 1
+        rows.append((1000 + i, f"b text {i}", "B"))   # weight 3 -> binding
+        rows.append((2000 + i, f"c text {i}", "C"))   # absent -> excluded
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    kept = source_mix(df, {"A": 1, "B": 3}).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    # B is the most over-subscribed target (min c/w) -> kept whole
+    assert len(by_src["B"]) == 300
+    # A targets one third of B's per-weight volume: 300 * (1/3) = 100 ± hash noise
+    assert 60 <= len(by_src.get("A", set())) <= 140
+    assert "C" not in by_src
+    # deterministic: same corpus, same mix
+    again = {r.doc_id for r in source_mix(df, {"A": 1, "B": 3}).collect()}
+    assert again == {r.doc_id for r in kept}
