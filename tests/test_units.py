@@ -100,3 +100,42 @@ def test_bcast_attach_null_keys_and_collision_guard(spark):
         bcast_attach(clash, build, "k", "bk")
     with pytest.raises(ValueError, match="__j"):
         bcast_attach(probe, clash.withColumnRenamed("k", "bk"), "k", "bk")
+
+
+def test_word_chunks_dialect_parity_on_edges(spark):
+    """word_chunks must produce identical chunk arrays in Spark and DuckDB
+    on the edge shapes: empty string, single word, exact multiples of the
+    width, one-over/one-under, and multi-chunk texts (w=3 keeps cases
+    small)."""
+    import duckdb
+
+    from etl_gamma_spark.functions import text as T
+
+    texts = [
+        "",
+        "one",
+        "a b",
+        "a b c",          # exactly one chunk
+        "a b c d",        # one over
+        "a b c d e f",    # exactly two chunks
+        "a b c d e f g h i j k",
+    ]
+    s_expr = T.word_chunks(T.split_ws("t", T.SPARK), T.SPARK, 3)
+    d_expr = T.word_chunks(T.split_ws("t", T.DUCK), T.DUCK, 3)
+
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got_s = {
+        r.i: list(r.c)
+        for r in sdf.selectExpr("i", f"{s_expr} AS c").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt(i BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO tt VALUES (?, ?)", list(enumerate(texts)))
+    got_d = {
+        i: list(c) for i, c in con.execute(f"SELECT i, {d_expr} FROM tt").fetchall()
+    }
+    assert got_s == got_d
+    # sanity of the shape itself
+    assert got_s[3] == ["a b c"]
+    assert got_s[4] == ["a b c", "d"]
+    assert got_s[5] == ["a b c", "d e f"]
