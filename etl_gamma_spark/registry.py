@@ -2825,6 +2825,37 @@ def q_funnel_steps(spark, sf_dir):
     return funnel_steps(spark.table("events"), list(_FUNNEL_STEPS))
 
 
+@query(
+    "streaming_cdc_apply",
+    # sequential latest-wins batch application ≡ latest-per-key over the
+    # whole stream: the snapshot after the feed equals this batch query
+    """
+WITH latest AS (
+    SELECT user_id, event_type,
+           CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS val,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id AS key, val FROM latest WHERE rn = 1 AND event_type <> 'error'
+""",
+)
+def q_streaming_cdc_apply(spark, sf_dir):
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .streaming.cdc_apply import build_base_snapshot, run_streaming_cdc_apply
+
+    tmp = _tf.mkdtemp(prefix="etl_gamma_cdc_apply_")
+    out = f"{tmp}/state"
+    try:
+        build_base_snapshot(spark.table("events"), out)
+        run_streaming_cdc_apply(spark, sf_dir, out, f"{tmp}/ckpt")
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(tmp, ignore_errors=True)
+
+
 # weighted target mixture for the source_mix carrier; VALUES list and the
 # operator call share this dict so engine and oracle cannot drift
 _MIX_WEIGHTS = {f"src{i}": (i % 3) + 1 for i in range(10)}
@@ -2990,7 +3021,12 @@ def q_streaming_interval_join(spark, sf_dir):
 # pytest-oracle-checked.
 # source_mix enters ungraded: identical plan shape and arithmetic family
 # as graded source_balance (weighted threshold instead of uniform).
+# streaming_cdc_apply enters ungraded: apply_changes semantics are carried
+# by graded cdc_merge and the foreachBatch sink plumbing by graded
+# streaming_monthly_rollup; the end-to-end latest-wins invariant is
+# pytest-oracle-checked.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "streaming_cdc_apply",
     "source_mix",
     "receita_gap_fill",
     "streaming_interval_join",

@@ -415,3 +415,56 @@ def test_gap_fill_monthly_fills_and_flags(spark):
         ("a", "2024-04-01"): (40, True),
         ("b", "2024-02-01"): (7, True),
     }
+
+
+def test_streaming_cdc_apply_multi_batch_matches_single_latest(spark, tmp_path):
+    """Sequential per-batch application must equal latest-per-key over the
+    whole feed — proven with a 3-file source at maxFilesPerTrigger=1 so
+    the merge really runs three times."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_gamma_spark.streaming.cdc_apply import apply_feed, latest_changes
+
+    rows = []
+    for i in range(600):
+        rows.append((
+            i,
+            dt.datetime(2024, 1, 1 + (i * 7) % 28, i % 24, (i * 13) % 60, i % 60),
+            i % 40,
+            ["view", "purchase", "error", "click"][(i * 3) % 4],
+            float(i) / 7.0,
+            "{}",
+        ))
+    feed_df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src = str(tmp_path / "feed")
+    # 3 files -> 3 micro-batches at maxFilesPerTrigger=1
+    feed_df.withColumn("__f", F.col("event_id") % 3).repartition(
+        "__f"
+    ).drop("__f").write.parquet(src)
+
+    out = str(tmp_path / "state")
+    spark.createDataFrame([], "key long, val decimal(18,6)").write.parquet(out)
+    stream = (
+        spark.readStream.schema(feed_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    apply_feed(stream, out, str(tmp_path / "ckpt"))
+
+    got = {r.key: r.val for r in spark.read.parquet(out).collect()}
+    want = {
+        r.key: r.val
+        for r in latest_changes(feed_df).filter("op = 'U'").select("key", "val").collect()
+    }
+    assert got == want
+    # deletes really removed keys whose overall-latest event is an error
+    deleted = {
+        r.key for r in latest_changes(feed_df).filter("op = 'D'").collect()
+    }
+    assert deleted and not (set(got) & deleted)
