@@ -2826,6 +2826,68 @@ def q_funnel_steps(spark, sf_dir):
 
 
 @query(
+    "schema_evolution",
+    # expected read-back after ADD COLUMN-style evolution: months written
+    # before the column existed surface NULL, months after carry the sum
+    """
+SELECT strftime(o_orderdate, '%Y-%m') AS mes,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CASE WHEN strftime(o_orderdate, '%Y-%m') >= '1995-07'
+            THEN CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       END AS total_price
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+GROUP BY 1
+""",
+)
+def q_schema_evolution(spark, sf_dir):
+    """S6/F14 driver-visible end to end: create → probe missing columns →
+    widen with a new DECIMAL column → append → evolved read. Historical
+    months surface NULL in the new column, exactly ADD COLUMN's observable
+    behavior (reference utils/db_schema_main.py:13-78)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .sources.catalog import (
+        append_with_evolution,
+        missing_columns,
+        read_evolved,
+        table_exists,
+    )
+    from .sources.sink import write_full_refresh
+
+    orders = spark.table("orders").filter(
+        "o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'"
+    ).selectExpr(
+        "date_format(o_orderdate, 'yyyy-MM') AS mes",
+        "CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS p",
+    )
+    v1 = (
+        orders.filter("mes < '1995-07'")
+        .groupBy("mes")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    v2 = (
+        orders.filter("mes >= '1995-07'")
+        .groupBy("mes")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("CAST(SUM(p) AS DECIMAL(18,2))").alias("total_price"),
+        )
+    )
+    tmp = _tf.mkdtemp(prefix="etl_gamma_schema_evo_")
+    path = f"{tmp}/monthly"
+    try:
+        assert not table_exists(path)
+        write_full_refresh(v1, path)
+        assert missing_columns(spark, v2, path) == ["total_price"]
+        append_with_evolution(spark, v2, path)
+        return read_evolved(spark, path).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "streaming_cdc_apply",
     # sequential latest-wins batch application ≡ latest-per-key over the
     # whole stream: the snapshot after the feed equals this batch query
@@ -3025,7 +3087,11 @@ def q_streaming_interval_join(spark, sf_dir):
 # by graded cdc_merge and the foreachBatch sink plumbing by graded
 # streaming_monthly_rollup; the end-to-end latest-wins invariant is
 # pytest-oracle-checked.
+# schema_evolution enters ungraded: its side-effectful staged-table
+# plumbing family is carried by graded sink_overwrite_scope; it gives the
+# formerly unit-only S6/F14 rows an oracle-checked carrier.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "schema_evolution",
     "streaming_cdc_apply",
     "source_mix",
     "receita_gap_fill",
