@@ -52,6 +52,11 @@ PIPELINES = {
     # gate → exact dedup → stratified sample), partitioned by language so
     # per-language refreshes replace only their partitions
     "curation": ("curation_pipeline", ["lang"]),
+    # round-5 extensions: sub-document dedup produces a doc-grain cleaned
+    # corpus; cdc_merge a keyed snapshot — neither is month/farmer-scoped,
+    # so both refresh whole-table (partition_by None)
+    "chunk_dedup": ("chunk_dedup", None),
+    "cdc_merge": ("cdc_merge", None),
 }
 
 
@@ -102,7 +107,7 @@ def run_pipeline(spark, name: str, sf_dir: str, out_dir: str,
     # replaces the WHOLE table (static — dynamic overwrite would keep stale
     # partitions from earlier, wider runs); a farmer-scoped run replaces
     # only that farmer's partitions (dynamic).
-    if farmer_id is None:
+    if farmer_id is None or not partition_by:
         write_full_refresh(df, target, partition_by)
     else:
         write_partition_overwrite(df, target, partition_by)

@@ -61,3 +61,20 @@ def test_cli_unscoped_rerun_replaces_whole_table(spark, tmp_path):
     months_narrow = {r.mes for r in spark.read.parquet(table).select("mes").distinct().collect()}
     assert len(months_narrow) < len(months_wide)
     assert months_narrow == {m for m in months_wide if m >= dt.date(2001, 3, 1)}
+
+
+def test_cli_round5_pipelines(spark, tmp_path):
+    import os
+
+    out = str(tmp_path / "wh")
+    n1 = run_pipeline(
+        spark, "chunk_dedup", SF_SMOKE, out,
+        farmer_id=None, months_back=11, as_of=asof.AS_OF_TPCH,
+    )
+    n2 = run_pipeline(
+        spark, "cdc_merge", SF_SMOKE, out,
+        farmer_id=None, months_back=11, as_of=asof.AS_OF_TPCH,
+    )
+    assert n1 == 500 and n2 > 0
+    got = spark.read.parquet(os.path.join(out, "chunk_dedup"))
+    assert got.count() == 500 and "updated_at" in got.columns
