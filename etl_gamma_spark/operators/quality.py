@@ -320,6 +320,64 @@ def source_mix(
     )
 
 
+def quality_prune(
+    docs: DataFrame,
+    keep_pct: int = 50,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bins: int = 10_000,
+) -> DataFrame:
+    """Keep each stratum's TOP ``keep_pct``% of documents by quality score
+    (FineWeb-style percentile pruning), computed SCALE-SAFELY: the
+    per-stratum threshold comes from a score HISTOGRAM (quality binned to
+    ``bins`` integer buckets), so no corpus-wide sort and no window over a
+    corpus-sized partition — the only window runs over ≤ ``bins`` rows per
+    stratum. Bin-granular by construction: the kept fraction is the
+    largest ≤ ``keep_pct``% achievable on whole bins (ties inside one bin
+    are kept or dropped together — at 10⁴ bins the discretization error
+    is ≤ the bin's share of documents).
+
+    Threshold rule (shared verbatim with the oracle): with ``suffix[b]`` =
+    #rows scoring in bin ≥ b, the cut is the smallest bin whose suffix
+    count fits the target ``(total · keep_pct) div 100``; rows with
+    ``bin ≥ cut`` survive.
+
+    Output: (doc_id, stratum, quality_bin).
+    """
+    q = F.expr(T.quality_expr(text_col, S))
+    binned = spread(docs).select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.floor(q * bins).cast("int").alias("quality_bin"),
+    )
+    hist = binned.groupBy(stratum_col, "quality_bin").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_suffix = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col("quality_bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cuts = (
+        hist.withColumn("__suffix", F.sum("__n").over(w_suffix))
+        .withColumn(
+            "__target",
+            F.expr(
+                f"(sum(__n) OVER (PARTITION BY {stratum_col}) * {keep_pct}) DIV 100"
+            ),
+        )
+        .filter(F.col("__suffix") <= F.col("__target"))
+        .groupBy(stratum_col)
+        .agg(F.min("quality_bin").alias("__cut"))
+    )
+    return (
+        binned.join(F.broadcast(cuts), stratum_col)
+        .filter(F.col("quality_bin") >= F.col("__cut"))
+        .select(id_col, stratum_col, "quality_bin")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     text_col: str = "text",

@@ -2638,6 +2638,36 @@ def q_token_histogram(spark, sf_dir):
     return Q.token_histogram(spark.table("documents"))
 
 
+def _quality_prune_sql(d: str, keep_pct: int = 50, bins: int = 10_000) -> str:
+    return f"""
+WITH binned AS (
+    SELECT doc_id, source,
+           CAST(floor(({T.quality_expr('text', d)}) * {bins}) AS INTEGER) AS quality_bin
+    FROM documents
+),
+hist AS (SELECT source, quality_bin, COUNT(*) AS n FROM binned GROUP BY 1, 2),
+cuts AS (
+    SELECT source, MIN(quality_bin) AS cut
+    FROM (
+        SELECT source, quality_bin,
+               SUM(n) OVER (PARTITION BY source ORDER BY quality_bin DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suffix,
+               {T.idiv(f'(SUM(n) OVER (PARTITION BY source)) * {keep_pct}', '100', d)} AS target
+        FROM hist
+    ) t WHERE suffix <= target
+    GROUP BY 1
+)
+SELECT b.doc_id, b.source, b.quality_bin
+FROM binned b JOIN cuts USING (source)
+WHERE quality_bin >= cut
+"""
+
+
+@query("quality_prune", _quality_prune_sql(_D))
+def q_quality_prune(spark, sf_dir):
+    return Q.quality_prune(spark.table("documents"))
+
+
 # ---------------------------------------------------------------------------
 # round-5 additions: sub-document dedup, CDC merge, tf-idf terms, events
 # analytics (retention cohorts + ordered funnel)
@@ -3090,7 +3120,12 @@ def q_streaming_interval_join(spark, sf_dir):
 # schema_evolution enters ungraded: its side-effectful staged-table
 # plumbing family is carried by graded sink_overwrite_scope; it gives the
 # formerly unit-only S6/F14 rows an oracle-checked carrier.
+# quality_prune enters ungraded: the quality expression is carried by
+# graded text_stats/curation_pipeline and the broadcast-threshold filter
+# family by graded source_balance; the histogram-cut composition is
+# pytest-oracle-checked.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "quality_prune",
     "schema_evolution",
     "streaming_cdc_apply",
     "source_mix",

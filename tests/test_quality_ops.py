@@ -273,3 +273,47 @@ def test_source_mix_weighted_proportions_and_exclusion(spark):
     # deterministic: same corpus, same mix
     again = {r.doc_id for r in source_mix(df, {"A": 1, "B": 3}).collect()}
     assert again == {r.doc_id for r in kept}
+
+
+def test_quality_prune_threshold_rule_matches_python_model(spark):
+    from pyspark.sql import functions as F
+
+    from etl_gamma_spark.functions import text as T
+    from etl_gamma_spark.operators.quality import quality_prune
+    from tests.conftest import SF_CORRECT
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    binned = docs.select(
+        "doc_id",
+        "source",
+        F.floor(F.expr(T.quality_expr("text", T.SPARK)) * 10000)
+        .cast("int")
+        .alias("b"),
+    ).collect()
+
+    # python model of the histogram cut
+    by_src = {}
+    for r in binned:
+        by_src.setdefault(r.source, []).append((r.b, r.doc_id))
+    expect = set()
+    for src, rows in by_src.items():
+        target = (len(rows) * 50) // 100
+        hist = {}
+        for b, _ in rows:
+            hist[b] = hist.get(b, 0) + 1
+        suffix, cut = 0, None
+        for b in sorted(hist, reverse=True):
+            suffix += hist[b]
+            if suffix <= target:
+                cut = b
+        if cut is not None:
+            expect |= {(d, src) for b, d in rows if b >= cut}
+
+    got = {(r.doc_id, r.source) for r in quality_prune(docs).collect()}
+    assert got == expect
+    # never exceeds the target fraction per source
+    kept_by_src = {}
+    for d, s in got:
+        kept_by_src[s] = kept_by_src.get(s, 0) + 1
+    for src, rows in by_src.items():
+        assert kept_by_src.get(src, 0) <= (len(rows) * 50) // 100
