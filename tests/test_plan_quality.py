@@ -290,3 +290,12 @@ def test_round5_batch3_plan_shapes(spark):
     plan = _explain(QUERIES["retention_cohorts"](spark, SF_CORRECT))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_quality_prune_and_source_mix_plan_shapes(spark):
+    # both ops attach their per-stratum thresholds by BROADCAST and filter
+    # scan-local — the kept set must never shuffle, and nothing nested-loops
+    for name in ("quality_prune", "source_mix"):
+        plan = _explain(QUERIES[name](spark, SF_CORRECT))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
