@@ -58,10 +58,20 @@ closing = fechamento(
 )
 closing.select("farmer_name", "status_receita", "bonus_total").show(5)
 
-# 4. corpus dedup
+# 4. corpus dedup + curation
 docs = spark.table("documents")
 print("docs after exact dedup:", exact_dedup_keep(docs).count())
 print("near-dup candidate pairs:", minhash_lsh_pairs(docs).count())
+
+from etl_gamma_spark.operators.dedup import chunk_dedup
+from etl_gamma_spark.operators.quality import quality_prune
+
+cleaned = chunk_dedup(docs)  # sub-document boilerplate removal
+print(
+    "chunk dedup kept",
+    cleaned.selectExpr("sum(n_kept) k", "sum(n_chunks) n").first().asDict(),
+)
+print("top-half quality docs:", quality_prune(docs, keep_pct=50).count())
 
 # 5. idempotent month-partitioned sink
 write_partition_overwrite(revenue, "/tmp/quickstart_out/receita_farmer", ["mes"])
