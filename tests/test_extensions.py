@@ -468,3 +468,73 @@ def test_streaming_cdc_apply_multi_batch_matches_single_latest(spark, tmp_path):
         r.key for r in latest_changes(feed_df).filter("op = 'D'").collect()
     }
     assert deleted and not (set(got) & deleted)
+
+
+def test_streaming_cdc_apply_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Re-running the feed with the SAME checkpoint must process only the
+    NEW files: a key touched only by already-committed files keeps a
+    manually planted state value (a replay would overwrite it)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_gamma_spark.streaming.cdc_apply import apply_feed
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    def write_file(df, name):
+        import shutil as _sh
+
+        stage = src + "/_" + name
+        df.coalesce(1).write.parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        _sh.move(os.path.join(stage, part), os.path.join(src, name))
+        _sh.rmtree(stage)
+
+    a = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 100, "view", 1.0, "{}")], schema
+    )
+    write_file(a, "batchA.parquet")
+
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([], "key long, val decimal(18,6)").write.parquet(out)
+
+    def stream():
+        return spark.readStream.schema(a.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+
+    apply_feed(stream(), out, ckpt)
+    assert {r.key for r in spark.read.parquet(out).collect()} == {100}
+
+    # plant a sentinel value for key 100, then add a file touching key 200
+    planted = spark.read.parquet(out).withColumn(
+        "val",
+        F.when(F.col("key") == 100, F.lit(999).cast("decimal(18,6)")).otherwise(
+            F.col("val")
+        ),
+    )
+    tmp2 = out + ".tmp"
+    planted.write.parquet(tmp2)
+    import shutil
+
+    shutil.rmtree(out)
+    os.rename(tmp2, out)
+
+    b = spark.createDataFrame(
+        [(2, dt.datetime(2024, 1, 2), 200, "click", 2.0, "{}")], schema
+    )
+    write_file(b, "batchB.parquet")
+    apply_feed(stream(), out, ckpt)
+
+    got = {r.key: r.val for r in spark.read.parquet(out).collect()}
+    from decimal import Decimal
+
+    assert set(got) == {100, 200}
+    assert got[100] == Decimal("999.000000"), "committed batch was replayed"
