@@ -421,6 +421,52 @@ def tfidf_top_terms(
     )
 
 
+def export_shards(
+    docs: DataFrame,
+    out_path: str,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Final-mile corpus export: write the documents as ``n_shards``
+    deterministic hash shards (``hash(text) % n``, so re-exporting the
+    same corpus reproduces the same shards — no RNG, no row-order
+    dependence) and return the shard MANIFEST (shard, n_docs, n_tokens)
+    computed from the files actually written — the training-side
+    contract (loader parallelism, token budgeting) reads the manifest,
+    never rescans the corpus.
+
+    Scale posture: one pass to write (scan-local shard derivation, the
+    partitioned writer splits by directory), one column-pruned pass over
+    the written shards for the manifest aggregate. Shard count is the
+    loader-parallelism knob: at 100 TB pick n_shards ≈ total/target-shard
+    rather than this demo default.
+    """
+    sharded = spread(docs).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.expr(f"{T.hexint(text_col, S)} % {n_shards}").alias("shard"),
+    )
+    (
+        sharded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("shard")
+        .parquet(out_path)
+    )
+    spark = docs.sparkSession
+    back = spark.read.parquet(out_path)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr(f"{T.asize(T.split_ws(text_col, S), S)}"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .select(F.col("shard").cast("int").alias("shard"), "n_docs", "n_tokens")
+    )
+
+
 def token_histogram(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
     """Corpus-level token frequency top-k (vocabulary/frequency analysis —
     the first look at any new training corpus, and the input to frequency-

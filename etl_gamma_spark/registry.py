@@ -2668,6 +2668,33 @@ def q_quality_prune(spark, sf_dir):
     return Q.quality_prune(spark.table("documents"))
 
 
+def _export_shards_sql(d: str, n: int = 8) -> str:
+    return f"""
+SELECT CAST({T.hexint('text', d)} % {n} AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({T.asize(T.split_ws('text', d), d)}) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("export_shards", _export_shards_sql(_D))
+def q_export_shards(spark, sf_dir):
+    """Deterministic shard export, driver-visible end to end: the manifest
+    is aggregated from the parquet shards ACTUALLY WRITTEN, so a lost or
+    misrouted shard changes the read-back."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    tmp = _tf.mkdtemp(prefix="etl_gamma_shards_")
+    try:
+        return Q.export_shards(
+            spark.table("documents"), f"{tmp}/corpus"
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # round-5 additions: sub-document dedup, CDC merge, tf-idf terms, events
 # analytics (retention cohorts + ordered funnel)
@@ -3124,7 +3151,11 @@ def q_streaming_interval_join(spark, sf_dir):
 # graded text_stats/curation_pipeline and the broadcast-threshold filter
 # family by graded source_balance; the histogram-cut composition is
 # pytest-oracle-checked.
+# export_shards enters ungraded: hexint bucketing is carried by graded
+# dataset_split/source_balance and the write-then-read-back pattern by
+# graded sink_overwrite_scope; the manifest is pytest-oracle-checked.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "export_shards",
     "quality_prune",
     "schema_evolution",
     "streaming_cdc_apply",
