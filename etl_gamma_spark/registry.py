@@ -1314,6 +1314,36 @@ def q_cluster_prune(spark, sf_dir):
     return _cluster_prune(docs, _nd_clusters(docs, pairs))
 
 
+# the user-facing end product of the near-dup chain: the SURVIVING corpus
+# (one representative per cluster, singletons included) — what a pipeline
+# actually feeds to training after dedup
+@query(
+    "neardup_dedup_corpus",
+    _CLUSTERS_RECURSIVE
+    + """
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d
+JOIN (
+    SELECT doc_id FROM (
+        SELECT c.doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY d2.n_chars DESC, c.doc_id
+               ) AS rk
+        FROM clusters c JOIN documents d2 ON c.doc_id = d2.doc_id
+    ) t WHERE rk = 1
+) k USING (doc_id)
+""",
+)
+def q_neardup_dedup_corpus(spark, sf_dir):
+    docs = spark.table("documents")
+    pairs = _mh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    keepers = _cluster_prune(docs, _nd_clusters(docs, pairs)).select("doc_id")
+    return docs.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 from .streaming.windowed import run_windowed_stream  # noqa: E402
 
 
@@ -3154,7 +3184,11 @@ def q_streaming_interval_join(spark, sf_dir):
 # export_shards enters ungraded: hexint bucketing is carried by graded
 # dataset_split/source_balance and the write-then-read-back pattern by
 # graded sink_overwrite_scope; the manifest is pytest-oracle-checked.
+# neardup_dedup_corpus enters ungraded: composition of graded
+# neardup_clusters + cluster_prune plus a semi-join (J-family graded
+# via responsibility_filter).
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "neardup_dedup_corpus",
     "export_shards",
     "quality_prune",
     "schema_evolution",
