@@ -189,6 +189,49 @@ def funnel_steps(
     return out
 
 
+def ohlc_downsample(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "val",
+    tiebreak: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Downsample a value stream to per-(entity, time-bucket) OHLC bars
+    (open/high/low/close) — the standard timeseries compaction before
+    charting or feature extraction.
+
+    Open/close are the FIRST/LAST value by (ts, tiebreak) — computed as
+    ``min/max(struct(ts, tiebreak, value))``, a total order both engines
+    compare identically (never ``arg_min(value, ts)``, whose tie behavior
+    is engine-defined). One map-side-combinable aggregate keyed by
+    (entity, bucket): no window, no second shuffle — scales to any stream
+    length.
+    """
+    b = F.date_trunc(bucket, F.col(ts)).alias("bucket_ts")
+    first = F.min(F.struct(ts, tiebreak, value)).alias("__f")
+    last = F.max(F.struct(ts, tiebreak, value)).alias("__l")
+    return (
+        events.groupBy(key, b)
+        .agg(
+            first,
+            last,
+            F.max(value).alias("high"),
+            F.min(value).alias("low"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            key,
+            "bucket_ts",
+            F.col(f"__f.{value}").alias("open"),
+            "high",
+            "low",
+            F.col(f"__l.{value}").alias("close"),
+            "n_ticks",
+        )
+    )
+
+
 def gap_fill_monthly(
     df: DataFrame,
     key: str,

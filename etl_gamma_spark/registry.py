@@ -2882,6 +2882,34 @@ def q_retention_cohorts(spark, sf_dir):
     return retention_cohorts(spark.table("events"))
 
 
+_OHLC_SQL = """
+WITH t AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket_ts,
+           CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS val
+    FROM events
+)
+SELECT user_id, bucket_ts,
+       MIN(struct_pack(ts := ts, eid := event_id, val := val)).val AS open,
+       MAX(val) AS high,
+       MIN(val) AS low,
+       MAX(struct_pack(ts := ts, eid := event_id, val := val)).val AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM t
+GROUP BY 1, 2
+"""
+
+
+@query("ohlc_downsample", _OHLC_SQL)
+def q_ohlc_downsample(spark, sf_dir):
+    from .operators.temporal import ohlc_downsample
+
+    t = spark.table("events").selectExpr(
+        "user_id", "event_id", "ts", "CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS val"
+    )
+    return ohlc_downsample(t)
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 _FUNNEL_SQL = """
@@ -3187,7 +3215,11 @@ def q_streaming_interval_join(spark, sf_dir):
 # neardup_dedup_corpus enters ungraded: composition of graded
 # neardup_clusters + cluster_prune plus a semi-join (J-family graded
 # via responsibility_filter).
+# ohlc_downsample enters ungraded: the min/max(struct) first/last pattern
+# is carried by graded streaming_cdc_apply's latest_changes and the
+# keyed-bucket aggregate by graded streaming_monthly_rollup.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "ohlc_downsample",
     "neardup_dedup_corpus",
     "export_shards",
     "quality_prune",
