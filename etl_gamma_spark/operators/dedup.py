@@ -499,6 +499,38 @@ def chunk_dedup(
     )
 
 
+def boilerplate_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus boilerplate report: the ``k`` most-repeated chunks with their
+    occurrence and document counts — the diagnostic run BEFORE
+    :func:`chunk_dedup` to see what sub-document mass dedup will remove
+    (nav bars, license blurbs, headers).
+
+    Scale posture: explode → one hash aggregate keyed by chunk (map-side
+    combine collapses hot chunks per partition) → ``TakeOrderedAndProject``
+    top-k (no global sort). Ties at the cut break on chunk text — a total
+    order, so the k-th row is engine-deterministic.
+    """
+    base = spread(docs).selectExpr(
+        id_col, f"{T.split_ws(text_col, S)} AS __w"
+    ).selectExpr(id_col, f"{T.word_chunks('__w', S, chunk_words)} AS __c")
+    return (
+        base.select(id_col, F.explode("__c").alias("chunk"))
+        .groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "chunk")
+        .limit(k)
+    )
+
+
 def cluster_prune(
     docs: DataFrame,
     clusters: DataFrame,
