@@ -499,6 +499,44 @@ def chunk_dedup(
     )
 
 
+def novelty_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document corpus novelty: what fraction of a document's distinct
+    word shingles appear in NO other document (RefinedWeb's duplicate-
+    n-gram-fraction signal, inverted) — low novelty flags near-duplicated
+    or boilerplate-heavy documents for pruning even when no single pair
+    crosses a dedup threshold.
+
+    Output: (doc_id, n_shingles, n_unique, novelty_permille) — the ratio
+    as an INTEGER permille (``(unique·1000) div total``), engine-exact.
+
+    Scale posture: shingle explode → shingle-keyed df aggregate (map-side
+    combinable; hot boilerplate shingles collapse per partition) → one
+    doc-keyed re-aggregate. No windows, no joins against raw text.
+    """
+    shingles = shingle_sets(docs, text_col, id_col, n)
+    with_df = shingles.join(
+        shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")), "shingle"
+    )
+    return (
+        with_df.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .selectExpr(
+            id_col,
+            "CAST(n_shingles AS BIGINT) AS n_shingles",
+            "CAST(n_unique AS BIGINT) AS n_unique",
+            "(n_unique * 1000) DIV n_shingles AS novelty_permille",
+        )
+    )
+
+
 def boilerplate_chunks(
     docs: DataFrame,
     text_col: str = "text",

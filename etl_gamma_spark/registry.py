@@ -2768,6 +2768,29 @@ def q_chunk_dedup(spark, sf_dir):
     return DD.chunk_dedup(spark.table("documents"))
 
 
+def _novelty_sql(d: str) -> str:
+    return f"""
+WITH words AS (
+    SELECT doc_id, {T.split_ws('text', d)} AS w, text FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest({T.word_shingles('w', 'text', d)}) AS shingle FROM words
+),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST({T.idiv('SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000', 'COUNT(*)', d)} AS BIGINT) AS novelty_permille
+FROM sh JOIN dfreq USING (shingle)
+GROUP BY doc_id
+"""
+
+
+@query("novelty_score", _novelty_sql(_D))
+def q_novelty_score(spark, sf_dir):
+    return DD.novelty_score(spark.table("documents"))
+
+
 def _boilerplate_sql(d: str, w: int = 10, k: int = 50) -> str:
     chunks = T.word_chunks(T.split_ws("text", d), d, w)
     return f"""
@@ -3241,7 +3264,11 @@ def q_streaming_interval_join(spark, sf_dir):
 # keyed-bucket aggregate by graded streaming_monthly_rollup.
 # boilerplate_chunks enters ungraded: the chunk derivation is carried by
 # graded chunk_dedup and the count→top-k shape by graded token_histogram.
+# novelty_score enters ungraded: shingle derivation + df inverted index
+# carried by graded ngram_jaccard_pairs; integer-DIV ratio by graded
+# tfidf_top_terms.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "novelty_score",
     "boilerplate_chunks",
     "ohlc_downsample",
     "neardup_dedup_corpus",
