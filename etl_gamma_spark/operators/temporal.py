@@ -189,6 +189,61 @@ def funnel_steps(
     return out
 
 
+def attribution_linear(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    touch_type: str = "view",
+    conv_type: str = "purchase",
+    value: str = "value",
+    window_minutes: int = 10,
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's value is split
+    EQUALLY across the same entity's touches in the preceding
+    ``window_minutes`` — the classic marketing-analytics credit model.
+
+    Output: (touch_id, key, n_conversions, attributed) — conversions with
+    no qualifying touch contribute nothing (no fallback credit).
+
+    Money discipline (CLAUDE.md): the per-(touch, conversion) share is
+    rounded per-row THEN cast DECIMAL before the sum, so the aggregate is
+    partition-order independent and engine-exact.
+
+    Scale posture: the touch×conversion pair join is entity-keyed with a
+    time-range residual (same shape as the stream-stream interval join);
+    the share divisor is a window over conversion_id — bounded by touches
+    per window, never corpus-sized.
+    """
+    touches = events.filter(F.col("event_type") == touch_type).select(
+        F.col(key),
+        F.col("event_id").alias("touch_id"),
+        F.col(ts).alias("touch_ts"),
+    )
+    convs = events.filter(F.col("event_type") == conv_type).select(
+        F.col(key).alias("__ck"),
+        F.col("event_id").alias("conv_id"),
+        F.col(ts).alias("conv_ts"),
+        F.col(value).alias("conv_value"),
+    )
+    cond = (
+        (F.col(key) == F.col("__ck"))
+        & (F.col("conv_ts") > F.col("touch_ts"))
+        & (F.col("conv_ts") <= F.expr(f"touch_ts + INTERVAL {window_minutes} MINUTES"))
+    )
+    pairs = touches.join(convs, cond)
+    n = F.count(F.lit(1)).over(Window.partitionBy("conv_id"))
+    share = pairs.withColumn("__n", n).selectExpr(
+        "touch_id",
+        key,
+        "conv_id",
+        "CAST(ROUND(conv_value / __n, 6) AS DECIMAL(18,6)) AS __share",
+    )
+    return share.groupBy("touch_id", key).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum("__share").cast("decimal(18,6)").alias("attributed"),
+    )
+
+
 def ohlc_downsample(
     events: DataFrame,
     key: str = "user_id",

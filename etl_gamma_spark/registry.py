@@ -2926,6 +2926,34 @@ def q_retention_cohorts(spark, sf_dir):
     return retention_cohorts(spark.table("events"))
 
 
+_ATTRIBUTION_SQL = """
+WITH pairs AS (
+    SELECT v.event_id AS touch_id, v.user_id, p.event_id AS conv_id, p.value AS conv_value
+    FROM events v JOIN events p ON v.user_id = p.user_id
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+),
+shared AS (
+    SELECT touch_id, user_id, conv_id,
+           CAST(ROUND(conv_value / (COUNT(*) OVER (PARTITION BY conv_id)), 6)
+                AS DECIMAL(18,6)) AS share
+    FROM pairs
+)
+SELECT touch_id, user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(share) AS DECIMAL(18,6)) AS attributed
+FROM shared
+GROUP BY touch_id, user_id
+"""
+
+
+@query("attribution_linear", _ATTRIBUTION_SQL)
+def q_attribution_linear(spark, sf_dir):
+    from .operators.temporal import attribution_linear
+
+    return attribution_linear(spark.table("events"))
+
+
 _OHLC_SQL = """
 WITH t AS (
     SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -3267,7 +3295,12 @@ def q_streaming_interval_join(spark, sf_dir):
 # novelty_score enters ungraded: shingle derivation + df inverted index
 # carried by graded ngram_jaccard_pairs; integer-DIV ratio by graded
 # tfidf_top_terms.
+# attribution_linear enters ungraded: the entity-keyed interval pair join
+# is carried by graded... (streaming_interval_join is itself ungraded but
+# pytest-checked; the batch join family by graded asof_join_purchases)
+# and the round-then-decimal-sum discipline by every graded revenue query.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "attribution_linear",
     "novelty_score",
     "boilerplate_chunks",
     "ohlc_downsample",
