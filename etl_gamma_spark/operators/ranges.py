@@ -1,0 +1,75 @@
+"""Binned range join: point-in-interval equi-join without an equi key.
+
+Open-source Spark has no range-join optimizer — a plain
+``points.join(intervals, point BETWEEN lo AND hi)`` plans as a
+BroadcastNestedLoopJoin (small build side) or a cartesian product (two
+big sides), both O(|points| x |intervals|) and both codegen killers.
+The standard scalable rewrite (used by Databricks' range-join hint and
+interval-join engines like Flink's) is *binning*: quantize the domain
+into fixed-width bins, explode each interval over the bins it touches,
+tag each point with its single containing bin, equi-join on the bin id,
+and re-check the exact predicate as a residual filter.
+
+Cost model: each point probes exactly one bin; an interval of width W
+replicates ceil(W / bin_width) + 1 times. Choose ``bin_width`` near the
+median interval width so replication stays O(1) per interval; then the
+join is one shuffle-hash/broadcast-hash exchange on a well-distributed
+integer key and survives a 100x scale-up on either side. A degenerate
+giant interval (covering the whole domain) replicates into every bin —
+same row count as the points side at worst, and AQE's skew split
+handles a bin that ends up hot.
+
+The pair appears exactly once per (point, interval) match because a
+point lives in exactly one bin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BIN = "__bin"
+
+
+def range_bin_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join every point row to every interval row with
+    ``lo <= point <= hi`` (closed on both ends), via bin-exploded
+    equi-join instead of a nested-loop plan.
+
+    NULL points / NULL bounds never match (BETWEEN with NULL is not
+    true), matching the semantics of the naive predicate join.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"range_bin_join supports inner/left_semi, not {how!r}")
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    for c in (BIN,):
+        if c in points.columns or c in intervals.columns:
+            raise ValueError(f"inputs must not carry a {c!r} column")
+    binned_pts = points.withColumn(BIN, F.floor(F.col(point_col) / F.lit(bin_width)))
+    exploded = intervals.where(F.col(lo_col) <= F.col(hi_col)).withColumn(
+        BIN,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)),
+                F.floor(F.col(hi_col) / F.lit(bin_width)),
+            )
+        ),
+    )
+    # residual inside the join condition (not a post-filter) so semi joins
+    # keep only points that pass the exact predicate, not just the bin probe
+    cond = (binned_pts[BIN] == exploded[BIN]) & F.col(point_col).between(
+        F.col(lo_col), F.col(hi_col)
+    )
+    if how == "left_semi":
+        return binned_pts.join(exploded, cond, "left_semi").drop(BIN)
+    # drop(BIN) removes both sides' bin columns (drop-by-name is all-matches)
+    return binned_pts.join(exploded, cond, "inner").drop(BIN)

@@ -1,0 +1,116 @@
+"""HyperLogLog-style distinct sketch with ORDER-INDEPENDENT, engine-exact
+register arithmetic (Flajolet et al. 2007).
+
+Why hand-roll when both engines ship approx_count_distinct: their HLL
+implementations (HLL++ in Spark, HLL in DuckDB) hash differently and are
+not comparable — and a sketch whose merge is bit-reproducible across
+engines is exactly what a 100 TB pipeline wants for cheap cross-system
+distinct auditing (partial sketches from any engine merge by register
+MAX).
+
+Construction (m = 64 buckets, 60-bit md5 hash, both engines bit-equal):
+  bucket  = h % 64                 (low 6 bits)
+  rank    = leading-zero count of the remaining 54 bits + 1, via
+            length(bin(rest)) — bin() renders without leading zeros in
+            both engines; rest = 0 maps to rank 55
+  register = MAX(rank) per (group, bucket) — a reducible aggregate:
+            only 64 partials per group cross the shuffle, regardless of
+            corpus size. No window, no collect.
+  t_sum   = SUM(2^-min(register,30)) as DECIMAL(38,30): 2^-r is exactly
+            representable in scale-30 decimal for r <= 30, so the sum is
+            EXACT and order-independent — the usual double harmonic sum
+            would be partition-order dependent. The 30-cap costs nothing:
+            registers > 30 occur with probability ~2^-30 per bucket and
+            contribute < 1e-9 to the harmonic term.
+  estimate = alpha_64 * 64^2 / (t_sum + (64 - observed_buckets)), one
+            double division at the end (alpha_64 = 0.709; small-range
+            correction omitted — bias, not nondeterminism).
+"""
+
+from __future__ import annotations
+
+from decimal import Context, Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+M_BUCKETS = 64
+REG_CAP = 30
+ALPHA_M2 = "0.709 * 4096"  # alpha_64 * m^2, kept as shared expression text
+
+# exact decimal text of 2^-r for r in 1..30; fixed-point format — str()
+# would emit E-notation for small values, and quantizing 0.5 to 30 places
+# needs a 30-digit coefficient (above the default 28-digit context)
+_CTX = Context(prec=60)
+POW2NEG: list[tuple[int, str]] = [
+    (
+        r,
+        format(
+            (Decimal(1) / (Decimal(2) ** r)).quantize(
+                Decimal("1e-30"), context=_CTX
+            ),
+            "f",
+        ),
+    )
+    for r in range(1, REG_CAP + 1)
+]
+
+
+def pow2neg_values_sql() -> str:
+    """VALUES list shared by the oracle: (register, exact 2^-register)."""
+    return ", ".join(
+        f"({r}, CAST('{w}' AS DECIMAL(38,30)))" for r, w in POW2NEG
+    )
+
+
+def hll_distinct(
+    spark: SparkSession, df: DataFrame, group: str, value_col: str
+) -> DataFrame:
+    """Per-group HLL sketch + estimate + exact distinct for comparison.
+
+    Returns (group, n_buckets, t_sum DECIMAL(38,30), est DECIMAL(18,4),
+    exact_distinct BIGINT). t_sum/n_buckets ARE the mergeable sketch;
+    est is the standard HLL estimate derived from them.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = df.select(F.col(group).alias("grp"), h.alias("h"))
+    coded = hashed.select(
+        "grp",
+        (F.col("h") % M_BUCKETS).alias("bucket"),
+        F.expr(f"h DIV {M_BUCKETS}").alias("rest"),
+    ).select(
+        "grp",
+        "bucket",
+        F.least(
+            F.when(F.col("rest") == 0, F.lit(55)).otherwise(
+                F.lit(55) - F.length(F.bin(F.col("rest")))
+            ),
+            F.lit(REG_CAP),
+        ).alias("reg"),
+    )
+    registers = coded.groupBy("grp", "bucket").agg(F.max("reg").alias("reg"))
+    weights = spark.createDataFrame(
+        [(r, Decimal(w)) for r, w in POW2NEG], "reg int, w decimal(38,30)"
+    )
+    sk = (
+        registers.join(F.broadcast(weights), "reg")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("w").cast("decimal(38,30)").alias("t_sum"),
+        )
+    )
+    est = F.expr(
+        f"CAST(ROUND(({ALPHA_M2}) / (CAST(t_sum AS DOUBLE)"
+        f" + CAST({M_BUCKETS} - n_buckets AS DOUBLE)), 4) AS DECIMAL(18,4))"
+    ).alias("est")
+    exact = df.groupBy(F.col(group).alias("grp")).agg(
+        F.countDistinct(value_col).cast("long").alias("exact_distinct")
+    )
+    return (
+        sk.join(exact, "grp")
+        .select("grp", "n_buckets", "t_sum", est, "exact_distinct")
+        .withColumnRenamed("grp", group)
+    )

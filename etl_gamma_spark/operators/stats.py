@@ -1,0 +1,139 @@
+"""Statistical operators: IQR (Tukey-fence) outlier detection and
+one-pass column profiling.
+
+Extension surface beyond the reference (which has no statistics beyond
+SUM/MIN/MAX — SURVEY §2.5); standard warehouse utilities a pipeline at
+scale needs for data validation and anomaly triage.
+
+Scale posture:
+  * iqr_outliers — exact interpolated quartiles need a per-group total
+    rank, so each group's values pass through one window partition (the
+    same rank/interpolate construction as the shared percentile oracle
+    body — built-in percentile_cont/quantile interpolate with
+    differently-ordered double math across engines, see
+    registry._PERCENTILES_BODY). Intended for bounded-cardinality
+    groups (event types, months); with millions of values per group,
+    switch to approx_percentile and give up bit-parity.
+  * profile_table — a single agg pass; the multi-column exact distinct
+    counts plan as one Expand (rows x n_cols), the distributed
+    equivalent of n parallel scans, with no driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Per-group Tukey fences: q1/q3 by exact linear interpolation
+    (the numpy/DuckDB 'linear' method), fences at q1 - 1.5*IQR and
+    q3 + 1.5*IQR, and per-group outlier counts + a decimal outlier sum.
+
+    Every double operation (p*(n-1), frac interpolation, fence
+    arithmetic) is written in the same order as the oracle SQL so the
+    results are bit-identical.
+    """
+    vals = df.select(
+        F.col(group).alias("grp"),
+        F.col(value_col).cast("double").alias("x"),
+        F.col(tiebreak).alias("tb"),
+    )
+    order = Window.partitionBy("grp").orderBy("x", "tb")
+    part = Window.partitionBy("grp")
+    ranked = vals.select(
+        "grp",
+        "x",
+        (F.row_number().over(order) - 1).alias("rn"),
+        F.count("*").over(part).alias("n"),
+    )
+    groups = ranked.select("grp", "n").distinct()
+    # explode a 2-element literal array rather than cross-joining a params
+    # frame (package invariant: no crossJoin outside similarity.bcast_attach)
+    bounds = (
+        groups.withColumn("p", F.explode(F.array(F.lit(0.25), F.lit(0.75))))
+        .withColumn("lo", F.floor(F.col("p") * (F.col("n") - 1)).cast("long"))
+        .withColumn(
+            "frac",
+            F.col("p") * (F.col("n") - 1) - F.floor(F.col("p") * (F.col("n") - 1)),
+        )
+    )
+    vlo = ranked.select(F.col("grp").alias("g1"), F.col("rn").alias("r1"), F.col("x").alias("xlo"))
+    vhi = ranked.select(F.col("grp").alias("g2"), F.col("rn").alias("r2"), F.col("x").alias("xhi"))
+    interp = (
+        bounds.join(vlo, (F.col("grp") == F.col("g1")) & (F.col("lo") == F.col("r1")))
+        .join(
+            vhi,
+            (F.col("grp") == F.col("g2"))
+            & (F.least(F.col("lo") + 1, F.col("n") - 1) == F.col("r2")),
+        )
+        .select("grp", "p", (F.col("xlo") + F.col("frac") * (F.col("xhi") - F.col("xlo"))).alias("q"))
+    )
+    fences = (
+        interp.groupBy("grp")
+        .agg(
+            F.max(F.when(F.col("p") == 0.25, F.col("q"))).alias("q1"),
+            F.max(F.when(F.col("p") == 0.75, F.col("q"))).alias("q3"),
+        )
+        .select(
+            "grp",
+            "q1",
+            "q3",
+            (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+            (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+        )
+    )
+    out = (F.col("x") < F.col("lo_fence")) | (F.col("x") > F.col("hi_fence"))
+    return (
+        vals.join(F.broadcast(fences), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.max("q1").alias("q1"),
+            F.max("q3").alias("q3"),
+            F.max("lo_fence").alias("lo_fence"),
+            F.max("hi_fence").alias("hi_fence"),
+            F.sum(
+                F.when(out, F.round(F.col("x"), 2).cast("decimal(18,2)"))
+            ).alias("outlier_sum"),
+        )
+        .withColumnRenamed("grp", group)
+    )
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column-level profile in ONE aggregation pass: row count, null
+    count, exact distinct count, min/max (stringified in the column's
+    native ordering, not lexically). Returns one row per profiled column:
+    (col_name, n_rows, n_null, n_distinct, min_s, max_s).
+
+    Callers stringify-sensitive types first (cast DOUBLE money to
+    DECIMAL) so engine and oracle render min/max identically.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__cnt_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").cast("long").alias("n_rows"),
+            (F.col("__n") - F.col(f"__cnt_{c}")).cast("long").alias("n_null"),
+            F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_s"),
+            F.col(f"__max_{c}").alias("max_s"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("s")).select("s.*")

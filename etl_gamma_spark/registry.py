@@ -3197,6 +3197,235 @@ def q_streaming_interval_join(spark, sf_dir):
     return run_interval_join_stream(spark, sf_dir, query_name="q_vp_interval_join")
 
 
+# value tiers for the range-join carrier: deliberately overlapping so a
+# point can match several intervals (the multiplicity a plain bucketing
+# could not express); VALUES list and the engine frame share this dict
+_TIERS = [
+    ("low", 0.0, 50.0),
+    ("mid", 40.0, 200.0),
+    ("high", 150.0, 500.0),
+    ("all", 0.0, 1000.0),
+]
+
+_TIERS_SQL = ", ".join(
+    f"('{t}', CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))" for t, lo, hi in _TIERS
+)
+
+
+@query(
+    "range_tier_join",
+    # independent restatement: the naive BETWEEN predicate join the
+    # binned rewrite must reproduce exactly
+    f"""
+WITH tiers(tier, lo, hi) AS (VALUES {_TIERS_SQL})
+SELECT t.tier,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value, 2) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+FROM events e JOIN tiers t ON e.value BETWEEN t.lo AND t.hi
+GROUP BY 1
+""",
+)
+def q_range_tier_join(spark, sf_dir):
+    from .operators.ranges import range_bin_join
+
+    tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    pts = spark.table("events").select("event_id", "value")
+    joined = range_bin_join(pts, tiers, "value", "lo", "hi", bin_width=50.0)
+    return joined.groupBy("tier").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("total_value"),
+    )
+
+
+@query(
+    "iqr_outliers",
+    # same rank/interpolate construction as _PERCENTILES_BODY (built-in
+    # quantiles interpolate with differently-ordered double math), then
+    # Tukey fences with the fence arithmetic in the engine's op order
+    """
+WITH vals AS (
+    SELECT event_type AS grp, CAST(value AS DOUBLE) AS x, event_id AS tb FROM events
+),
+ranked AS (
+    SELECT grp, x,
+           ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x, tb) - 1 AS rn,
+           COUNT(*) OVER (PARTITION BY grp) AS n
+    FROM vals
+),
+groups AS (SELECT DISTINCT grp, n FROM ranked),
+params AS (SELECT p FROM (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.75 AS DOUBLE))) t(p)),
+bounds AS (
+    SELECT g.grp, g.n, pr.p,
+           CAST(FLOOR(pr.p * (g.n - 1)) AS BIGINT) AS lo,
+           pr.p * (g.n - 1) - FLOOR(pr.p * (g.n - 1)) AS frac
+    FROM groups g CROSS JOIN params pr
+),
+interp AS (
+    SELECT b.grp, b.p, vlo.x + b.frac * (vhi.x - vlo.x) AS q
+    FROM bounds b
+    JOIN ranked vlo ON vlo.grp = b.grp AND vlo.rn = b.lo
+    JOIN ranked vhi ON vhi.grp = b.grp AND vhi.rn = LEAST(b.lo + 1, b.n - 1)
+),
+fences AS (
+    SELECT grp,
+           MAX(CASE WHEN p = 0.25 THEN q END) AS q1,
+           MAX(CASE WHEN p = 0.75 THEN q END) AS q3
+    FROM interp GROUP BY grp
+),
+f2 AS (
+    SELECT grp, q1, q3,
+           q1 - 1.5 * (q3 - q1) AS lo_fence,
+           q3 + 1.5 * (q3 - q1) AS hi_fence
+    FROM fences
+)
+SELECT v.grp AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN v.x < f.lo_fence OR v.x > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       MAX(f.q1) AS q1, MAX(f.q3) AS q3,
+       MAX(f.lo_fence) AS lo_fence, MAX(f.hi_fence) AS hi_fence,
+       CAST(SUM(CASE WHEN v.x < f.lo_fence OR v.x > f.hi_fence
+                     THEN CAST(ROUND(v.x, 2) AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS outlier_sum
+FROM vals v JOIN f2 f ON v.grp = f.grp
+GROUP BY 1
+""",
+)
+def q_iqr_outliers(spark, sf_dir):
+    from .operators.stats import iqr_outliers
+
+    return iqr_outliers(spark.table("events"), "event_type", "value", "event_id")
+
+
+def _hll_sql() -> str:
+    from .operators.sketch import pow2neg_values_sql
+
+    return f"""
+WITH h AS (
+    SELECT event_type AS grp,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM events
+),
+coded AS (SELECT grp, h % 64 AS bucket, h // 64 AS rest FROM h),
+r AS (
+    SELECT grp, bucket,
+           LEAST(CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END, 30) AS reg
+    FROM coded
+),
+regs AS (SELECT grp, bucket, MAX(reg) AS reg FROM r GROUP BY 1, 2),
+w(reg, wt) AS (VALUES {pow2neg_values_sql()}),
+sk AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(wt) AS DECIMAL(38,30)) AS t_sum
+    FROM regs JOIN w USING (reg) GROUP BY 1
+),
+ex AS (
+    SELECT event_type AS grp, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM events GROUP BY 1
+)
+SELECT sk.grp AS event_type, sk.n_buckets, sk.t_sum,
+       CAST(ROUND((0.709 * 4096) / (CAST(sk.t_sum AS DOUBLE)
+            + CAST(64 - sk.n_buckets AS DOUBLE)), 4) AS DECIMAL(18,4)) AS est,
+       ex.exact_distinct
+FROM sk JOIN ex USING (grp)
+"""
+
+
+@query("hll_distinct", _hll_sql())
+def q_hll_distinct(spark, sf_dir):
+    from .operators.sketch import hll_distinct
+
+    return hll_distinct(spark, spark.table("events"), "event_type", "user_id")
+
+
+@query(
+    "fuzzy_name_pairs",
+    # naive quadratic restatement of the deletion-neighborhood band join;
+    # both engines implement the classic Levenshtein definition
+    """
+WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer)
+SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS lev
+FROM c a JOIN c b ON a.id < b.id AND levenshtein(a.name, b.name) <= 1
+""",
+)
+def q_fuzzy_name_pairs(spark, sf_dir):
+    from .operators.fuzzy import edit_distance_pairs
+
+    return edit_distance_pairs(spark.table("customer"), "c_custkey", "c_name")
+
+
+_PAGERANK_SQL = """
+WITH e AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+           'P' || CAST(l_partkey AS VARCHAR) AS dst FROM e
+    UNION ALL
+    SELECT 'P' || CAST(l_partkey AS VARCHAR) AS src,
+           'S' || CAST(l_suppkey AS VARCHAR) AS dst FROM e
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+c1 AS (SELECT e.dst AS node, CAST(SUM(r.rank // d.out_deg) AS BIGINT) AS s
+       FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+       FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+c2 AS (SELECT e.dst AS node, CAST(SUM(r.rank // d.out_deg) AS BIGINT) AS s
+       FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+       FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+c3 AS (SELECT e.dst AS node, CAST(SUM(r.rank // d.out_deg) AS BIGINT) AS s
+       FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+       FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+SELECT node, rank FROM r3
+"""
+
+
+@query("pagerank_bipartite", _PAGERANK_SQL)
+def q_pagerank_bipartite(spark, sf_dir):
+    from .operators.graph import pagerank
+
+    e = spark.table("lineitem").select("l_suppkey", "l_partkey").distinct()
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    edges = e.select(s.alias("src"), p.alias("dst")).unionByName(
+        e.select(p.alias("src"), s.alias("dst"))
+    )
+    return pagerank(edges, iters=3)
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+]
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_s, CAST(MAX({c}) AS VARCHAR) AS max_s
+FROM (SELECT * REPLACE (CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS o_totalprice) FROM orders) t
+"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("profile_orders", _PROFILE_SQL)
+def q_profile_orders(spark, sf_dir):
+    from .operators.stats import profile_table
+
+    t = spark.table("orders").withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")
+    )
+    return profile_table(t, _PROFILE_COLS)
+
+
 # ---------------------------------------------------------------------------
 # Driver-graded ordering (VERDICT r3 item 4)
 #
@@ -3299,7 +3528,38 @@ def q_streaming_interval_join(spark, sf_dir):
 # is carried by graded... (streaming_interval_join is itself ungraded but
 # pytest-checked; the batch join family by graded asof_join_purchases)
 # and the round-then-decimal-sum discipline by every graded revenue query.
+#
+# Round-5 third batch: four new operator families enter the graded window
+# (range_tier_join — binned range join; hll_distinct — order-independent
+# HLL sketch; fuzzy_name_pairs — deletion-neighborhood edit-distance band
+# join; pagerank_bipartite — integer-exact iterative PageRank); displaced,
+# each transitively proven:
+#   dataset_split                 hexint-threshold bucketing carried by
+#                                 graded source_balance (same predicate
+#                                 family) and sequence_pack's DIV math
+#   clients_churned_feb           anti-join family carried by graded
+#                                 clients_never_transferred (J4); its
+#                                 complement clients_retained_feb already
+#                                 sits in the tail
+#   lang_id                       dialect-paired text-expression family
+#                                 carried by graded text_stats /
+#                                 gopher_repetition / token_histogram
+#   active_clients_dedup_union    dedup-union carried by graded
+#                                 receita_cliente (U2 padding) and
+#                                 chunk_dedup's keep-first aggregate
+# iqr_outliers enters ungraded: the rank/interpolate machinery is carried
+# by graded revenue_percentiles (shared construction) and the fence
+# comparison is pytest-oracle-checked.
+# profile_orders enters ungraded: single-pass agg + explode family carried
+# by many graded aggregates; the Expand multi-distinct plan is
+# pytest-oracle-checked.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "iqr_outliers",
+    "profile_orders",
+    "dataset_split",
+    "clients_churned_feb",
+    "lang_id",
+    "active_clients_dedup_union",
     "attribution_linear",
     "novelty_score",
     "boilerplate_chunks",

@@ -299,3 +299,43 @@ def test_quality_prune_and_source_mix_plan_shapes(spark):
         plan = _explain(QUERIES[name](spark, SF_CORRECT))
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_round5_batch4_plan_shapes(spark):
+    # range join: the whole point is turning the BETWEEN predicate into a
+    # bin equi-join — the naive form would be a BroadcastNestedLoopJoin
+    plan = _explain(QUERIES["range_tier_join"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "explode(sequence(" in plan  # interval bin explosion
+
+    # pagerank: per-iteration rank joins and dst aggregations are hash
+    # shuffles, never nested loops; no global sort anywhere
+    plan = _explain(QUERIES["pagerank_bipartite"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+    # hll sketch: registers come from hash aggregation (reducible MAX),
+    # never a per-group window pass
+    plan = _explain(QUERIES["hll_distinct"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+    # profile: one scan feeding the multi-distinct Expand, no self-joins
+    plan = _explain(QUERIES["profile_orders"](spark, SF_CORRECT))
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_fuzzy_pairs_candidate_join_degrades_to_shuffle(spark):
+    # same AQE skew-join canary as the other pair generators: with
+    # broadcast forbidden the variant self-join must plan as a shuffle
+    # join (skew-splittable), never a nested loop / forced broadcast
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _explain(QUERIES["fuzzy_name_pairs"](spark, SF_CORRECT))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

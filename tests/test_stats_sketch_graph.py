@@ -1,0 +1,191 @@
+"""Unit tests for the round-5 batch-4 operators: binned range join,
+IQR outliers, one-pass profiling, HLL sketch, deletion-neighborhood
+fuzzy pairs, integer-exact PageRank."""
+
+import numpy as np
+import pytest
+
+from etl_gamma_spark.operators.fuzzy import edit_distance_pairs
+from etl_gamma_spark.operators.graph import pagerank
+from etl_gamma_spark.operators.ranges import range_bin_join
+from etl_gamma_spark.operators.sketch import hll_distinct
+from etl_gamma_spark.operators.stats import iqr_outliers, profile_table
+
+
+# --- range_bin_join --------------------------------------------------------
+
+
+def _tiers(spark):
+    return spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 5.0, 15.0), ("bad", 9.0, 2.0)],
+        "tier string, lo double, hi double",
+    )
+
+
+def test_range_bin_join_semantics(spark):
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 5.0), (3, 10.0), (4, 12.0), (5, 99.0), (6, None)],
+        "id long, v double",
+    )
+    got = {
+        (r.id, r.tier)
+        for r in range_bin_join(pts, _tiers(spark), "v", "lo", "hi", 4.0).collect()
+    }
+    # closed bounds on both ends; overlap gives multiplicity; inverted
+    # interval and NULL point never match
+    assert got == {
+        (1, "a"),
+        (2, "a"),
+        (2, "b"),
+        (3, "a"),
+        (3, "b"),
+        (4, "b"),
+    }
+
+
+def test_range_bin_join_semi_applies_residual(spark):
+    pts = spark.createDataFrame([(1, 7.0), (2, 20.0)], "id long, v double")
+    # id=2 shares a bin with interval b under a huge bin width but fails
+    # the exact predicate — a semi join must not resurrect it
+    got = {
+        r.id
+        for r in range_bin_join(
+            pts, _tiers(spark), "v", "lo", "hi", 100.0, how="left_semi"
+        ).collect()
+    }
+    assert got == {1}
+
+
+def test_range_bin_join_no_duplicate_pairs_across_bins(spark):
+    pts = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    wide = spark.createDataFrame([("w", 0.0, 1000.0)], "tier string, lo double, hi double")
+    rows = range_bin_join(pts, wide, "v", "lo", "hi", 1.0).collect()
+    assert len(rows) == 1  # interval exploded over 1001 bins, matched once
+
+
+# --- iqr_outliers ----------------------------------------------------------
+
+
+def test_iqr_outliers_matches_numpy(spark):
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 100.0]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "id long, g string, x double"
+    )
+    [row] = iqr_outliers(df, "g", "x", "id").collect()
+    q1, q3 = np.quantile(vals, [0.25, 0.75], method="linear")
+    assert row.q1 == pytest.approx(q1) and row.q3 == pytest.approx(q3)
+    iqr = q3 - q1
+    assert row.lo_fence == pytest.approx(q1 - 1.5 * iqr)
+    assert row.hi_fence == pytest.approx(q3 + 1.5 * iqr)
+    assert row.n == 10 and row.n_outliers == 1
+    assert float(row.outlier_sum) == 100.0
+
+
+# --- profile_table ---------------------------------------------------------
+
+
+def test_profile_table_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "k long, s string"
+    )
+    prof = {r.col_name: r for r in profile_table(df, ["k", "s"]).collect()}
+    assert prof["k"].n_rows == 3 and prof["k"].n_null == 0
+    assert prof["k"].n_distinct == 2
+    assert prof["k"].min_s == "1" and prof["k"].max_s == "2"
+    assert prof["s"].n_null == 1 and prof["s"].n_distinct == 2
+    assert prof["s"].min_s == "x" and prof["s"].max_s == "y"
+
+
+# --- hll_distinct ----------------------------------------------------------
+
+
+def test_hll_estimate_within_tolerance(spark):
+    # two groups with very different cardinalities; m=64 gives ~13%
+    # standard error — assert a generous 3-sigma band
+    df = spark.range(5000).selectExpr(
+        "CASE WHEN id % 5 = 0 THEN 'big' ELSE 'small' END AS g",
+        "CASE WHEN id % 5 = 0 THEN id ELSE id % 50 END AS v",
+    )
+    rows = {r.g: r for r in hll_distinct(spark, df, "g", "v").collect()}
+    # in the sketch's design range (n >> m) the estimate is tight
+    exact = rows["big"].exact_distinct
+    assert exact == 1000
+    assert abs(float(rows["big"].est) - exact) / exact < 0.4
+    # below ~2.5*m the uncorrected HLL estimator is biased HIGH (the
+    # linear-counting small-range correction is deliberately omitted: ln()
+    # is not bit-reproducible across engines; bias, not nondeterminism) —
+    # assert the documented direction rather than tightness
+    assert rows["small"].exact_distinct == 40
+    assert float(rows["small"].est) >= 40
+
+
+def test_hll_sketch_is_partition_order_independent(spark):
+    df = spark.range(2000).selectExpr("'g' AS g", "id AS v")
+    a = hll_distinct(spark, df, "g", "v").collect()[0]
+    b = hll_distinct(spark, df.repartition(17), "g", "v").collect()[0]
+    assert a.t_sum == b.t_sum and a.n_buckets == b.n_buckets and a.est == b.est
+
+
+# --- edit_distance_pairs ---------------------------------------------------
+
+
+def test_fuzzy_pairs_edit_classes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "abcd"),  # substitution partner of 2
+            (2, "abxd"),
+            (3, "abc"),  # deletion partner of 1
+            (4, "zzzz"),  # unrelated
+        ],
+        "id long, name string",
+    )
+    got = {(r.id_a, r.id_b, r.lev) for r in edit_distance_pairs(df, "id", "name").collect()}
+    assert got == {(1, 2, 1), (1, 3, 1)}
+
+
+def test_fuzzy_pairs_capped_on_degenerate_corpus(spark):
+    # 10k identical keys: every variant's posting list is over the df-cap,
+    # so candidate generation emits nothing instead of ~50M pairs — the
+    # lev-0 mass belongs to exact dedup (same posture as the other caps)
+    df = spark.range(10_000).selectExpr("id", "'all the same value' AS name")
+    assert edit_distance_pairs(df, "id", "name").count() == 0
+    # ...while a cluster below the cap still pairs completely
+    small = spark.range(10).selectExpr("id", "concat('name', id) AS name")
+    assert edit_distance_pairs(small, "id", "name").count() == 45
+
+
+# --- pagerank --------------------------------------------------------------
+
+
+def _pure_python_pagerank(edges, iters=3):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        s = {n: 0 for n in nodes}
+        for a, b in edges:
+            s[b] += rank[a] // deg[a]
+        rank = {n: 150_000 + (85 * s[n]) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_pure_python_model(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, iters=3).collect()}
+    assert got == _pure_python_pagerank(edges)
+
+
+def test_pagerank_partition_order_independent(spark):
+    df = (
+        spark.range(500)
+        .selectExpr(
+            "CAST(id % 50 AS STRING) AS src", "CAST((id * 7) % 50 AS STRING) AS dst"
+        )
+        .distinct()
+    )
+    a = sorted((r.node, r.rank) for r in pagerank(df, 2).collect())
+    b = sorted((r.node, r.rank) for r in pagerank(df.repartition(13), 2).collect())
+    assert a == b
