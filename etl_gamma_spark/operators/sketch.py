@@ -114,3 +114,89 @@ def hll_distinct(
         .select("grp", "n_buckets", "t_sum", est, "exact_distinct")
         .withColumnRenamed("grp", group)
     )
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of the frequency
+    distribution of ``key_col``: DEPTH x WIDTH counters, counter(d, b) =
+    number of rows whose d-th hash lands in bucket b.
+
+    Like hll_distinct, the point of hand-rolling is a sketch that is
+    bit-reproducible ACROSS engines and mergeable by plain cell-wise SUM
+    (counters are integers — order-independent): partial sketches built
+    per partition / per day / per engine add up to the corpus sketch.
+    Fixed 1024 cells regardless of corpus size: the whole build is one
+    hash aggregation with map-side partials, no per-key state.
+
+    Hash family: md5 seeded by the row index — engine-equal (md5 is
+    bit-identical in Spark and DuckDB).
+    """
+    rows = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+        F.col(key_col).cast("string").alias("__k"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("d"), F.col("__k"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+    return (
+        rows.select("d", bucket.alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").cast("long").alias("counter"))
+    )
+
+
+def cms_heavy_hitters(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """Probe the CMS for the exact top-``k`` keys: returns
+    (key, exact BIGINT, est BIGINT) with est = min over the DEPTH rows of
+    the key's counter — the CMS point query, which can only OVERestimate
+    (est >= exact always; the unit test pins the invariant).
+
+    The exact top-k here is the verification baseline; in production the
+    sketch answers point queries for keys that were never aggregated
+    exactly.
+    """
+    counters = cms_build(df, key_col)
+    exact = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").cast("long").alias("exact")
+    )
+    topk = (
+        exact.orderBy(F.col("exact").desc(), F.col("key"))
+        .limit(k)
+    )
+    probes = topk.select(
+        "key",
+        "exact",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+    ).select(
+        "key",
+        "exact",
+        "d",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("d"), F.col("key"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("key", "exact")
+        .agg(F.min("counter").cast("long").alias("est"))
+    )

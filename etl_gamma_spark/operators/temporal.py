@@ -341,3 +341,41 @@ def topk_per_group(
     return df.select(
         "*", F.row_number().over(w).alias("rank")
     ).filter(F.col("rank") <= k)
+
+
+def rolling_months(
+    df: DataFrame,
+    key: str,
+    month_col: str,
+    value_col: str,
+    months: int = 3,
+) -> DataFrame:
+    """Trailing ``months``-month aggregate per entity over a (possibly
+    sparse) monthly series — a RANGE frame, not a ROWS frame: a missing
+    month shrinks the window instead of silently reaching further back
+    (the classic ROWS-frame bug on sparse series).
+
+    Output: (key, month_col, value_col + '_trailing', n_months) where the
+    sum covers months in (current - months, current].
+
+    The frame orders by an integer month index (year*12 + month) so the
+    RANGE bound is exact integer arithmetic in both engines. The window
+    value aggregate is a DECIMAL sum — exact, hence order-independent.
+    One shuffle on the entity key; partitions are entity-span-sized.
+    """
+    midx = (F.year(month_col) * 12 + F.month(month_col)).alias("__midx")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__midx")
+        .rangeBetween(-(months - 1), Window.currentRow)
+    )
+    return (
+        df.select(key, month_col, value_col, midx)
+        .select(
+            key,
+            month_col,
+            value_col,
+            F.sum(value_col).over(w).alias(f"{value_col}_trailing"),
+            F.count("*").over(w).cast("long").alias("n_months"),
+        )
+    )

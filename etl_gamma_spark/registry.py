@@ -3426,6 +3426,82 @@ def q_profile_orders(spark, sf_dir):
     return profile_table(t, _PROFILE_COLS)
 
 
+_ROLLING_BODY = """
+, monthly AS (
+    SELECT c.farmer_id,
+           CAST(date_trunc('month', r.record_date) AS DATE) AS mes,
+           CAST(SUM(r.gross_revenue) AS DECIMAL(18,2)) AS receita
+    FROM revenue_records_historical r
+    JOIN clients c ON r.client_id = c.client_id
+    GROUP BY 1, 2
+),
+m2 AS (SELECT farmer_id, mes, receita, year(mes) * 12 + month(mes) AS midx FROM monthly)
+SELECT farmer_id, mes, receita,
+       CAST(SUM(receita) OVER (PARTITION BY farmer_id ORDER BY midx
+            RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS receita_trailing,
+       CAST(COUNT(*) OVER (PARTITION BY farmer_id ORDER BY midx
+            RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_months
+FROM m2
+"""
+
+
+@query(
+    "receita_rolling_3m",
+    with_model(_ROLLING_BODY, "clients", "revenue_records_historical"),
+)
+def q_receita_rolling_3m(spark, sf_dir):
+    """Trailing 3-month revenue per farmer as a RANGE frame over an
+    integer month index — a sparse month shrinks the window instead of a
+    ROWS frame silently reaching further back."""
+    from .operators.temporal import rolling_months
+
+    j = spark.table("revenue_records_historical").join(
+        F.broadcast(spark.table("clients")), "client_id"
+    )
+    monthly = (
+        j.selectExpr(
+            "farmer_id",
+            "CAST(date_trunc('month', record_date) AS DATE) AS mes",
+            "gross_revenue",
+        )
+        .groupBy("farmer_id", "mes")
+        .agg(F.expr("CAST(SUM(gross_revenue) AS DECIMAL(18,2))").alias("receita"))
+    )
+    return rolling_months(monthly, "farmer_id", "mes", "receita", months=3)
+
+
+_CMS_SQL = """
+WITH ds AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+rows AS (SELECT d, CAST(user_id AS VARCHAR) AS k FROM events, ds),
+counters AS (
+    SELECT d,
+           CAST(('0x' || substr(md5(d || ':' || k), 1, 15)) AS BIGINT) % 256 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS counter
+    FROM rows GROUP BY 1, 2
+),
+exact AS (
+    SELECT CAST(user_id AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS exact
+    FROM events GROUP BY 1
+),
+topk AS (SELECT key, exact FROM exact ORDER BY exact DESC, key LIMIT 10),
+probes AS (
+    SELECT key, exact, d,
+           CAST(('0x' || substr(md5(d || ':' || key), 1, 15)) AS BIGINT) % 256 AS bucket
+    FROM topk, ds
+)
+SELECT p.key, p.exact, CAST(MIN(c.counter) AS BIGINT) AS est
+FROM probes p JOIN counters c USING (d, bucket)
+GROUP BY 1, 2
+"""
+
+
+@query("cms_topk", _CMS_SQL)
+def q_cms_topk(spark, sf_dir):
+    from .operators.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(spark.table("events"), "user_id", k=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver-graded ordering (VERDICT r3 item 4)
 #
@@ -3553,7 +3629,14 @@ def q_profile_orders(spark, sf_dir):
 # profile_orders enters ungraded: single-pass agg + explode family carried
 # by many graded aggregates; the Expand multi-distinct plan is
 # pytest-oracle-checked.
+# receita_rolling_3m enters ungraded: RANGE-frame window over the monthly
+# aggregate whose decimal-sum discipline and farmer/month keys are carried
+# by graded cumulative_revenue and receita_gap_fill's pytest oracle.
+# cms_topk enters ungraded: md5-bucket hash-aggregate sketch family carried
+# by graded hll_distinct; the overestimate invariant is unit-pinned.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "receita_rolling_3m",
+    "cms_topk",
     "iqr_outliers",
     "profile_orders",
     "dataset_split",

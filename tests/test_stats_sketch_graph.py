@@ -189,3 +189,71 @@ def test_pagerank_partition_order_independent(spark):
     a = sorted((r.node, r.rank) for r in pagerank(df, 2).collect())
     b = sorted((r.node, r.rank) for r in pagerank(df.repartition(13), 2).collect())
     assert a == b
+
+
+# --- rolling_months (RANGE frame) ------------------------------------------
+
+
+def test_rolling_months_range_frame_respects_gaps(spark):
+    import datetime as dt
+
+    from etl_gamma_spark.operators.temporal import rolling_months
+
+    rows = [
+        ("f", dt.date(2001, 1, 1), 10),
+        ("f", dt.date(2001, 2, 1), 20),
+        # march missing — the trailing-3 window at may must NOT reach
+        # back to february (a ROWS 2-preceding frame would)
+        ("f", dt.date(2001, 4, 1), 40),
+        ("f", dt.date(2001, 5, 1), 50),
+    ]
+    df = spark.createDataFrame(rows, "k string, mes date, v long")
+    got = {
+        r.mes.month: (r.v_trailing, r.n_months)
+        for r in rolling_months(df, "k", "mes", "v").collect()
+    }
+    assert got == {1: (10, 1), 2: (30, 2), 4: (60, 2), 5: (90, 2)}
+
+
+def test_rolling_months_spans_year_boundary(spark):
+    import datetime as dt
+
+    from etl_gamma_spark.operators.temporal import rolling_months
+
+    rows = [("f", dt.date(2001, 12, 1), 1), ("f", dt.date(2002, 1, 1), 2)]
+    df = spark.createDataFrame(rows, "k string, mes date, v long")
+    got = {r.mes: r.v_trailing for r in rolling_months(df, "k", "mes", "v").collect()}
+    # dec 2001 and jan 2002 are adjacent in the integer month index
+    assert got[dt.date(2002, 1, 1)] == 3
+
+
+# --- count-min sketch ------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_is_tight_on_heavy_keys(spark):
+    from etl_gamma_spark.operators.sketch import cms_heavy_hitters
+
+    # zipf-ish: key 0 dominates
+    df = spark.range(5000).selectExpr("CAST(id % 100 AS STRING) AS k").union(
+        spark.range(2000).selectExpr("'0' AS k")
+    )
+    rows = cms_heavy_hitters(df, "k", k=5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.est >= r.exact, (r.key, r.est, r.exact)
+    top = max(rows, key=lambda r: r.exact)
+    assert top.key == "0" and top.exact == 2050
+
+
+def test_cms_partial_sketches_merge_by_cellwise_sum(spark):
+    from etl_gamma_spark.operators.sketch import cms_build
+
+    df = spark.range(3000).selectExpr("CAST(id % 37 AS STRING) AS k")
+    half1 = df.where("id % 2 = 0")
+    half2 = df.where("id % 2 = 1")
+    full = {(r.d, r.bucket): r.counter for r in cms_build(df, "k").collect()}
+    merged = {}
+    for part in (half1, half2):
+        for r in cms_build(part, "k").collect():
+            merged[(r.d, r.bucket)] = merged.get((r.d, r.bucket), 0) + r.counter
+    assert merged == full
