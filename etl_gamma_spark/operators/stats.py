@@ -108,32 +108,36 @@ def iqr_outliers(
 
 
 def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Column-level profile in ONE aggregation pass: row count, null
-    count, exact distinct count, min/max (stringified in the column's
-    native ordering, not lexically). Returns one row per profiled column:
+    """Column-level profile: row count, null count, exact distinct count,
+    min/max (stringified in the column's native ordering, not lexically).
+    Returns one row per profiled column:
     (col_name, n_rows, n_null, n_distinct, min_s, max_s).
+
+    One independent single-column aggregate per profiled column, unioned.
+    The tempting alternative — one agg carrying every column's metrics
+    through an Expand — plans as wide multi-key SortAggregates (string
+    min/max buffers are not hash-aggregable), measured 3-4x slower here.
+    Per-column branches each scan ONLY their column (columnar pruning:
+    N one-column passes read the same bytes as one N-column pass), each
+    plans as a narrow two-phase aggregate with map-side partials, and on
+    a cluster the branches run as independent parallel stages.
 
     Callers stringify-sensitive types first (cast DOUBLE money to
     DECIMAL) so engine and oracle render min/max identically.
     """
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    parts = []
     for c in cols:
-        aggs += [
-            F.count(c).alias(f"__cnt_{c}"),
-            F.countDistinct(c).alias(f"__nd_{c}"),
-            F.min(c).cast("string").alias(f"__min_{c}"),
-            F.max(c).cast("string").alias(f"__max_{c}"),
-        ]
-    one = df.agg(*aggs)
-    rows = [
-        F.struct(
-            F.lit(c).alias("col_name"),
-            F.col("__n").cast("long").alias("n_rows"),
-            (F.col("__n") - F.col(f"__cnt_{c}")).cast("long").alias("n_null"),
-            F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
-            F.col(f"__min_{c}").alias("min_s"),
-            F.col(f"__max_{c}").alias("max_s"),
+        parts.append(
+            df.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_null"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+                F.min(c).cast("string").alias("min_s"),
+                F.max(c).cast("string").alias("max_s"),
+            )
         )
-        for c in cols
-    ]
-    return one.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -320,10 +320,14 @@ def test_round5_batch4_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
 
-    # profile: one scan feeding the multi-distinct Expand, no self-joins
+    # profile: independent pruned single-column aggregate per column —
+    # never the wide SortAggregate Expand form (measured 3-4x slower),
+    # and no joins
     plan = _explain(QUERIES["profile_orders"](spark, SF_CORRECT))
-    assert "Expand" in plan
+    assert "Expand" not in plan
     assert "Join" not in plan
+    # one pruned scan per column (Location: appears once per scan detail)
+    assert plan.count("Location: InMemoryFileIndex") == 5
 
 
 def test_fuzzy_pairs_candidate_join_degrades_to_shuffle(spark):
