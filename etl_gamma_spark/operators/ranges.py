@@ -73,3 +73,64 @@ def range_bin_join(
         return binned_pts.join(exploded, cond, "left_semi").drop(BIN)
     # drop(BIN) removes both sides' bin columns (drop-by-name is all-matches)
     return binned_pts.join(exploded, cond, "inner").drop(BIN)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval x interval overlap join (closed intervals,
+    ``l_lo <= r_hi AND r_lo <= l_hi``) — the two-sided sibling of
+    range_bin_join, again as a bin-exploded equi-join instead of a
+    nested-loop plan.
+
+    Two overlapping intervals share EVERY bin their overlap region
+    touches, so a plain bin join would emit duplicate pairs. Instead of
+    a distinct (an extra full-pair shuffle), each pair is emitted only
+    from the FIRST bin of its overlap region —
+    ``bin == floor(greatest(l_lo, r_lo) / bin_width)`` — which exists
+    and is unique for every overlapping pair: a duplicate-free join
+    with zero post-processing.
+
+    Interval replication is ceil(width / bin_width) + 1 per row; pick
+    ``bin_width`` near the median interval width. Inputs must not carry
+    a __bin column; inverted intervals (lo > hi) never match.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    for side in (left, right):
+        if BIN in side.columns:
+            raise ValueError(f"inputs must not carry a {BIN!r} column")
+    lb = left.where(F.col(l_lo) <= F.col(l_hi)).withColumn(
+        BIN,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_lo) / F.lit(bin_width)),
+                F.floor(F.col(l_hi) / F.lit(bin_width)),
+            )
+        ),
+    )
+    rb = right.where(F.col(r_lo) <= F.col(r_hi)).withColumn(
+        BIN,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_lo) / F.lit(bin_width)),
+                F.floor(F.col(r_hi) / F.lit(bin_width)),
+            )
+        ),
+    )
+    cond = (
+        (lb[BIN] == rb[BIN])
+        & (F.col(l_lo) <= F.col(r_hi))
+        & (F.col(r_lo) <= F.col(l_hi))
+        & (
+            lb[BIN]
+            == F.floor(F.greatest(F.col(l_lo), F.col(r_lo)) / F.lit(bin_width))
+        )
+    )
+    return lb.join(rb, cond, "inner").drop(BIN)

@@ -3502,6 +3502,62 @@ def q_cms_topk(spark, sf_dir):
     return cms_heavy_hitters(spark.table("events"), "user_id", k=10)
 
 
+_OVERLAP_SQL = """
+WITH w AS (
+    SELECT l_suppkey AS sk,
+           CAST(date_diff('day', DATE '1970-01-01',
+                MIN(CAST(l_shipdate AS DATE))) AS BIGINT) AS lo
+    FROM lineitem GROUP BY 1
+),
+iv AS (SELECT sk, lo, lo + 3 AS hi FROM w)
+SELECT a.sk AS sk_a, b.sk AS sk_b,
+       a.lo AS a_lo, a.hi AS a_hi, b.lo AS b_lo, b.hi AS b_hi,
+       CAST(LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) + 1 AS BIGINT) AS overlap_days
+FROM iv a JOIN iv b
+  ON a.sk < b.sk AND a.lo <= b.hi AND b.lo <= a.hi
+"""
+
+
+@query("supplier_window_overlaps", _OVERLAP_SQL)
+def q_supplier_window_overlaps(spark, sf_dir):
+    """Interval x interval overlap join WITHOUT an equi key: each
+    supplier's first-shipment 4-day window vs every other supplier's —
+    the naive predicate self-join is O(n^2) nested-loop; here it bins
+    (operators/ranges.py::interval_overlap_join)."""
+    from .operators.ranges import interval_overlap_join
+
+    iv = (
+        spark.table("lineitem")
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.datediff(
+                F.min(F.col("l_shipdate").cast("date")), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("lo")
+        )
+        .select("sk", "lo", (F.col("lo") + 3).alias("hi"))
+    )
+    a = iv.select(
+        F.col("sk").alias("sk_a"), F.col("lo").alias("a_lo"), F.col("hi").alias("a_hi")
+    )
+    b = iv.select(
+        F.col("sk").alias("sk_b"), F.col("lo").alias("b_lo"), F.col("hi").alias("b_hi")
+    )
+    joined = interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=7)
+    return joined.where(F.col("sk_a") < F.col("sk_b")).select(
+        "sk_a",
+        "sk_b",
+        "a_lo",
+        "a_hi",
+        "b_lo",
+        "b_hi",
+        (F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo") + 1)
+        .cast("long")
+        .alias("overlap_days"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-graded ordering (VERDICT r3 item 4)
 #
@@ -3634,7 +3690,11 @@ def q_cms_topk(spark, sf_dir):
 # by graded cumulative_revenue and receita_gap_fill's pytest oracle.
 # cms_topk enters ungraded: md5-bucket hash-aggregate sketch family carried
 # by graded hll_distinct; the overestimate invariant is unit-pinned.
+# supplier_window_overlaps enters ungraded: the bin-exploded equi-join
+# family is carried by graded range_tier_join (same operator module); the
+# first-overlap-bin dedup-free emission is unit-pinned.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "supplier_window_overlaps",
     "receita_rolling_3m",
     "cms_topk",
     "iqr_outliers",

@@ -257,3 +257,39 @@ def test_cms_partial_sketches_merge_by_cellwise_sum(spark):
         for r in cms_build(part, "k").collect():
             merged[(r.d, r.bucket)] = merged.get((r.d, r.bucket), 0) + r.counter
     assert merged == full
+
+
+# --- interval_overlap_join -------------------------------------------------
+
+
+def test_interval_overlap_join_no_duplicates_and_exact_semantics(spark):
+    from etl_gamma_spark.operators.ranges import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 10), (2, 20, 25), (3, 40, 41), (4, 9, 2)],  # 4 inverted
+        "ida long, a_lo long, a_hi long",
+    )
+    b = spark.createDataFrame(
+        # 10 overlaps #1 at a point; 24..60 overlaps #2 and #3 and spans
+        # many bins (duplicate-emission trap); 11..19 touches nothing
+        [(100, 10, 12), (200, 24, 60), (300, 11, 19)],
+        "idb long, b_lo long, b_hi long",
+    )
+    got = sorted(
+        (r.ida, r.idb)
+        for r in interval_overlap_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=5
+        ).collect()
+    )
+    assert got == [(1, 100), (2, 200), (3, 200)]
+
+
+def test_interval_overlap_join_negative_coordinates(spark):
+    from etl_gamma_spark.operators.ranges import interval_overlap_join
+
+    a = spark.createDataFrame([(1, -12, -3)], "ida long, a_lo long, a_hi long")
+    b = spark.createDataFrame([(2, -5, 4)], "idb long, b_lo long, b_hi long")
+    rows = interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=7
+    ).collect()
+    assert len(rows) == 1  # floor-division binning handles negatives
