@@ -25,6 +25,14 @@ from etl_gamma_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runs per query, best (min) wall-clock reported. This host is a noisy
+# shared tenant (the same query measured 1.6 s steady-state and 34 s
+# under ambient load with zero repo processes); a single sample makes
+# the artifact reflect the neighbor's workload, min-of-2 mostly restores
+# the signal at ~2x bench wall time. Set SPARK_GRAFT_BENCH_RUNS=1 for a
+# quick single-pass run while iterating.
+BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+
 # queries excluded from the bench loop (none currently); order matters only
 # for cache warmth, so run the flagship first
 BENCH_QUERIES = list(QUERIES)
@@ -63,16 +71,22 @@ def main() -> None:
     errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        try:
-            materialize(QUERIES[name](spark, SF_DIR))
-        except Exception as exc:
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"ERROR {name}: {errors[name]}", file=sys.stderr)
+        best = None
+        for _ in range(BENCH_RUNS):
+            t0 = time.monotonic()
+            try:
+                materialize(QUERIES[name](spark, SF_DIR))
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"ERROR {name}: {errors[name]}", file=sys.stderr)
+                best = None
+                break
+            secs = time.monotonic() - t0
+            best = secs if best is None else min(best, secs)
+        if best is None:
             continue
-        secs = round(time.monotonic() - t0, 3)
-        per_query[name] = secs
-        total += secs
+        per_query[name] = round(best, 3)
+        total += per_query[name]
 
     result = {
         "metric": "etl_gamma_spark headline queries wall-clock",
@@ -80,9 +94,9 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
-        # single-run timings on a shared host are noise-sensitive (measured
-        # 1.6–34 s for the SAME query at different ambient load); record the
-        # 1/5/15-min load averages so the artifact carries its conditions
+        "runs_per_query": BENCH_RUNS,
+        # shared-host noise context: record the 1/5/15-min load averages so
+        # the artifact carries its measurement conditions
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     if errors:
