@@ -3518,6 +3518,77 @@ FROM iv a JOIN iv b
 """
 
 
+_UNPIVOT_BODY = """
+, m AS (
+    SELECT CAST(date_trunc('month', record_date) AS DATE) AS mes,
+           CAST(SUM(gross_revenue) AS DECIMAL(18,2)) AS receita_bruta,
+           CAST(SUM(net_revenue) AS DECIMAL(18,2)) AS receita_liquida,
+           CAST(SUM(gross_commission) AS DECIMAL(18,2)) AS comissao_bruta
+    FROM revenue_records_historical GROUP BY 1
+)
+SELECT mes, 'receita_bruta' AS metric, receita_bruta AS value FROM m
+UNION ALL SELECT mes, 'receita_liquida' AS metric, receita_liquida AS value FROM m
+UNION ALL SELECT mes, 'comissao_bruta' AS metric, comissao_bruta AS value FROM m
+"""
+
+
+@query(
+    "receita_unpivot",
+    with_model(_UNPIVOT_BODY, "revenue_records_historical"),
+)
+def q_receita_unpivot(spark, sf_dir):
+    """Wide→long reshaping via the DataFrame unpivot/melt API (the
+    inverse of receita_pivot_fonte); oracle restates it as the classic
+    per-metric UNION ALL."""
+    m = (
+        spark.table("revenue_records_historical")
+        .groupBy(F.expr("CAST(date_trunc('month', record_date) AS DATE)").alias("mes"))
+        .agg(
+            F.expr("CAST(SUM(gross_revenue) AS DECIMAL(18,2))").alias("receita_bruta"),
+            F.expr("CAST(SUM(net_revenue) AS DECIMAL(18,2))").alias("receita_liquida"),
+            F.expr("CAST(SUM(gross_commission) AS DECIMAL(18,2))").alias("comissao_bruta"),
+        )
+    )
+    return m.unpivot(
+        ["mes"],
+        ["receita_bruta", "receita_liquida", "comissao_bruta"],
+        "metric",
+        "value",
+    )
+
+
+_QUARTILES_BODY = """
+, t AS (
+    SELECT client_id, CAST(SUM(gross_revenue) AS DECIMAL(18,2)) AS total
+    FROM revenue_records_historical GROUP BY 1
+)
+SELECT client_id, total,
+       CAST(ntile(4) OVER (ORDER BY total DESC, client_id) AS INTEGER) AS quartile
+FROM t
+"""
+
+
+@query(
+    "client_revenue_quartiles",
+    with_model(_QUARTILES_BODY, "revenue_records_historical"),
+)
+def q_client_revenue_quartiles(spark, sf_dir):
+    """ntile(4) revenue-quartile assignment — deterministic because the
+    ordering is a total order (client_id tiebreak) and both engines give
+    earlier tiles the larger share on non-divisible counts."""
+    from pyspark.sql import Window
+
+    t = (
+        spark.table("revenue_records_historical")
+        .groupBy("client_id")
+        .agg(F.expr("CAST(SUM(gross_revenue) AS DECIMAL(18,2))").alias("total"))
+    )
+    w = Window.orderBy(F.col("total").desc(), F.col("client_id"))
+    return t.select(
+        "client_id", "total", F.ntile(4).over(w).cast("int").alias("quartile")
+    )
+
+
 @query("supplier_window_overlaps", _OVERLAP_SQL)
 def q_supplier_window_overlaps(spark, sf_dir):
     """Interval x interval overlap join WITHOUT an equi key: each
@@ -3693,7 +3764,15 @@ def q_supplier_window_overlaps(spark, sf_dir):
 # supplier_window_overlaps enters ungraded: the bin-exploded equi-join
 # family is carried by graded range_tier_join (same operator module); the
 # first-overlap-bin dedup-free emission is unit-pinned.
+# receita_unpivot enters ungraded: the UNION ALL long-form family is
+# carried by graded receita_cliente (U2); the unpivot API call itself is
+# pytest-oracle-checked.
+# client_revenue_quartiles enters ungraded: total-order ranking windows
+# are carried by graded tfidf_top_terms/topk family; ntile semantics are
+# pytest-oracle-checked.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "receita_unpivot",
+    "client_revenue_quartiles",
     "supplier_window_overlaps",
     "receita_rolling_3m",
     "cms_topk",
