@@ -134,25 +134,27 @@ def cms_build(df: DataFrame, key_col: str) -> DataFrame:
     Fixed 1024 cells regardless of corpus size: the whole build is one
     hash aggregation with map-side partials, no per-key state.
 
-    Hash family: md5 seeded by the row index — engine-equal (md5 is
-    bit-identical in Spark and DuckDB).
+    Hash family: DEPTH disjoint 32-bit slices of one md5 digest —
+    engine-equal (md5 is bit-identical in Spark and DuckDB).
     """
-    rows = df.select(
-        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
-        F.col(key_col).cast("string").alias("__k"),
+    from ..io import spread
+
+    hashed = spread(df.select(F.col(key_col).cast("string").alias("__k"))).select(
+        F.md5("__k").alias("__h")
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("d"), F.col("__k"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % CMS_WIDTH
-    )
+    pairs = [
+        F.struct(
+            F.lit(d).alias("d"),
+            (
+                F.conv(F.substring("__h", 1 + 8 * d, 8), 16, 10).cast("long")
+                % CMS_WIDTH
+            ).alias("bucket"),
+        )
+        for d in range(CMS_DEPTH)
+    ]
     return (
-        rows.select("d", bucket.alias("bucket"))
+        hashed.select(F.explode(F.array(*pairs)).alias("s"))
+        .select("s.d", "s.bucket")
         .groupBy("d", "bucket")
         .agg(F.count("*").cast("long").alias("counter"))
     )
@@ -176,25 +178,28 @@ def cms_heavy_hitters(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
         exact.orderBy(F.col("exact").desc(), F.col("key"))
         .limit(k)
     )
-    probes = topk.select(
+    # digest bound in its own projection (no CSE for repeated md5), then
+    # the same disjoint 32-bit slices as the build side
+    probes = topk.select("key", "exact", F.md5("key").alias("__h")).select(
         "key",
         "exact",
-        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
-    ).select(
-        "key",
-        "exact",
-        "d",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col("d"), F.col("key"))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long")
-            % CMS_WIDTH
-        ).alias("bucket"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            F.conv(F.substring("__h", 1 + 8 * d, 8), 16, 10).cast(
+                                "long"
+                            )
+                            % CMS_WIDTH
+                        ).alias("bucket"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("s"),
+    ).select("key", "exact", "s.d", "s.bucket")
     return (
         probes.join(F.broadcast(counters), ["d", "bucket"])
         .groupBy("key", "exact")

@@ -3472,12 +3472,12 @@ def q_receita_rolling_3m(spark, sf_dir):
 
 _CMS_SQL = """
 WITH ds AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
-rows AS (SELECT d, CAST(user_id AS VARCHAR) AS k FROM events, ds),
+h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hh FROM events),
 counters AS (
     SELECT d,
-           CAST(('0x' || substr(md5(d || ':' || k), 1, 15)) AS BIGINT) % 256 AS bucket,
+           CAST(('0x' || substr(hh, 8 * d + 1, 8)) AS BIGINT) % 256 AS bucket,
            CAST(COUNT(*) AS BIGINT) AS counter
-    FROM rows GROUP BY 1, 2
+    FROM h, ds GROUP BY 1, 2
 ),
 exact AS (
     SELECT CAST(user_id AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS exact
@@ -3486,7 +3486,7 @@ exact AS (
 topk AS (SELECT key, exact FROM exact ORDER BY exact DESC, key LIMIT 10),
 probes AS (
     SELECT key, exact, d,
-           CAST(('0x' || substr(md5(d || ':' || key), 1, 15)) AS BIGINT) % 256 AS bucket
+           CAST(('0x' || substr(md5(key), 8 * d + 1, 8)) AS BIGINT) % 256 AS bucket
     FROM topk, ds
 )
 SELECT p.key, p.exact, CAST(MIN(c.counter) AS BIGINT) AS est

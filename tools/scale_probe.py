@@ -46,6 +46,14 @@ PROBE_QUERIES = [
     "cdc_merge",
     "token_histogram",
     "user_sessions",
+    # round-5 batch-4 fact-table operators (fuzzy/profile target dim
+    # tables, which the probe deliberately leaves unreplicated)
+    "range_tier_join",
+    "hll_distinct",
+    "cms_topk",
+    "pagerank_bipartite",
+    "supplier_window_overlaps",
+    "iqr_outliers",
 ]
 
 
