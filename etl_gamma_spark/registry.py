@@ -3518,6 +3518,54 @@ FROM iv a JOIN iv b
 """
 
 
+_EXPECTATIONS_SQL = """
+SELECT 'not_null(o_orderkey, o_custkey)' AS expectation,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'in_range(o_totalprice, 0, 1000)' AS expectation,
+       CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                      AND NOT (o_totalprice BETWEEN 0 AND 1000) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'values_in(o_orderstatus, [''O'', ''F'', ''P''])' AS expectation,
+       CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'matches(o_orderpriority, ^[0-9]-)' AS expectation,
+       CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                      AND NOT regexp_matches(o_orderpriority, '^[0-9]-') THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+"""
+
+
+@query("orders_expectations", _EXPECTATIONS_SQL)
+def q_orders_expectations(spark, sf_dir):
+    """The declarative data-quality suite as an oracle-checked report:
+    one scan, violation counts per rule (the in_range rule is
+    deliberately tight so the differential compares NONZERO counts)."""
+    from .sources import validate as V
+
+    exps = [
+        V.not_null("o_orderkey", "o_custkey"),
+        V.in_range("o_totalprice", 0, 1000),
+        V.Expectation(
+            "values_in(o_orderstatus, ['O', 'F', 'P'])",
+            V.values_in("o_orderstatus", ["O", "F", "P"]).violation,
+        ),
+        V.Expectation(
+            "matches(o_orderpriority, ^[0-9]-)",
+            V.matches("o_orderpriority", "^[0-9]-").violation,
+        ),
+    ]
+    return V.expectations_report(spark.table("orders"), exps)
+
+
 _UNPIVOT_BODY = """
 , m AS (
     SELECT CAST(date_trunc('month', record_date) AS DATE) AS mes,
@@ -3770,7 +3818,11 @@ def q_supplier_window_overlaps(spark, sf_dir):
 # client_revenue_quartiles enters ungraded: total-order ranking windows
 # are carried by graded tfidf_top_terms/topk family; ntile semantics are
 # pytest-oracle-checked.
+# orders_expectations enters ungraded: single-pass conditional-count agg
+# family carried by many graded aggregates; it gives the data-quality
+# suite (formerly unit-only) an oracle-checked carrier.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "orders_expectations",
     "receita_unpivot",
     "client_revenue_quartiles",
     "supplier_window_overlaps",

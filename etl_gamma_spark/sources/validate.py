@@ -89,3 +89,32 @@ def referential(fact: DataFrame, col: str, dim: DataFrame, dim_col: str) -> int:
         .join(dim.select(F.col(dim_col).alias(col)).distinct(), col, "left_anti")
         .count()
     )
+
+
+def expectations_report(
+    df: DataFrame, expectations: list[Expectation]
+) -> DataFrame:
+    """run_expectations as a DataFrame (no driver-side .first()): one row
+    per expectation — (expectation, n_violations, n_rows). Still a single
+    aggregation pass (integer sums hash-aggregate cleanly); the explode
+    only reshapes the one result row."""
+    if not expectations:
+        raise ValueError("at least one expectation required")
+    names = [e.name for e in expectations]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate expectation names would shadow results: {dupes}")
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.when(e.violation, 1).otherwise(0)).alias(f"__v{i}")
+        for i, e in enumerate(expectations)
+    ]
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(e.name).alias("expectation"),
+            F.coalesce(F.col(f"__v{i}"), F.lit(0)).cast("long").alias("n_violations"),
+            F.col("__n").cast("long").alias("n_rows"),
+        )
+        for i, e in enumerate(expectations)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
