@@ -3804,14 +3804,10 @@ def q_supplier_window_overlaps(spark, sf_dir):
 # profile_orders enters ungraded: single-pass agg + explode family carried
 # by many graded aggregates; the Expand multi-distinct plan is
 # pytest-oracle-checked.
-# receita_rolling_3m enters ungraded: RANGE-frame window over the monthly
-# aggregate whose decimal-sum discipline and farmer/month keys are carried
-# by graded cumulative_revenue and receita_gap_fill's pytest oracle.
-# cms_topk enters ungraded: md5-bucket hash-aggregate sketch family carried
-# by graded hll_distinct; the overestimate invariant is unit-pinned.
-# supplier_window_overlaps enters ungraded: the bin-exploded equi-join
-# family is carried by graded range_tier_join (same operator module); the
-# first-overlap-bin dedup-free emission is unit-pinned.
+# receita_rolling_3m / cms_topk / supplier_window_overlaps entered
+# ungraded on registration and were promoted by the round-5 final
+# rotation below (displacing cumulative_revenue / token_histogram /
+# sequence_pack respectively).
 # receita_unpivot enters ungraded: the UNION ALL long-form family is
 # carried by graded receita_cliente (U2); the unpivot API call itself is
 # pytest-oracle-checked.
@@ -3821,13 +3817,27 @@ def q_supplier_window_overlaps(spark, sf_dir):
 # orders_expectations enters ungraded: single-pass conditional-count agg
 # family carried by many graded aggregates; it gives the data-quality
 # suite (formerly unit-only) an oracle-checked carrier.
+#
+# Round-5 final rotation: three new operator families move INTO the
+# graded window (supplier_window_overlaps — interval x interval binned
+# join; cms_topk — Count-Min sketch; receita_rolling_3m — RANGE-frame
+# trailing window); displaced, each transitively proven:
+#   sequence_pack                 integer-DIV bucketing arithmetic carried
+#                                 by graded tfidf_top_terms / novelty
+#                                 family; greedy packing pytest-checked
+#   token_histogram               count→top-k shape carried by graded
+#                                 tfidf_top_terms; bucket counting by
+#                                 graded cms_topk
+#   cumulative_revenue            running-frame window carried by graded
+#                                 receita_rolling_3m (RANGE frame, the
+#                                 stricter sibling of ROWS unbounded)
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "sequence_pack",
+    "token_histogram",
+    "cumulative_revenue",
     "orders_expectations",
     "receita_unpivot",
     "client_revenue_quartiles",
-    "supplier_window_overlaps",
-    "receita_rolling_3m",
-    "cms_topk",
     "iqr_outliers",
     "profile_orders",
     "dataset_split",
