@@ -57,6 +57,10 @@ PIPELINES = {
     # so both refresh whole-table (partition_by None)
     "chunk_dedup": ("chunk_dedup", None),
     "cdc_merge": ("cdc_merge", None),
+    # data-ops utilities: column profile and the expectation report are
+    # the natural pre-load CLI steps (small whole-table outputs)
+    "profile": ("profile_orders", None),
+    "expectations": ("orders_expectations", None),
 }
 
 

@@ -379,3 +379,113 @@ def rolling_months(
             F.count("*").over(w).cast("long").alias("n_months"),
         )
     )
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    tiebreak: str,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """For every left row, attach the right row of the same key whose
+    timestamp is NEAREST in either direction (pandas
+    ``merge_asof(direction='nearest')`` — the reference stack's idiom),
+    optionally bounded by ``tolerance_us`` microseconds. Ties at equal
+    distance prefer the BACKWARD (earlier) match, like pandas; equal
+    timestamps on the right side resolve to the largest ``tiebreak``.
+
+    Plan: ONE shuffle on the key, then two in-partition window passes
+    over the same union — ascending carry-forward for the backward
+    candidate, descending for the forward candidate — and an expression
+    picks the closer side. No join, no per-row subquery; hot keys are
+    bounded by the entity's own event count.
+
+    Output: all left columns + ``nearest_<val>`` per right value +
+    ``delta_us`` (NULL when no match within tolerance).
+    """
+    l_cols = list(left.columns)
+    r_types = dict(right.dtypes)
+    l_types = dict(left.dtypes)
+    carried = [*right_vals, "__rts"]
+    tagged_r = right.select(
+        F.col(key),
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(tiebreak).alias("__tb"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_vals],
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("__r___rts"),
+        *[
+            F.lit(None).cast(l_types[c]).alias(c)
+            for c in l_cols
+            if c != key
+        ],
+    )
+    tagged_l = left.select(
+        F.col(key),
+        F.unix_micros(F.col(left_ts).cast("timestamp")).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.col(tiebreak).alias("__tb"),
+        *[F.lit(None).cast(r_types[c]).alias(f"__r_{c}") for c in right_vals],
+        F.lit(None).cast("long").alias("__r___rts"),
+        *[F.col(c) for c in l_cols if c != key],
+    )
+    run = (Window.unboundedPreceding, Window.currentRow)
+    # backward: right rows at the same instant sort BEFORE the left row
+    # (inclusive), equal-ts rights resolve to the largest tiebreak
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(
+            F.col("__ts").asc_nulls_last(),
+            F.col("__side").asc_nulls_last(),
+            F.col("__tb").asc_nulls_last(),
+        )
+        .rowsBetween(*run)
+    )
+    # forward: descending timestamps; side stays ascending so equal-ts
+    # rights still precede the left row (inclusive on both directions)
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(
+            F.col("__ts").desc_nulls_last(),
+            F.col("__side").asc_nulls_last(),
+            F.col("__tb").asc_nulls_last(),
+        )
+        .rowsBetween(*run)
+    )
+    filled = tagged_r.unionByName(tagged_l).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+            for c in carried
+        ],
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+            for c in carried
+        ],
+    )
+    db = F.col("__ts") - F.col("__b___rts")
+    df_ = F.col("__f___rts") - F.col("__ts")
+    if tolerance_us is not None:
+        db = F.when(db <= tolerance_us, db)
+        df_ = F.when(df_ <= tolerance_us, df_)
+    use_b = F.when(df_.isNull(), F.lit(True)).otherwise(
+        db.isNotNull() & (db <= df_)
+    )
+    # db/df_ NULL covers both "no candidate" and "outside tolerance" —
+    # either way the stale carried values must not leak through
+    picked = [
+        F.when(use_b & db.isNotNull(), F.col(f"__b_{c}"))
+        .otherwise(F.when(~use_b & df_.isNotNull(), F.col(f"__f_{c}")))
+        .alias(f"nearest_{c}")
+        for c in right_vals
+    ]
+    delta = (
+        F.when(use_b, db).otherwise(df_).cast("long").alias("delta_us")
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        key, *[c for c in l_cols if c != key], *picked, delta
+    )

@@ -3518,6 +3518,66 @@ FROM iv a JOIN iv b
 """
 
 
+_NEAREST_SQL = """
+WITH p AS (
+    SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+    FROM events WHERE event_type = 'purchase'
+),
+v AS (
+    SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS vts
+    FROM events WHERE event_type = 'view'
+),
+j AS (
+    SELECT p.user_id, p.purchase_id, p.pts, v.view_id, v.vts,
+           abs(epoch_us(v.vts) - epoch_us(p.pts)) AS d
+    FROM p JOIN v USING (user_id)
+    WHERE abs(epoch_us(v.vts) - epoch_us(p.pts)) <= 600000000
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY purchase_id
+                                 ORDER BY d, vts, view_id DESC) AS rn
+    FROM j
+)
+SELECT user_id, purchase_id, pts, view_id, vts, CAST(d AS BIGINT) AS delta_us
+FROM r WHERE rn = 1
+"""
+
+
+@query("purchase_nearest_view", _NEAREST_SQL)
+def q_purchase_nearest_view(spark, sf_dir):
+    """Nearest-in-time match (pandas merge_asof direction='nearest'):
+    each purchase to the closest view within ±10 min of the same user —
+    backward preferred on distance ties, largest view_id on timestamp
+    ties; the oracle restates it as the naive rank-over-pairs query."""
+    from .operators.temporal import asof_nearest
+
+    ev = spark.table("events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("pts"),
+        "event_id",
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("vts"),
+        "event_id",
+    )
+    out = asof_nearest(
+        p, v, "user_id", "pts", "vts", ["view_id", "vts"],
+        tiebreak="event_id", tolerance_us=600_000_000,
+    )
+    return out.where(F.col("delta_us").isNotNull()).select(
+        "user_id",
+        "purchase_id",
+        "pts",
+        F.col("nearest_view_id").alias("view_id"),
+        F.col("nearest_vts").alias("vts"),
+        "delta_us",
+    )
+
+
 _EXPECTATIONS_SQL = """
 SELECT 'not_null(o_orderkey, o_custkey)' AS expectation,
        CAST(SUM(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
@@ -3831,7 +3891,11 @@ def q_supplier_window_overlaps(spark, sf_dir):
 #   cumulative_revenue            running-frame window carried by graded
 #                                 receita_rolling_3m (RANGE frame, the
 #                                 stricter sibling of ROWS unbounded)
+# purchase_nearest_view enters ungraded: the union+carry-forward window
+# machinery is carried by graded asof_join_purchases (one-directional
+# sibling); the bidirectional pick expression is pytest-oracle-checked.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "purchase_nearest_view",
     "sequence_pack",
     "token_histogram",
     "cumulative_revenue",

@@ -293,3 +293,48 @@ def test_interval_overlap_join_negative_coordinates(spark):
         a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=7
     ).collect()
     assert len(rows) == 1  # floor-division binning handles negatives
+
+
+# --- asof_nearest ----------------------------------------------------------
+
+
+def test_asof_nearest_direction_ties_and_tolerance(spark):
+    import datetime as dt
+
+    from etl_gamma_spark.operators.temporal import asof_nearest
+
+    t0 = dt.datetime(2001, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame(
+        [
+            ("u", 1, ts(100), 1),  # right at 90 (d=10) and 105 (d=5) -> forward
+            ("u", 2, ts(200), 2),  # rights at 195 and 205 (d=5 both) -> backward
+            ("u", 3, ts(400), 3),  # nearest is 205, d=195 > tolerance -> NULL
+            ("u", 4, ts(90), 4),   # exact match d=0, two rights at 90 -> max id
+        ],
+        "k string, lid long, lts timestamp, tb long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", 10, ts(90), 10),
+            ("u", 11, ts(90), 11),  # same instant, larger tiebreak wins
+            ("u", 12, ts(105), 12),
+            ("u", 13, ts(195), 13),
+            ("u", 14, ts(205), 14),
+        ],
+        "k string, rid long, rts timestamp, tb long",
+    )
+    got = {
+        r.lid: (r.nearest_rid, r.delta_us)
+        for r in asof_nearest(
+            left, right, "k", "lts", "rts", ["rid"],
+            tiebreak="tb", tolerance_us=60_000_000,
+        ).collect()
+    }
+    assert got[1] == (12, 5_000_000)   # forward closer
+    assert got[2] == (13, 5_000_000)   # tie -> backward
+    assert got[3] == (None, None)      # outside tolerance
+    assert got[4] == (11, 0)           # equal instant, max tiebreak
