@@ -166,3 +166,60 @@ def test_tfidf_fuzz_vs_python_model(spark):
         for r in tfidf_top_terms(df).collect()
     }
     assert got == expect
+
+
+def test_range_bin_join_fuzz_vs_bruteforce(spark):
+    """Binned range join == brute-force point-in-interval across random
+    bin widths (including widths far larger/smaller than intervals)."""
+    from etl_gamma_spark.operators.ranges import range_bin_join
+
+    rng = random.Random(SEED + 1)
+    pts = [(i, round(rng.uniform(-50, 150), 3)) for i in range(300)]
+    ivs = []
+    for j in range(60):
+        lo = round(rng.uniform(-60, 140), 3)
+        hi = round(lo + rng.uniform(0, 40), 3)
+        if rng.random() < 0.1:
+            lo, hi = hi, lo + 1  # some inverted intervals
+        ivs.append((j, lo, hi))
+    p_df = spark.createDataFrame(pts, "pid long, v double")
+    i_df = spark.createDataFrame(ivs, "iid long, lo double, hi double")
+    expect = {
+        (pid, iid)
+        for pid, v in pts
+        for iid, lo, hi in ivs
+        if lo <= v <= hi
+    }
+    for width in (0.5, 7.3, 200.0):
+        got = {
+            (r.pid, r.iid)
+            for r in range_bin_join(p_df, i_df, "v", "lo", "hi", width).collect()
+        }
+        assert got == expect, f"width={width}"
+
+
+def test_interval_overlap_join_fuzz_vs_bruteforce(spark):
+    """First-overlap-bin emission == brute-force overlap pairs, each pair
+    exactly once, across bin widths."""
+    from etl_gamma_spark.operators.ranges import interval_overlap_join
+
+    rng = random.Random(SEED + 2)
+    mk = lambda n, tag: [
+        (i, rng.randint(-100, 300), 0) for i in range(n)
+    ]
+    a = [(i, lo, lo + rng.randint(0, 25)) for i, lo, _ in mk(80, "a")]
+    b = [(j, lo, lo + rng.randint(0, 25)) for j, lo, _ in mk(70, "b")]
+    a_df = spark.createDataFrame(a, "ida long, a_lo long, a_hi long")
+    b_df = spark.createDataFrame(b, "idb long, b_lo long, b_hi long")
+    expect = sorted(
+        (ia, ib)
+        for ia, alo, ahi in a
+        for ib, blo, bhi in b
+        if alo <= bhi and blo <= ahi
+    )
+    for width in (3, 11, 500):
+        rows = interval_overlap_join(
+            a_df, b_df, "a_lo", "a_hi", "b_lo", "b_hi", width
+        ).collect()
+        got = sorted((r.ida, r.idb) for r in rows)
+        assert got == expect, f"width={width}"  # == also catches duplicates
