@@ -156,6 +156,20 @@ def word_chunks(words: str, d: str, w: int = 10) -> str:
     return atransform(seq("0", hi, d), "__i", chunk, d)
 
 
+def sliding_word_chunks(words: str, d: str, window: int = 20, stride: int = 10) -> str:
+    """Overlapping sliding word-window chunks (RAG-ingestion chunking):
+    starts at 1, 1+stride, ... while the start lies inside the document;
+    each chunk spans up to ``window`` words (tail chunks shorter). Same
+    pre-materialized ``words`` contract as :func:`word_shingles`;
+    ``greatest(n,1)`` keeps DIV operands non-negative (Spark DIV ≡
+    DuckDB //)."""
+    n = asize(words, d)
+    great = f"greatest({n}, 1)"
+    hi = idiv(f"{great} - 1", str(stride), d)
+    chunk = ajoin(aslice(words, f"__i * {stride} + 1", window, d), " ", d)
+    return atransform(seq("0", hi, d), "__i", chunk, d)
+
+
 # --- winnowing fingerprints ------------------------------------------------
 
 WINNOW_K = 8  # k-gram length (chars)

@@ -486,3 +486,40 @@ def token_histogram(docs: DataFrame, text_col: str = "text", k: int = 100) -> Da
         .orderBy(F.col("n").desc(), "token")
         .limit(k)
     )
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    window: int = 20,
+    stride: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping sliding-window chunking (the RAG-ingestion splitter):
+    one chunk every ``stride`` words spanning up to ``window`` words, so
+    consecutive chunks overlap by ``window - stride``. Returns
+    (id, chunk_idx, chunk_hash, n_tokens) — the hash stands in for the
+    chunk text downstream (dedup, embedding keys) and keeps outputs
+    narrow.
+
+    Pure expression pipeline: split bound in its own projection (no CSE
+    for repeated split), array built by the dialect-paired generator,
+    posexplode for (idx, chunk) — one narrow scan, no shuffle at all.
+    """
+    from ..functions import text as T
+
+    bound = docs.select(
+        F.col(id_col).alias("id"),
+        F.expr(T.split_ws(text_col, T.SPARK)).alias("__w"),
+    )
+    arr = T.sliding_word_chunks("__w", T.SPARK, window, stride)
+    return (
+        bound.select("id", F.expr(arr).alias("__chunks"))
+        .selectExpr("id", "posexplode(__chunks) AS (chunk_idx, chunk)")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("chunk_idx").cast("int"),
+            F.md5("chunk").alias("chunk_hash"),
+            F.expr("size(split(chunk, ' '))").cast("int").alias("n_tokens"),
+        )
+    )

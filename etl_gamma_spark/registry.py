@@ -3518,6 +3518,29 @@ FROM iv a JOIN iv b
 """
 
 
+def _sliding_chunks_sql(d: str) -> str:
+    chunks = T.sliding_word_chunks("words", d, 20, 10)
+    return f"""
+WITH w AS (SELECT doc_id, {T.split_ws('text', d)} AS words FROM documents),
+c AS (SELECT doc_id, {chunks} AS chunks FROM w)
+SELECT doc_id,
+       CAST(unnest(range(len(chunks))) AS INTEGER) AS chunk_idx,
+       md5(unnest(chunks)) AS chunk_hash,
+       CAST(len(string_split(unnest(chunks), ' ')) AS INTEGER) AS n_tokens
+FROM c
+"""
+
+
+@query("doc_sliding_chunks", _sliding_chunks_sql(_D))
+def q_doc_sliding_chunks(spark, sf_dir):
+    """RAG-style overlapping chunking (20-word windows every 10 words);
+    the oracle zip-unnests the chunk array next to range() — the DuckDB
+    twin of posexplode."""
+    from .operators.quality import sliding_chunks
+
+    return sliding_chunks(spark.table("documents"), window=20, stride=10)
+
+
 _NEAREST_SQL = """
 WITH p AS (
     SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
@@ -3894,7 +3917,12 @@ def q_supplier_window_overlaps(spark, sf_dir):
 # purchase_nearest_view enters ungraded: the union+carry-forward window
 # machinery is carried by graded asof_join_purchases (one-directional
 # sibling); the bidirectional pick expression is pytest-oracle-checked.
+# doc_sliding_chunks enters ungraded: the split→transform→explode chunk
+# family is carried by graded chunk_dedup (word_chunks sibling) and the
+# posexplode/zip-unnest pairing by graded sequence_pack's fixture tests;
+# the overlap arithmetic is pytest-oracle-checked.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "doc_sliding_chunks",
     "purchase_nearest_view",
     "sequence_pack",
     "token_histogram",

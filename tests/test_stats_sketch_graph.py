@@ -338,3 +338,33 @@ def test_asof_nearest_direction_ties_and_tolerance(spark):
     assert got[2] == (13, 5_000_000)   # tie -> backward
     assert got[3] == (None, None)      # outside tolerance
     assert got[4] == (11, 0)           # equal instant, max tiebreak
+
+
+# --- sliding_chunks --------------------------------------------------------
+
+
+def test_sliding_chunks_overlap_arithmetic(spark):
+    import hashlib
+
+    from etl_gamma_spark.operators.quality import sliding_chunks
+
+    words = [f"w{i}" for i in range(25)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        sliding_chunks(df, window=20, stride=10).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # starts at words 0, 10, 20 -> lengths 20, 15, 5
+    assert [r.n_tokens for r in rows] == [20, 15, 5]
+    expected = [
+        " ".join(words[0:20]),
+        " ".join(words[10:25]),
+        " ".join(words[20:25]),
+    ]
+    for r, e in zip(rows, expected):
+        assert r.chunk_hash == hashlib.md5(e.encode()).hexdigest()
+    # empty text still emits exactly one (empty) chunk
+    empty = sliding_chunks(
+        spark.createDataFrame([(2, "")], "doc_id long, text string")
+    ).collect()
+    assert len(empty) == 1 and empty[0].n_tokens == 1
