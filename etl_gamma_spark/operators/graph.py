@@ -76,3 +76,80 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def cooccurrence_edges(
+    pairs: DataFrame, item: str, entity: str, max_df: int = 64
+) -> DataFrame:
+    """Undirected co-occurrence edges (x < y): two entities are linked
+    when they share at least one item. The item posting-list self-join is
+    df-capped like every pair generator in this repo: an item shared by
+    more than ``max_df`` entities would emit O(df^2) pairs (the skewed-key
+    quadratic), and such hub items carry no co-occurrence signal anyway.
+
+    Returns (x, y, n_shared) — the shared-item count is the edge weight
+    (callers threshold or top-N it to sparsify dense graphs).
+    """
+    base = pairs.select(F.col(item).alias("i"), F.col(entity).alias("e")).distinct()
+    counts = base.groupBy("i").agg(F.count("*").alias("__df"))
+    kept = base.join(counts.where(F.col("__df") <= max_df).select("i"), "i")
+    a = kept.select("i", F.col("e").alias("x"))
+    b = kept.select("i", F.col("e").alias("y"))
+    return (
+        a.join(b, "i")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over undirected ``edges`` (x < y,
+    pre-deduplicated) — the degree-oriented wedge-closure algorithm:
+
+    orient every edge from its lower-(degree, id) endpoint to the higher
+    one; enumerate wedges only from each node's OUT-neighbors; close
+    them with a join back onto the oriented edge set. The orientation
+    bounds every out-degree by O(sqrt(|E|)) — a celebrity node of degree
+    d contributes d wedges as a DESTINATION but only ~sqrt-bounded
+    wedges as a source, which is what keeps the wedge join from going
+    quadratic on skewed graphs (the naive a<b<c 3-way join the oracle
+    uses has no such bound). Each triangle is found exactly once.
+
+    Returns (node, n_triangles) for nodes in at least one triangle.
+    """
+    deg = (
+        edges.select(F.col("x").alias("node"))
+        .union(edges.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("dy"))
+    ranked = edges.join(dx, "x").join(dy, "y")
+    # identical field names in both rank structs — CASE branches must agree
+    rx = F.struct(F.col("dx").alias("d"), F.col("x").alias("n"))
+    ry = F.struct(F.col("dy").alias("d"), F.col("y").alias("n"))
+    fwd = rx < ry
+    oriented = ranked.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("v"),
+        F.when(fwd, ry).otherwise(rx).alias("vr"),
+    ).localCheckpoint()
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("vr").alias("r1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"), F.col("vr").alias("r2"))
+    # unordered out-neighbor pairs, ordered by the same rank the
+    # orientation uses so the closing edge (v1 -> v2) is oriented
+    wedges = e1.join(e2, "u").where(F.col("r1") < F.col("r2"))
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    members = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v1").alias("node")))
+        .unionAll(tri.select(F.col("v2").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )

@@ -3518,6 +3518,48 @@ FROM iv a JOIN iv b
 """
 
 
+_TRIANGLES_SQL = """
+WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+w AS (
+    SELECT a.s AS x, b.s AS y, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+    GROUP BY 1, 2
+),
+e AS (SELECT x, y FROM w ORDER BY n_shared DESC, x, y LIMIT 300),
+t AS (
+    SELECT e1.x AS a, e1.y AS b, e2.y AS c
+    FROM e e1
+    JOIN e e2 ON e1.y = e2.x
+    JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+    SELECT a AS node FROM t
+    UNION ALL SELECT b AS node FROM t
+    UNION ALL SELECT c AS node FROM t
+)
+GROUP BY 1
+"""
+
+
+@query("supplier_triangles", _TRIANGLES_SQL)
+def q_supplier_triangles(spark, sf_dir):
+    """Triangle counting over the top-300 strongest supplier co-purchase
+    links: the engine runs the degree-ORIENTED wedge-closure algorithm
+    (out-degrees bounded ~sqrt(|E|)); the oracle restates it as the
+    naive a<b<c three-way self-join, which has no such bound."""
+    from .operators.graph import cooccurrence_edges, triangle_counts
+
+    sp = spark.table("lineitem").select("l_partkey", "l_suppkey")
+    edges = (
+        cooccurrence_edges(sp, "l_partkey", "l_suppkey", max_df=64)
+        .orderBy(F.col("n_shared").desc(), "x", "y")
+        .limit(300)
+        .select("x", "y")
+    )
+    return triangle_counts(edges)
+
+
 def _sliding_chunks_sql(d: str) -> str:
     chunks = T.sliding_word_chunks("words", d, 20, 10)
     return f"""
@@ -3921,7 +3963,12 @@ def q_supplier_window_overlaps(spark, sf_dir):
 # family is carried by graded chunk_dedup (word_chunks sibling) and the
 # posexplode/zip-unnest pairing by graded sequence_pack's fixture tests;
 # the overlap arithmetic is pytest-oracle-checked.
+# supplier_triangles enters ungraded: the df-capped posting-list pair
+# join is carried by graded ngram_jaccard_pairs/fuzzy_name_pairs and the
+# union+count shape by graded retention family; the degree-oriented
+# wedge closure is pytest-oracle-checked and brute-force-fuzzed.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "supplier_triangles",
     "doc_sliding_chunks",
     "purchase_nearest_view",
     "sequence_pack",

@@ -368,3 +368,46 @@ def test_sliding_chunks_overlap_arithmetic(spark):
         spark.createDataFrame([(2, "")], "doc_id long, text string")
     ).collect()
     assert len(empty) == 1 and empty[0].n_tokens == 1
+
+
+# --- triangle_counts -------------------------------------------------------
+
+
+def test_triangle_counts_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from etl_gamma_spark.operators.graph import triangle_counts
+
+    rng = random.Random(99)
+    nodes = list(range(30))
+    edges = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)}
+    )
+    expect = {}
+    eset = set(edges)
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    df = spark.createDataFrame(edges, "x long, y long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == expect
+
+
+def test_cooccurrence_edges_weights_and_cap(spark):
+    from etl_gamma_spark.operators.graph import cooccurrence_edges
+
+    rows = [
+        ("i1", "a"), ("i1", "b"),
+        ("i2", "a"), ("i2", "b"),
+        ("i3", "b"), ("i3", "c"),
+        # hub item shared by everyone: over the cap, contributes nothing
+        *[("hub", e) for e in "abcdef"],
+    ]
+    df = spark.createDataFrame(rows, "item string, entity string")
+    got = {
+        (r.x, r.y): r.n_shared
+        for r in cooccurrence_edges(df, "item", "entity", max_df=3).collect()
+    }
+    assert got == {("a", "b"): 2, ("b", "c"): 1}
