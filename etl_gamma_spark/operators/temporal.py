@@ -489,3 +489,69 @@ def asof_nearest(
     return filled.filter(F.col("__side") == 1).select(
         key, *[c for c in l_cols if c != key], *picked, delta
     )
+
+
+def twap_buckets(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average per (entity, hour bucket) — the financial
+    TWAP downsample, companion to ohlc_downsample. Each tick's value
+    holds from its timestamp until the next tick in the bucket (the last
+    tick extends to the bucket end); a tick at the same instant as its
+    successor gets zero weight.
+
+    Determinism: weights are integer microseconds and the numerator is
+    an exact DECIMAL sum (value rounded to 6 places x DECIMAL(18,0)
+    weight), so both aggregates are order-independent; the only double
+    arithmetic is the final single division, identical in both engines.
+
+    One shuffle on (entity, bucket); the LEAD window and the aggregate
+    share that partitioning.
+    """
+    t = events.select(
+        F.col(key).alias("k"),
+        F.col(ts).cast("timestamp").alias("t"),
+        # width 19: in DuckDB, width<=18 decimal multiplies run in int64 and
+        # overflow; 19 forces hugeint (DECIMAL(38,6)) — Spark caps the
+        # 19x19 product at (38,6) identically
+        F.expr(f"CAST(ROUND({value_col}, 6) AS DECIMAL(19,6))").alias("v"),
+        F.col(tiebreak).alias("tb"),
+    ).select(
+        "k",
+        "v",
+        "tb",
+        F.unix_micros("t").alias("tus"),
+        F.date_trunc("hour", F.col("t")).alias("bucket_ts"),
+    )
+    w = Window.partitionBy("k", "bucket_ts").orderBy("tus", "tb")
+    bucket_end = F.unix_micros(F.col("bucket_ts") + F.expr("INTERVAL 1 HOUR"))
+    weighted = t.select(
+        "k",
+        "bucket_ts",
+        "v",
+        (
+            F.coalesce(F.lead("tus").over(w), bucket_end) - F.col("tus")
+        ).cast("decimal(19,0)").alias("wt"),
+    )
+    # the raw numerator is NOT emitted: an 18-significant-digit decimal
+    # converts to double differently across engines (adjacent ULPs) — the
+    # driver boundary casts decimals to double, so only the rounded twap
+    # and the exactly-double-representable den/n_ticks are output
+    return weighted.groupBy("k", "bucket_ts").agg(
+        F.sum(F.col("v") * F.col("wt")).cast("decimal(38,6)").alias("__num"),
+        F.sum("wt").cast("decimal(18,0)").alias("den"),
+        F.count("*").cast("long").alias("n_ticks"),
+    ).select(
+        F.col("k").alias(key),
+        "bucket_ts",
+        "den",
+        "n_ticks",
+        F.expr(
+            "CAST(ROUND(CAST(__num AS DOUBLE) / CAST(den AS DOUBLE), 6)"
+            " AS DECIMAL(18,6))"
+        ).alias("twap"),
+    )

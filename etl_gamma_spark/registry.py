@@ -3518,6 +3518,39 @@ FROM iv a JOIN iv b
 """
 
 
+_TWAP_SQL = """
+WITH t AS (
+    SELECT user_id AS k, CAST(ROUND(value, 6) AS DECIMAL(19,6)) AS v, event_id AS tb,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+           CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket_ts
+    FROM events
+),
+w AS (
+    SELECT k, bucket_ts, v,
+           CAST(COALESCE(lead(tus) OVER (PARTITION BY k, bucket_ts ORDER BY tus, tb),
+                epoch_us(bucket_ts + INTERVAL 1 HOUR)) - tus AS DECIMAL(19,0)) AS wt
+    FROM t
+),
+a AS (
+    SELECT k AS user_id, bucket_ts,
+           CAST(SUM(v * wt) AS DECIMAL(38,6)) AS num,
+           CAST(SUM(wt) AS DECIMAL(18,0)) AS den,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM w GROUP BY 1, 2
+)
+SELECT user_id, bucket_ts, den, n_ticks,
+       CAST(ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DECIMAL(18,6)) AS twap
+FROM a
+"""
+
+
+@query("twap_hourly", _TWAP_SQL)
+def q_twap_hourly(spark, sf_dir):
+    from .operators.temporal import twap_buckets
+
+    return twap_buckets(spark.table("events"))
+
+
 _TRIANGLES_SQL = """
 WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
 w AS (
@@ -3967,7 +4000,11 @@ def q_supplier_window_overlaps(spark, sf_dir):
 # join is carried by graded ngram_jaccard_pairs/fuzzy_name_pairs and the
 # union+count shape by graded retention family; the degree-oriented
 # wedge closure is pytest-oracle-checked and brute-force-fuzzed.
+# twap_hourly enters ungraded: the keyed-bucket LEAD window family is
+# carried by graded ohlc_downsample/user_sessions and the decimal-exact
+# weighted sum by every graded revenue aggregate.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "twap_hourly",
     "supplier_triangles",
     "doc_sliding_chunks",
     "purchase_nearest_view",

@@ -411,3 +411,28 @@ def test_cooccurrence_edges_weights_and_cap(spark):
         for r in cooccurrence_edges(df, "item", "entity", max_df=3).collect()
     }
     assert got == {("a", "b"): 2, ("b", "c"): 1}
+
+
+# --- twap_buckets ----------------------------------------------------------
+
+
+def test_twap_weights_and_average(spark):
+    import datetime as dt
+    from decimal import Decimal
+
+    from etl_gamma_spark.operators.temporal import twap_buckets
+
+    h = dt.datetime(2001, 1, 1, 10, 0, 0)
+    rows = [
+        # value 2.0 holds 10:00:00->10:30:00 (1800s), 4.0 holds to hour end
+        (1, "u", h, 2.0),
+        (2, "u", h + dt.timedelta(minutes=30), 4.0),
+        # single tick at 11:15 holds 45 min -> twap == its own value
+        (3, "u", h + dt.timedelta(hours=1, minutes=15), 7.5),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp, value double")
+    got = {r.bucket_ts.hour: r for r in twap_buckets(df).collect()}
+    assert float(got[10].twap) == 3.0  # (2*1800 + 4*1800) / 3600
+    assert got[10].den == Decimal(3600_000_000)
+    assert float(got[11].twap) == 7.5
+    assert got[11].n_ticks == 1
