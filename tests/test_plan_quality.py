@@ -343,3 +343,29 @@ def test_fuzzy_pairs_candidate_join_degrades_to_shuffle(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_round5_batch5_plan_shapes(spark):
+    # interval overlap: bin-exploded equi-join with residual — no nested loop
+    plan = _explain(QUERIES["supplier_window_overlaps"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "explode(sequence(" in plan
+
+    # asof_nearest: NO join at all — one exchange on the key feeding the
+    # two window passes
+    plan = _explain(QUERIES["purchase_nearest_view"](spark, SF_CORRECT))
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+    # twap: LEAD window and aggregate share the (entity, bucket) exchange;
+    # no join, no nested loop
+    plan = _explain(QUERIES["twap_hourly"](spark, SF_CORRECT))
+    assert "Join" not in plan
+
+    # sliding chunks: pure expression pipeline — zero exchanges
+    plan = _explain(QUERIES["doc_sliding_chunks"](spark, SF_CORRECT))
+    assert "Exchange" not in plan and "Join" not in plan
+
+    # triangles: every join is a hash join on edge keys
+    plan = _explain(QUERIES["supplier_triangles"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
