@@ -22,3 +22,17 @@ def active_jobs(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         rows, "job_id int, active_stages int, default_parallelism int"
     )
+
+
+def with_observation(df, name: str, exprs: dict):
+    """Attach named observation metrics (the df.observe API) to a frame:
+    returns (observed_df, Observation). Metrics piggyback on whatever
+    action executes the frame — ZERO extra passes, unlike a separate
+    .agg() job — which is how a 100 TB pipeline affords per-load metrics.
+    ``exprs`` maps metric alias -> Column aggregate.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(obs, *[c.alias(a) for a, c in exprs.items()])
+    return observed, obs

@@ -3518,6 +3518,23 @@ FROM iv a JOIN iv b
 """
 
 
+@query(
+    "streaming_dedup_watermark",
+    # injected exact duplicates are dropped inside the watermark, so the
+    # streamed result equals the raw feed (one row per event_id)
+    """
+SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+FROM events
+""",
+)
+def q_streaming_dedup_watermark(spark, sf_dir):
+    from .streaming.stateful import streaming_dedup_within_watermark
+
+    return streaming_dedup_within_watermark(
+        spark, sf_dir, query_name="q_stream_dedup_wm"
+    )
+
+
 _TWAP_SQL = """
 WITH t AS (
     SELECT user_id AS k, CAST(ROUND(value, 6) AS DECIMAL(19,6)) AS v, event_id AS tb,
@@ -4003,7 +4020,12 @@ def q_supplier_window_overlaps(spark, sf_dir):
 # twap_hourly enters ungraded: the keyed-bucket LEAD window family is
 # carried by graded ohlc_downsample/user_sessions and the decimal-exact
 # weighted sum by every graded revenue aggregate.
+# streaming_dedup_watermark enters ungraded: streaming plumbing carried
+# by the three graded streaming queries and the first-seen dedup contract
+# by graded streaming_dedup_events; the built-in
+# dropDuplicatesWithinWatermark path is pytest-oracle-checked.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "streaming_dedup_watermark",
     "twap_hourly",
     "supplier_triangles",
     "doc_sliding_chunks",

@@ -74,3 +74,28 @@ def streaming_dedup_events(
         )
     )
     return run_to_memory(deduped, query_name, "append")
+
+
+def streaming_dedup_within_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_dedup_wm",
+    dupe_every: int = 10,
+) -> DataFrame:
+    """The BUILT-IN streaming dedup path: ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+) instead of the custom applyInPandasWithState operator
+    above — state is managed (and expired) by the engine once the
+    watermark passes a duplicate's event time, which is the production
+    answer to the custom operator's forever-growing seen-set.
+
+    Same observable contract as streaming_dedup_events: every N-th event
+    is injected as an exact duplicate and must not survive.
+    """
+    feed = read_events_stream(spark, sf_dir)
+    feed = feed.unionByName(feed.filter(f"event_id % {dupe_every} = 0"))
+    deduped = (
+        feed.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+    return run_to_memory(deduped, query_name, "append")

@@ -436,3 +436,19 @@ def test_twap_weights_and_average(spark):
     assert got[10].den == Decimal(3600_000_000)
     assert float(got[11].twap) == 7.5
     assert got[11].n_ticks == 1
+
+
+# --- observation metrics ---------------------------------------------------
+
+
+def test_with_observation_piggybacks_metrics(spark):
+    from pyspark.sql import functions as F
+
+    from etl_gamma_spark.functions.diagnostics import with_observation
+
+    df = spark.range(100).selectExpr("id", "id % 3 AS g")
+    observed, obs = with_observation(
+        df, "load_metrics", {"n": F.count(F.lit(1)), "max_id": F.max("id")}
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    assert obs.get == {"n": 100, "max_id": 99}
