@@ -66,10 +66,19 @@ def edit_distance_pairs(
     id_col: str,
     text_col: str,
     max_df: int = 64,
+    max_len: int = 256,
 ) -> DataFrame:
     """All unordered pairs with levenshtein distance <= 1, banded by
     deletion variants. Returns (id_a, id_b, name_a, name_b, lev) with
-    id_a < id_b."""
+    id_a < id_b.
+
+    This is a KEY matcher (names, codes, identifiers): the variant
+    fan-out is O(len) per string, so document-length text would explode
+    the band stage. Strings longer than ``max_len`` are excluded up
+    front (they cannot pair with anything) — near-dup detection for long
+    text belongs to the shingle/MinHash family in operators/dedup.py.
+    """
+    df = df.where(F.length(F.col(text_col)) <= max_len)
     # band on the 64-bit hash of the variant, not the variant string:
     # every downstream shuffle (dedup, df-count, self-join) carries 8
     # bytes instead of a near-full-length string, and a hash collision

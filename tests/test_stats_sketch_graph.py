@@ -452,3 +452,15 @@ def test_with_observation_piggybacks_metrics(spark):
     )
     observed.write.mode("overwrite").format("noop").save()
     assert obs.get == {"n": 100, "max_id": 99}
+
+
+def test_fuzzy_pairs_length_guard(spark):
+    # document-length strings are excluded up front (O(len) variant
+    # fan-out is the key-matcher contract; long text belongs to shingles)
+    long = "x" * 5000
+    df = spark.createDataFrame(
+        [(1, long), (2, long[:-1] + "y"), (3, "short"), (4, "shor")],
+        "id long, name string",
+    )
+    got = {(r.id_a, r.id_b) for r in edit_distance_pairs(df, "id", "name").collect()}
+    assert got == {(3, 4)}
