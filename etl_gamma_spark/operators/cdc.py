@@ -79,3 +79,33 @@ def apply_changes(
     # both delete branches are the one filter above: a matched 'D' drops
     # the base row it joined to, an unmatched 'D' emits nothing
     return merged
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Keyed reconciliation of two table versions: one row per key with
+    status only_a / only_b / changed / equal — the migration-validation
+    primitive (e.g. old pipeline output vs new engine output).
+
+    Each side reduces to (keys, xxhash64(compare_cols)) BEFORE the
+    full-outer join, so the shuffle carries 8-byte digests instead of
+    full rows and the change test is one integer comparison (null-safe:
+    xxhash64 never returns NULL, a missing side shows as a NULL hash).
+    A 2^-64 hash collision reads as 'equal' — acceptable for a
+    reconciliation report; byte-exact audits should diff the flagged
+    keys' full rows afterward.
+    """
+    ha = a.select(*keys, F.xxhash64(*compare_cols).alias("__ha"))
+    hb = b.select(*keys, F.xxhash64(*compare_cols).alias("__hb"))
+    j = ha.join(hb, keys, "full_outer")
+    status = (
+        F.when(F.col("__hb").isNull(), F.lit("only_a"))
+        .when(F.col("__ha").isNull(), F.lit("only_b"))
+        .when(F.col("__ha") != F.col("__hb"), F.lit("changed"))
+        .otherwise(F.lit("equal"))
+    )
+    return j.select(*keys, status.alias("status"))

@@ -464,3 +464,19 @@ def test_fuzzy_pairs_length_guard(spark):
     )
     got = {(r.id_a, r.id_b) for r in edit_distance_pairs(df, "id", "name").collect()}
     assert got == {(3, 4)}
+
+
+# --- table_diff ------------------------------------------------------------
+
+
+def test_table_diff_statuses(spark):
+    from etl_gamma_spark.operators.cdc import table_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)], "k long, s string, v double"
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 99.0), (4, "w", 4.0)], "k long, s string, v double"
+    )
+    got = {r.k: r.status for r in table_diff(a, b, ["k"], ["s", "v"]).collect()}
+    assert got == {1: "equal", 2: "changed", 3: "only_a", 4: "only_b"}
