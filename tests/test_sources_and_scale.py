@@ -153,7 +153,7 @@ def test_multi_file_inputs_identical_results_no_plan_degradation(spark, tmp_path
     mdir.mkdir()
     for fname in os.listdir(SF_SMOKE):
         table = fname.split(".")[0]
-        if table in ("documents", "embeddings"):
+        if table in ("documents", "embeddings", "events", "lineitem", "customer"):
             df = spark.read.parquet(f"{SF_SMOKE}/{fname}")
             df.repartition(8).write.parquet(str(mdir / fname))
         else:
@@ -168,6 +168,18 @@ def test_multi_file_inputs_identical_results_no_plan_degradation(spark, tmp_path
         "embedding_topk",
         "embedding_lsh_topk",
         "embedding_neardup_pairs",
+        # round-5 batch 4/5: sketches are order-independent by design,
+        # the graph/pair/window ops deterministic — any layout sensitivity
+        # is a real bug
+        "hll_distinct",
+        "cms_topk",
+        "fuzzy_name_pairs",
+        "pagerank_bipartite",
+        "supplier_triangles",
+        "range_tier_join",
+        "supplier_window_overlaps",
+        "twap_hourly",
+        "iqr_outliers",
     ]:
         base = sorted(map(str, QUERIES[name](spark, SF_SMOKE).collect()))
         multi_df = QUERIES[name](spark, str(mdir))
