@@ -39,11 +39,14 @@ def iqr_outliers(
     arithmetic) is written in the same order as the oracle SQL so the
     results are bit-identical.
     """
+    # NULL values are excluded explicitly: the two engines would otherwise
+    # rank them on opposite ends (Spark sorts nulls first ascending,
+    # DuckDB last), silently shifting every quantile index
     vals = df.select(
         F.col(group).alias("grp"),
         F.col(value_col).cast("double").alias("x"),
         F.col(tiebreak).alias("tb"),
-    )
+    ).where(F.col("x").isNotNull())
     order = Window.partitionBy("grp").orderBy("x", "tb")
     part = Window.partitionBy("grp")
     ranked = vals.select(

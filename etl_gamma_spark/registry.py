@@ -3246,7 +3246,8 @@ def q_range_tier_join(spark, sf_dir):
     # Tukey fences with the fence arithmetic in the engine's op order
     """
 WITH vals AS (
-    SELECT event_type AS grp, CAST(value AS DOUBLE) AS x, event_id AS tb FROM events
+    SELECT event_type AS grp, CAST(value AS DOUBLE) AS x, event_id AS tb
+    FROM events WHERE value IS NOT NULL
 ),
 ranked AS (
     SELECT grp, x,

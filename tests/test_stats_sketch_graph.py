@@ -480,3 +480,11 @@ def test_table_diff_statuses(spark):
     )
     got = {r.k: r.status for r in table_diff(a, b, ["k"], ["s", "v"]).collect()}
     assert got == {1: "equal", 2: "changed", 3: "only_a", 4: "only_b"}
+
+
+def test_iqr_outliers_null_values_excluded(spark):
+    rows = [(0, "g", None), (1, "g", 1.0), (2, "g", 2.0), (3, "g", 3.0), (4, "g", None)]
+    df = spark.createDataFrame(rows, "id long, g string, x double")
+    [row] = iqr_outliers(df, "g", "x", "id").collect()
+    assert row.n == 3  # nulls excluded from both the rank and the count
+    assert row.q1 == 1.5 and row.q3 == 2.5
