@@ -29,6 +29,22 @@ from .similarity import hamming_expr
 
 S = T.SPARK
 
+def cap_hot_keys(df, keys: list[str], limit: int):
+    """Drop rows whose key combination occurs more than ``limit`` times —
+    the shared skew guard of every pair generator (band buckets, shingle
+    posting lists). A WINDOW count over the keys, deliberately: the
+    candidate self-join downstream shuffles on exactly those keys, so the
+    window's exchange is reused, where a groupBy+join formulation costs
+    an extra aggregate shuffle (measured ~20% slower at sf0.1). Keep the
+    oracle HAVING/count clauses in sync with callers.
+    """
+    return (
+        df.withColumn("__kc", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+        .filter(F.col("__kc") <= limit)
+        .drop("__kc")
+    )
+
+
 
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """md5 content fingerprint after whitespace/case normalization."""
@@ -125,17 +141,7 @@ def minhash_lsh_pairs(
         )
         bands = b if bands is None else bands.unionByName(b)
 
-    # bucket-size cap as a WINDOW count over (band, bkey): the self-join
-    # below shuffles on exactly those keys anyway, so the window's
-    # exchange is reusable — a groupBy+join formulation costs an extra
-    # aggregate shuffle (measured ~20% slower at sf0.1)
-    capped = (
-        bands.withColumn(
-            "__bc", F.count("*").over(Window.partitionBy("band", "bkey"))
-        )
-        .filter(F.col("__bc") <= max_bucket)
-        .drop("__bc")
-    )
+    capped = cap_hot_keys(bands, ["band", "bkey"], max_bucket)
     left = capped.select(F.col(id_col).alias("doc_a"), "band", "bkey")
     right = capped.select(F.col(id_col).alias("doc_b"), "band", "bkey")
     cand = (
@@ -183,14 +189,7 @@ def ngram_jaccard_pairs(
     sh = shingle_sets(docs, text_col, id_col, n).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
-    # df-cap stop-shingles as a window count over shingle — the inverted-
-    # index self-join shuffles on shingle anyway (exchange reuse; a
-    # groupBy+join would add an aggregate shuffle)
-    shr = (
-        sh.withColumn("__df", F.count("*").over(Window.partitionBy("shingle")))
-        .filter(F.col("__df") <= max_df)
-        .drop("__df")
-    )
+    shr = cap_hot_keys(sh, ["shingle"], max_df)
     a = shr.select(F.col(id_col).alias("doc_a"), "shingle")
     b = shr.select(F.col(id_col).alias("doc_b"), "shingle")
     shared = (
@@ -414,13 +413,7 @@ def simhash_neardup_pairs(
             f"(CAST(simhash AS BIGINT) >> {b * band_bits}) & {(1 << band_bits) - 1} AS bkey",
         )
         bands = part if bands is None else bands.unionByName(part)
-    capped = (
-        bands.withColumn(
-            "__bc", F.count("*").over(Window.partitionBy("band", "bkey"))
-        )
-        .filter(F.col("__bc") <= max_bucket)
-        .drop("__bc")
-    )
+    capped = cap_hot_keys(bands, ["band", "bkey"], max_bucket)
     left = capped.selectExpr(f"{id_col} AS doc_a", "simhash AS sim_a", "band", "bkey")
     right = capped.selectExpr(f"{id_col} AS doc_b", "simhash AS sim_b", "band", "bkey")
     return (

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..io import spread
-from .dedup import shingle_sets
+from .dedup import cap_hot_keys, shingle_sets
 from .similarity import bcast_attach
 
 S = T.SPARK
@@ -216,15 +216,8 @@ def contamination_pairs(
     )
     bench_sizes = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
     corpus = sh.filter((F.col(id_col) % bench_mod) != 0)
-    # df-cap stop-shingles on the corpus side as a window count — the
-    # bench join shuffles on shingle anyway (exchange reuse)
-    corpus = (
-        corpus.withColumn(
-            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        )
-        .filter(F.col("__df") <= max_df)
-        .drop("__df")
-    )
+    # shared skew guard (see dedup.cap_hot_keys: exchange-reusing window)
+    corpus = cap_hot_keys(corpus, ["shingle"], max_df)
     shared = (
         corpus.join(bench, "shingle")
         .groupBy(id_col, "bench_id")
@@ -506,13 +499,11 @@ def sliding_chunks(
     for repeated split), array built by the dialect-paired generator,
     posexplode for (idx, chunk) — one narrow scan, no shuffle at all.
     """
-    from ..functions import text as T
-
     bound = docs.select(
         F.col(id_col).alias("id"),
-        F.expr(T.split_ws(text_col, T.SPARK)).alias("__w"),
+        F.expr(T.split_ws(text_col, S)).alias("__w"),
     )
-    arr = T.sliding_word_chunks("__w", T.SPARK, window, stride)
+    arr = T.sliding_word_chunks("__w", S, window, stride)
     return (
         bound.select("id", F.expr(arr).alias("__chunks"))
         .selectExpr("id", "posexplode(__chunks) AS (chunk_idx, chunk)")

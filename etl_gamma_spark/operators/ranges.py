@@ -54,6 +54,11 @@ def range_bin_join(
     for c in (BIN,):
         if c in points.columns or c in intervals.columns:
             raise ValueError(f"inputs must not carry a {c!r} column")
+    if point_col in (lo_col, hi_col):
+        raise ValueError(
+            f"point column {point_col!r} collides with an interval bound name; "
+            "alias one side before joining"
+        )
     binned_pts = points.withColumn(BIN, F.floor(F.col(point_col) / F.lit(bin_width)))
     exploded = intervals.where(F.col(lo_col) <= F.col(hi_col)).withColumn(
         BIN,
@@ -106,6 +111,15 @@ def interval_overlap_join(
     for side in (left, right):
         if BIN in side.columns:
             raise ValueError(f"inputs must not carry a {BIN!r} column")
+    # bound columns resolve by bare name across the join, so the two
+    # sides' bound names must not collide — fail with a usable message
+    # instead of Spark's AMBIGUOUS_REFERENCE at analysis time
+    clash = {l_lo, l_hi} & {r_lo, r_hi}
+    if clash:
+        raise ValueError(
+            f"left and right bound column names collide: {sorted(clash)}; "
+            "alias one side's lo/hi before joining"
+        )
     lb = left.where(F.col(l_lo) <= F.col(l_hi)).withColumn(
         BIN,
         F.explode(

@@ -122,6 +122,22 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
+def _cms_slice_pairs() -> list:
+    """The (d, bucket) struct list over a pre-bound ``__h`` md5 digest
+    column — DEPTH disjoint 32-bit slices. Shared by the build and probe
+    sides so the hash-slicing scheme cannot drift between them."""
+    return [
+        F.struct(
+            F.lit(d).alias("d"),
+            (
+                F.conv(F.substring("__h", 1 + 8 * d, 8), 16, 10).cast("long")
+                % CMS_WIDTH
+            ).alias("bucket"),
+        )
+        for d in range(CMS_DEPTH)
+    ]
+
+
 def cms_build(df: DataFrame, key_col: str) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) of the frequency
     distribution of ``key_col``: DEPTH x WIDTH counters, counter(d, b) =
@@ -142,18 +158,8 @@ def cms_build(df: DataFrame, key_col: str) -> DataFrame:
     hashed = spread(df.select(F.col(key_col).cast("string").alias("__k"))).select(
         F.md5("__k").alias("__h")
     )
-    pairs = [
-        F.struct(
-            F.lit(d).alias("d"),
-            (
-                F.conv(F.substring("__h", 1 + 8 * d, 8), 16, 10).cast("long")
-                % CMS_WIDTH
-            ).alias("bucket"),
-        )
-        for d in range(CMS_DEPTH)
-    ]
     return (
-        hashed.select(F.explode(F.array(*pairs)).alias("s"))
+        hashed.select(F.explode(F.array(*_cms_slice_pairs())).alias("s"))
         .select("s.d", "s.bucket")
         .groupBy("d", "bucket")
         .agg(F.count("*").cast("long").alias("counter"))
@@ -180,26 +186,15 @@ def cms_heavy_hitters(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
     )
     # digest bound in its own projection (no CSE for repeated md5), then
     # the same disjoint 32-bit slices as the build side
-    probes = topk.select("key", "exact", F.md5("key").alias("__h")).select(
-        "key",
-        "exact",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        (
-                            F.conv(F.substring("__h", 1 + 8 * d, 8), 16, 10).cast(
-                                "long"
-                            )
-                            % CMS_WIDTH
-                        ).alias("bucket"),
-                    )
-                    for d in range(CMS_DEPTH)
-                ]
-            )
-        ).alias("s"),
-    ).select("key", "exact", "s.d", "s.bucket")
+    probes = (
+        topk.select("key", "exact", F.md5("key").alias("__h"))
+        .select(
+            "key",
+            "exact",
+            F.explode(F.array(*_cms_slice_pairs())).alias("s"),
+        )
+        .select("key", "exact", "s.d", "s.bucket")
+    )
     return (
         probes.join(F.broadcast(counters), ["d", "bucket"])
         .groupBy("key", "exact")

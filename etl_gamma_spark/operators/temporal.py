@@ -314,7 +314,14 @@ def gap_fill_monthly(
         key,
         F.explode(F.expr("sequence(__a, __b, interval 1 month)")).alias(month_col),
     )
-    joined = grid.join(df.select(key, month_col, value_col), [key, month_col], "left")
+    # presence marker, NOT value non-nullness: an observed month whose
+    # value is explicitly NULL must still flag is_observed=true (its value
+    # is carried forward regardless — pandas ffill fills observed NaNs too)
+    joined = grid.join(
+        df.select(key, month_col, value_col, F.lit(1).alias("__obs")),
+        [key, month_col],
+        "left",
+    )
     w = (
         Window.partitionBy(key)
         .orderBy(month_col)
@@ -324,7 +331,7 @@ def gap_fill_monthly(
         key,
         month_col,
         F.last(value_col, ignorenulls=True).over(w).alias(value_col),
-        F.col(value_col).isNotNull().alias("is_observed"),
+        F.col("__obs").isNotNull().alias("is_observed"),
     )
 
 

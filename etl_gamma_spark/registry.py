@@ -3150,8 +3150,9 @@ SELECT g.farmer_id, g.mes,
        last_value(m.receita IGNORE NULLS) OVER (
            PARTITION BY g.farmer_id ORDER BY g.mes
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS receita,
-       m.receita IS NOT NULL AS is_observed
-FROM grid g LEFT JOIN monthly m USING (farmer_id, mes)
+       m.mes IS NOT NULL AS is_observed
+FROM grid g LEFT JOIN monthly m
+  ON g.farmer_id = m.farmer_id AND g.mes = m.mes
 """
 
 

@@ -195,11 +195,30 @@ def compact_small_files(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
+    swap_directory(tmp, path)
+    return n_files
+
+
+def swap_directory(tmp: str, path: str) -> None:
+    """Replace directory ``path`` with ``tmp`` via RENAMES, never
+    delete-then-rename: rmtree-then-rename leaves a crash window as long
+    as the delete in which the table is simply GONE (and a foreachBatch
+    checkpoint may already have marked the producing batch committed).
+    Here the old copy is renamed aside first — the no-table window is the
+    instant between two renames, a crash leaves the data recoverable at
+    ``<path>._replaced``, and a failed swap rolls the old copy back."""
     import shutil
 
-    shutil.rmtree(path)
-    os.rename(tmp, path)
-    return n_files
+    old = path.rstrip("/") + "._replaced"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)
+        raise
+    shutil.rmtree(old)
 
 
 def write_clustered(

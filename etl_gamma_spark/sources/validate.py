@@ -56,19 +56,13 @@ def matches(col: str, pattern: str) -> Expectation:
 
 
 def run_expectations(df: DataFrame, expectations: list[Expectation]) -> dict[str, int]:
-    """One aggregation pass: violation count per expectation."""
-    if not expectations:
-        raise ValueError("at least one expectation required")
-    names = [e.name for e in expectations]
-    if len(set(names)) != len(names):
-        dupes = sorted({n for n in names if names.count(n) > 1})
-        raise ValueError(f"duplicate expectation names would shadow results: {dupes}")
-    aggs = [
-        F.sum(F.when(e.violation, 1).otherwise(0)).alias(e.name)
-        for e in expectations
-    ]
-    row = df.agg(*aggs).first()
-    return {e.name: int(row[e.name] or 0) for e in expectations}
+    """One aggregation pass: violation count per expectation (the
+    driver-side dict view of :func:`expectations_report` — one
+    implementation, two shapes)."""
+    return {
+        r.expectation: int(r.n_violations)
+        for r in expectations_report(df, expectations).collect()
+    }
 
 
 def enforce(df: DataFrame, expectations: list[Expectation]) -> DataFrame:

@@ -20,14 +20,12 @@ the same plan maps 1:1.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import read_events_stream
 from ..operators.cdc import apply_changes
+from ..sources.sink import swap_directory
 from . import stream_shuffle_partitions
 
 CUTOFF = "2024-01-16 00:00:00"
@@ -80,8 +78,10 @@ def apply_feed(feed: DataFrame, out_path: str, checkpoint: str) -> None:
         merged = apply_changes(base, changes, "key", ["val"])
         tmp = out_path.rstrip("/") + "._applying"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(out_path)
-        os.rename(tmp, out_path)
+        # rename-aside swap, not rmtree-then-rename: the checkpoint marks
+        # this batch committed, so a crash during a long delete would lose
+        # the snapshot unrecoverably (sources/sink.py::swap_directory)
+        swap_directory(tmp, out_path)
 
     with stream_shuffle_partitions(feed.sparkSession):
         q = (

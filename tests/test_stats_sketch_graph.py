@@ -488,3 +488,66 @@ def test_iqr_outliers_null_values_excluded(spark):
     [row] = iqr_outliers(df, "g", "x", "id").collect()
     assert row.n == 3  # nulls excluded from both the rank and the count
     assert row.q1 == 1.5 and row.q3 == 2.5
+
+
+def test_cooccurrence_cap_never_triggers_on_fixtures(spark):
+    # supplier_triangles / also_bought_topk engines df-cap parts at 64
+    # but their oracles are UNCAPPED restatements — this pin is what
+    # makes that equivalence checkable: if a fixture ever grows a part
+    # with more than 64 distinct suppliers, fail HERE with a pointer
+    # instead of as an opaque hash mismatch in the differential.
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        [(mx,)] = duckdb.sql(
+            f"""SELECT MAX(c) FROM (
+                SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS c
+                FROM '/root/testdata/sf{sf}/lineitem.parquet' GROUP BY 1)"""
+        ).fetchall()
+        assert mx <= 64, (
+            f"sf{sf}: a part has {mx} suppliers — above the engine's df-cap; "
+            "mirror the cap in _TRIANGLES_SQL/_ALSO_BOUGHT_SQL or raise max_df"
+        )
+
+
+def test_gap_fill_flags_observed_null_months(spark):
+    import datetime as dt
+
+    from etl_gamma_spark.operators.temporal import gap_fill_monthly
+
+    rows = [
+        ("f", dt.date(2001, 1, 1), 10.0),
+        ("f", dt.date(2001, 2, 1), None),  # observed month, NULL value
+        ("f", dt.date(2001, 4, 1), 40.0),  # march is a true gap
+    ]
+    df = spark.createDataFrame(rows, "k string, mes date, v double")
+    got = {r.mes.month: (r.v, r.is_observed) for r in gap_fill_monthly(df, "k", "mes", "v").collect()}
+    assert got[1] == (10.0, True)
+    assert got[2] == (10.0, True)   # carried forward BUT flagged observed
+    assert got[3] == (10.0, False)  # true gap
+    assert got[4] == (40.0, True)
+
+
+def test_swap_directory_rolls_back_on_failure(tmp_path):
+    import os
+
+    from etl_gamma_spark.sources.sink import swap_directory
+
+    path = tmp_path / "table"
+    path.mkdir()
+    (path / "data.txt").write_text("old")
+    tmp = tmp_path / "table._applying"
+    tmp.mkdir()
+    (tmp / "data.txt").write_text("new")
+    swap_directory(str(tmp), str(path))
+    assert (path / "data.txt").read_text() == "new"
+    assert not os.path.exists(str(tmp))
+    assert not os.path.exists(str(path) + "._replaced")
+    # failed swap (tmp missing) must roll the old copy back
+    try:
+        swap_directory(str(tmp_path / "nope"), str(path))
+    except OSError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("expected OSError")
+    assert (path / "data.txt").read_text() == "new"
