@@ -247,3 +247,53 @@ def write_clustered(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def zorder_value(c1, c2, bits: int = 16):
+    """Morton/Z-order value of two non-negative integer columns:
+    interleave the low ``bits`` bits of each (c1 on odd positions, c2 on
+    even). Built as a FLAT chain of shift/mask/or expressions — no
+    higher-order lambdas, so whole-stage codegen applies (CLAUDE.md:
+    interpreted lambdas are the slow path).
+
+    Columns wider than ``bits`` bits must be quantized by the caller
+    first (rank/bucket them); interleaving truncated values would
+    scramble locality for the high end of the domain.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        b1 = F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1))
+        b2 = F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(b1, 2 * i + 1)).bitwiseOR(
+            F.shiftleft(b2, 2 * i)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Write the table Z-ORDERED on two columns: range-repartition on the
+    Morton interleave of (col1, col2) and sort within files by it, so
+    every output file covers a LOCALIZED rectangle of the 2-D key space
+    — parquet min/max stats then prune scans filtered on EITHER column,
+    where a single-key sort (write_clustered) leaves the second column's
+    per-file range at the full domain. The multi-dimensional data-skipping
+    layout Delta/Iceberg OPTIMIZE ZORDER produces, built from plain
+    Spark primitives.
+    """
+    z = zorder_value(F.col(col1), F.col(col2), bits).alias("__z")
+    out = (
+        df.select("*", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).parquet(path)

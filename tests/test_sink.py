@@ -260,3 +260,43 @@ def test_write_clustered_files_own_disjoint_key_ranges(spark, tmp_path):
     sizes = [n for _, _, n in ranges]
     assert min(sizes) > 0.5 * max(sizes), sizes
     assert sum(sizes) == 100_000
+
+
+def test_write_zordered_localizes_both_dimensions(spark, tmp_path):
+    # uniform 2-D grid: a z-ordered 16-file layout must bound EVERY
+    # file's range in BOTH columns, where the single-key clustered
+    # layout leaves the second column's per-file range at the full
+    # domain — the property parquet min/max skipping feeds on.
+    import os
+
+    from etl_gamma_spark.sources.sink import write_clustered, write_zordered
+
+    df = spark.range(64 * 64).selectExpr(
+        "CAST(id % 64 AS LONG) AS a", "CAST(id DIV 64 AS LONG) AS b", "id AS payload"
+    )
+    zpath = str(tmp_path / "z")
+    cpath = str(tmp_path / "c")
+    write_zordered(df, zpath, "a", "b", n_files=16, bits=6)
+    write_clustered(df, cpath, "a", 16)
+
+    def per_file_ranges(path):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            pf = spark.read.parquet(os.path.join(path, f))
+            row = pf.selectExpr(
+                "max(a) - min(a) AS ra", "max(b) - min(b) AS rb"
+            ).collect()[0]
+            out.append((row.ra, row.rb))
+        return out
+
+    zr = per_file_ranges(zpath)
+    cr = per_file_ranges(cpath)
+    assert len(zr) == 16
+    # z-order: every file's rectangle is a fraction of the 0..63 domain
+    # in BOTH dimensions (16 files over a 64x64 grid -> 16x16 cells,
+    # allow slack for range-partition boundaries)
+    assert max(r[0] for r in zr) <= 32 and max(r[1] for r in zr) <= 32, zr
+    # single-key clustering: column b per-file range stays ~ the domain
+    assert max(r[1] for r in cr) >= 60, cr
