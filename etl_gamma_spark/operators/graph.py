@@ -50,6 +50,10 @@ def pagerank(
     checkpointing each round just serializes the pipeline into
     ``iters`` blocking materializations (measured ~1.7x slower at
     iters=3). The periodic cut only bounds plan depth for long runs."""
+    # materialize the edge list ONCE: nodes, degrees, and the joined edge
+    # frame all derive from it, and without this cut the upstream edge
+    # derivation (e.g. a lineitem distinct) re-executes for each
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
