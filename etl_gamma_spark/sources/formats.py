@@ -28,19 +28,31 @@ _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 _DATE_FMT = "yyyy-MM-dd"
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
 def read_any(
     spark: SparkSession,
     path: str,
     fmt: str,
     schema: StructType | None = None,
+    quarantine: bool = False,
     **options: str,
 ) -> DataFrame:
     """Read ``path`` in ``fmt``. Self-describing formats (parquet/orc) may
     omit ``schema``; text formats (csv/json) REQUIRE it (see module
-    policy)."""
+    policy).
+
+    ``quarantine=True`` switches text formats from FAILFAST to PERMISSIVE
+    with the raw malformed line captured in ``_corrupt_record`` — the
+    dead-letter pattern: a 100 TB backfill should route bad records to a
+    side sink (filter on the column) instead of dying at hour nine. The
+    default stays FAILFAST: silently nulled columns poison money math.
+    """
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
     reader = spark.read
+    text_mode = "PERMISSIVE" if quarantine else "FAILFAST"
     if fmt == "csv":
         if schema is None:
             raise ValueError("csv reads require an explicit schema (no inferSchema at scale)")
@@ -50,7 +62,7 @@ def read_any(
         # value is the one residual ambiguity (reads back as NULL).
         reader = reader.options(
             header="true",
-            mode="FAILFAST",
+            mode=text_mode,
             timestampFormat=_TS_FMT,
             dateFormat=_DATE_FMT,
             nullValue="\\N",
@@ -59,7 +71,16 @@ def read_any(
     elif fmt == "json":
         if schema is None:
             raise ValueError("json reads require an explicit schema (no sampling pass at scale)")
-        reader = reader.options(mode="FAILFAST", timestampFormat=_TS_FMT, dateFormat=_DATE_FMT)
+        reader = reader.options(mode=text_mode, timestampFormat=_TS_FMT, dateFormat=_DATE_FMT)
+    if quarantine and fmt in ("csv", "json"):
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        if schema is not None and CORRUPT_COL not in schema.fieldNames():
+            # fresh StructType — StructType.add mutates the caller's object
+            schema = StructType(
+                list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
+            )
+        reader = reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
     if schema is not None:
         reader = reader.schema(schema)
     if options:

@@ -53,3 +53,36 @@ def test_unknown_format_rejected(spark, tmp_path):
     src = load_table(spark, SF_SMOKE, "nation")
     with pytest.raises(ValueError, match="unsupported format"):
         write_any(src, str(tmp_path / "x"), "avro")
+
+
+def test_quarantine_captures_malformed_json_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_gamma_spark.sources.formats import CORRUPT_COL, read_any
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": oops not json\n'
+        '{"id": 3, "name": "fine"}\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    df = read_any(spark, str(p), "json", schema, quarantine=True).cache()
+    try:
+        good = df.filter(F.col(CORRUPT_COL).isNull())
+        bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+        assert {r.id for r in good.collect()} == {1, 3}
+        [row] = bad.collect()
+        assert "oops" in row[CORRUPT_COL] and row.id is None
+        # the caller's schema object must not have been mutated
+        assert CORRUPT_COL not in schema.fieldNames()
+    finally:
+        df.unpersist()
+    # default stays FAILFAST: the same file must raise
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_any(spark, str(p), "json", schema).collect()
