@@ -94,9 +94,12 @@ def cooccurrence_edges(
     Returns (x, y, n_shared) — the shared-item count is the edge weight
     (callers threshold or top-N it to sparsify dense graphs).
     """
+    from .dedup import cap_hot_keys
+
     base = pairs.select(F.col(item).alias("i"), F.col(entity).alias("e")).distinct()
-    counts = base.groupBy("i").agg(F.count("*").alias("__df"))
-    kept = base.join(counts.where(F.col("__df") <= max_df).select("i"), "i")
+    # window-count cap (not groupBy+join): the posting-list self-join
+    # below shuffles on the item key anyway, so the exchange is reused
+    kept = cap_hot_keys(base, ["i"], max_df)
     a = kept.select("i", F.col("e").alias("x"))
     b = kept.select("i", F.col("e").alias("y"))
     return (
