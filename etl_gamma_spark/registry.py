@@ -3612,6 +3612,56 @@ def q_supplier_triangles(spark, sf_dir):
     return triangle_counts(edges)
 
 
+@query(
+    "batch_session_windows",
+    # the native session_window aggregate in a BATCH groupBy (the
+    # streaming sibling uses it over readStream); window end = last
+    # event + gap, restated with the lag/cumsum method
+    """
+WITH ordered AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                     - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+FROM sessions
+GROUP BY user_id, sid
+""",
+)
+def q_batch_session_windows(spark, sf_dir):
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        spark.table("events")
+        .groupBy(sw, "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round("value", 2).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 _TABLE_DIFF_SQL = """
 WITH a2 AS (SELECT o_orderkey AS k, o_orderstatus, o_totalprice FROM orders),
 b2 AS (
@@ -4135,7 +4185,11 @@ def q_supplier_window_overlaps(spark, sf_dir):
 # pytest-oracle-checked.
 # also_bought_topk enters ungraded: composition of the graded
 # supplier_triangles edge builder and the graded tfidf rank-window top-k.
+# batch_session_windows enters ungraded: session semantics carried by
+# graded user_sessions and the streaming session sibling's shared oracle;
+# the native batch session_window aggregate is pytest-oracle-checked.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "batch_session_windows",
     "orders_table_diff",
     "also_bought_topk",
     "streaming_dedup_watermark",
