@@ -3936,6 +3936,42 @@ def q_receita_unpivot(spark, sf_dir):
     )
 
 
+_PCT_RANK_BODY = """
+, t AS (
+    SELECT client_id, CAST(SUM(gross_revenue) AS DECIMAL(18,2)) AS total
+    FROM revenue_records_historical GROUP BY 1
+)
+SELECT client_id, total,
+       percent_rank() OVER (ORDER BY total DESC, client_id) AS pct_rank,
+       cume_dist() OVER (ORDER BY total DESC, client_id) AS cume
+FROM t
+"""
+
+
+@query(
+    "client_revenue_pct_rank",
+    with_model(_PCT_RANK_BODY, "revenue_records_historical"),
+)
+def q_client_revenue_pct_rank(spark, sf_dir):
+    """percent_rank / cume_dist over a total order: each is one exact
+    integer ratio evaluated in a single double division, so the values
+    are bit-identical across engines."""
+    from pyspark.sql import Window
+
+    t = (
+        spark.table("revenue_records_historical")
+        .groupBy("client_id")
+        .agg(F.expr("CAST(SUM(gross_revenue) AS DECIMAL(18,2))").alias("total"))
+    )
+    w = Window.orderBy(F.col("total").desc(), F.col("client_id"))
+    return t.select(
+        "client_id",
+        "total",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 _QUARTILES_BODY = """
 , t AS (
     SELECT client_id, CAST(SUM(gross_revenue) AS DECIMAL(18,2)) AS total
@@ -4188,7 +4224,11 @@ def q_supplier_window_overlaps(spark, sf_dir):
 # batch_session_windows enters ungraded: session semantics carried by
 # graded user_sessions and the streaming session sibling's shared oracle;
 # the native batch session_window aggregate is pytest-oracle-checked.
+# client_revenue_pct_rank enters ungraded: total-order ranking windows
+# carried by graded tfidf/topk family and the quartile sibling; the
+# percent_rank/cume_dist ratios are pytest-oracle-checked.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "client_revenue_pct_rank",
     "batch_session_windows",
     "orders_table_diff",
     "also_bought_topk",
