@@ -73,7 +73,23 @@ print(
 )
 print("top-half quality docs:", quality_prune(docs, keep_pct=50).count())
 
-# 5. idempotent month-partitioned sink
+# 5. sketches, graph analytics, and data-ops over the same tables
+from pyspark.sql import functions as F
+
+from etl_gamma_spark.operators.sketch import cms_heavy_hitters, hll_distinct
+from etl_gamma_spark.operators.stats import profile_table
+
+events = spark.table("events")
+hll_distinct(spark, events, "event_type", "user_id").show(5)
+cms_heavy_hitters(events, "user_id", k=3).show()
+profile_table(
+    spark.table("orders").withColumn(
+        "o_totalprice", F.round("o_totalprice", 2).cast("decimal(18,2)")
+    ),
+    ["o_orderkey", "o_orderstatus", "o_totalprice"],
+).show(truncate=False)
+
+# 6. idempotent month-partitioned sink
 write_partition_overwrite(revenue, "/tmp/quickstart_out/receita_farmer", ["mes"])
 print("written to /tmp/quickstart_out/receita_farmer")
 spark.stop()
