@@ -3936,6 +3936,74 @@ def q_receita_unpivot(spark, sf_dir):
     )
 
 
+@query(
+    "user_rank_by_events",
+    # rank/dense_rank with REAL ties: equal counts share a rank, so the
+    # result is deterministic even though the ordering is not total
+    """
+WITH c AS (
+    SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, n,
+       CAST(rank() OVER (PARTITION BY event_type ORDER BY n DESC) AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY n DESC) AS INTEGER) AS drnk
+FROM c
+""",
+)
+def q_user_rank_by_events(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = (
+        spark.table("events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
+    return c.select(
+        "event_type",
+        "user_id",
+        "n",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+    )
+
+
+_CLIENT_LIST_BODY = """
+, t AS (SELECT DISTINCT farmer_id, client_id FROM clients)
+SELECT farmer_id,
+       CAST(COUNT(*) AS BIGINT) AS n_clients,
+       string_agg(CAST(client_id AS VARCHAR), ',' ORDER BY client_id) AS client_list
+FROM t GROUP BY 1
+"""
+
+
+@query(
+    "clients_per_farmer_list",
+    with_model(_CLIENT_LIST_BODY, "clients"),
+)
+def q_clients_per_farmer_list(spark, sf_dir):
+    """String aggregation (the reporting surface of collect_list):
+    deterministic because the collected array is SORTED before joining —
+    collect_list alone is partition-order dependent."""
+    return (
+        spark.table("clients")
+        .select("farmer_id", "client_id")
+        .distinct()
+        .groupBy("farmer_id")
+        .agg(
+            F.count("*").cast("long").alias("n_clients"),
+            # sort NUMERICALLY (matching the oracle's ORDER BY client_id),
+            # then stringify — sorting the cast strings would be
+            # lexicographic ('10' < '9')
+            F.expr(
+                "array_join(transform(array_sort(collect_list(client_id)),"
+                " x -> CAST(x AS STRING)), ',')"
+            ).alias("client_list"),
+        )
+    )
+
+
 _PCT_RANK_BODY = """
 , t AS (
     SELECT client_id, CAST(SUM(gross_revenue) AS DECIMAL(18,2)) AS total
@@ -4227,7 +4295,13 @@ def q_supplier_window_overlaps(spark, sf_dir):
 # client_revenue_pct_rank enters ungraded: total-order ranking windows
 # carried by graded tfidf/topk family and the quartile sibling; the
 # percent_rank/cume_dist ratios are pytest-oracle-checked.
+# user_rank_by_events / clients_per_farmer_list enter ungraded: ranking
+# windows and grouped aggregation families are carried by many graded
+# queries; the tie semantics and sorted string-agg determinism are
+# pytest-oracle-checked.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "user_rank_by_events",
+    "clients_per_farmer_list",
     "client_revenue_pct_rank",
     "batch_session_windows",
     "orders_table_diff",
