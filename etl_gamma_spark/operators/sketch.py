@@ -94,13 +94,22 @@ def hll_distinct(
     weights = spark.createDataFrame(
         [(r, Decimal(w)) for r, w in POW2NEG], "reg int, w decimal(38,30)"
     )
+    # the full-precision DECIMAL(38,30) register sum stays INTERNAL: a
+    # wide decimal converts to double differently across engines (DuckDB's
+    # decimal38->float64 is not correctly rounded — diverged at sf0.1 on
+    # the exactly-representable 1.5078125). The emitted t_sum is the sum
+    # HALF_UP-rounded to scale 12 (int64-backed, correctly-rounded double
+    # conversion in both engines), and est derives from the ROUNDED value
+    # so the whole output is bit-deterministic; the ~1e-12 estimate
+    # perturbation is far below the sketch's own error.
     sk = (
         registers.join(F.broadcast(weights), "reg")
         .groupBy("grp")
         .agg(
             F.count("*").cast("long").alias("n_buckets"),
-            F.sum("w").cast("decimal(38,30)").alias("t_sum"),
+            F.sum("w").cast("decimal(38,30)").alias("__t"),
         )
+        .withColumn("t_sum", F.expr("CAST(ROUND(__t, 12) AS DECIMAL(18,12))"))
     )
     est = F.expr(
         f"CAST(ROUND(({ALPHA_M2}) / (CAST(t_sum AS DOUBLE)"

@@ -3318,7 +3318,7 @@ regs AS (SELECT grp, bucket, MAX(reg) AS reg FROM r GROUP BY 1, 2),
 w(reg, wt) AS (VALUES {pow2neg_values_sql()}),
 sk AS (
     SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_buckets,
-           CAST(SUM(wt) AS DECIMAL(38,30)) AS t_sum
+           CAST(ROUND(CAST(SUM(wt) AS DECIMAL(38,30)), 12) AS DECIMAL(18,12)) AS t_sum
     FROM regs JOIN w USING (reg) GROUP BY 1
 ),
 ex AS (
