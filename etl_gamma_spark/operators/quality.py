@@ -514,3 +514,74 @@ def sliding_chunks(
             F.expr("size(split(chunk, ' '))").cast("int").alias("n_tokens"),
         )
     )
+
+
+def cap_per_group(
+    docs: DataFrame,
+    group: str = "source",
+    k: int = 30,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a deterministic EXACT-k sample per group (cap documents per
+    source/domain — the curation step between keep-everything and
+    percentage pruning). Selection order is the pseudo-random
+    (hash-bucket, hash, id) total order, so the kept set is stable across
+    runs, partitionings, and engines.
+
+    The scalable shape — NO corpus-wide window: a group-wide
+    row_number <= k would serialize each group's full row set through one
+    task (the hot-group trap, CLAUDE.md). Instead:
+      1. bucket rows by hash % 10000 and build the per-(group, bucket)
+         histogram — a reducible aggregate;
+      2. one window over the HISTOGRAM (<= 10000 rows per group, bounded
+         regardless of corpus size) finds each group's cutoff bucket;
+      3. buckets strictly below the cutoff are kept wholesale
+         (broadcast-joined filter, no shuffle of the kept mass);
+      4. only the single boundary bucket (~group_size/10000 rows) pays a
+         ranking window to pick the remaining rows exactly.
+    """
+    h = F.expr(f"{T.hexint(f'CAST({id_col} AS STRING)', S)}")
+    t = docs.select("*", h.alias("__h")).withColumn(
+        "__b", F.col("__h") % 10_000
+    )
+    hist = t.groupBy(group, "__b").agg(F.count("*").alias("__n"))
+    wcum = (
+        Window.partitionBy(group)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(group, "__b", F.sum("__n").over(wcum).alias("__cum"))
+    cutoff = (
+        cum.where(F.col("__cum") >= k)
+        .groupBy(group)
+        .agg(F.min("__b").alias("__cut"))
+    )
+    # groups smaller than k have no cutoff bucket: keep them whole
+    before = (
+        cum.where(F.col("__cum") < k)
+        .groupBy(group)
+        .agg(F.max("__cum").alias("__before"))
+    )
+    bounds = (
+        t.select(group).distinct()
+        .join(cutoff, group, "left")
+        .join(before, group, "left")
+        .select(
+            group,
+            F.coalesce(F.col("__cut"), F.lit(10_000)).alias("__cut"),
+            F.coalesce(F.col("__before"), F.lit(0)).alias("__before"),
+        )
+    )
+    tb = t.join(F.broadcast(bounds), group)
+    whole = tb.where(F.col("__b") < F.col("__cut"))
+    wedge = (
+        Window.partitionBy(group)
+        .orderBy("__h", id_col)
+    )
+    boundary = (
+        tb.where(F.col("__b") == F.col("__cut"))
+        .withColumn("__rn", F.row_number().over(wedge))
+        .where(F.col("__rn") <= k - F.col("__before"))
+        .drop("__rn")
+    )
+    return whole.unionByName(boundary).drop("__h", "__b", "__cut", "__before")

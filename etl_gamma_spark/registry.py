@@ -3936,6 +3936,36 @@ def q_receita_unpivot(spark, sf_dir):
     )
 
 
+def _cap_per_source_sql(d: str) -> str:
+    return f"""
+WITH t AS (
+    SELECT doc_id, source,
+           {T.hexint('CAST(doc_id AS VARCHAR)', d)} AS h
+    FROM documents
+),
+r AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY h % 10000, h, doc_id) AS rn
+    FROM t
+)
+SELECT doc_id, source FROM r WHERE rn <= 30
+"""
+
+
+@query("cap_docs_per_source", _cap_per_source_sql(_D))
+def q_cap_docs_per_source(spark, sf_dir):
+    """Exact-30 deterministic cap per source via the two-phase histogram
+    selection (no corpus-wide ranking window); the oracle restates it as
+    the naive per-group row_number over the same (bucket, hash, id)
+    order."""
+    from .operators.quality import cap_per_group
+
+    return cap_per_group(spark.table("documents"), "source", 30).select(
+        "doc_id", "source"
+    )
+
+
 @query(
     "user_rank_by_events",
     # rank/dense_rank with REAL ties: equal counts share a rank, so the
@@ -4299,7 +4329,12 @@ def q_supplier_window_overlaps(spark, sf_dir):
 # windows and grouped aggregation families are carried by many graded
 # queries; the tie semantics and sorted string-agg determinism are
 # pytest-oracle-checked.
+# cap_docs_per_source enters ungraded: hexint-hash selection family
+# carried by graded dataset_split/source_balance and the histogram-cut
+# machinery by graded quality_prune; the exact-k two-phase equivalence
+# is pytest-oracle-checked.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "cap_docs_per_source",
     "user_rank_by_events",
     "clients_per_farmer_list",
     "client_revenue_pct_rank",

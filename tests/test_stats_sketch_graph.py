@@ -551,3 +551,32 @@ def test_swap_directory_rolls_back_on_failure(tmp_path):
     else:  # pragma: no cover
         raise AssertionError("expected OSError")
     assert (path / "data.txt").read_text() == "new"
+
+
+# --- cap_per_group ---------------------------------------------------------
+
+
+def test_cap_per_group_exact_k_and_small_groups(spark):
+    from etl_gamma_spark.operators.quality import cap_per_group
+
+    df = spark.range(5000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id < 4990 THEN 'big' ELSE 'small' END AS source",
+    )
+    got = cap_per_group(df, "source", 100, "doc_id")
+    counts = {r.source: r.n for r in got.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+    ).collect()}
+    assert counts == {"big": 100, "small": 10}  # under-k group kept whole
+
+
+def test_cap_per_group_partition_order_independent(spark):
+    from etl_gamma_spark.operators.quality import cap_per_group
+
+    df = spark.range(3000).selectExpr("id AS doc_id", "'s' AS source")
+    a = sorted(r.doc_id for r in cap_per_group(df, "source", 50, "doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in cap_per_group(df.repartition(17), "source", 50, "doc_id").collect()
+    )
+    assert a == b and len(a) == 50
