@@ -91,16 +91,32 @@ def table_diff(
     status only_a / only_b / changed / equal — the migration-validation
     primitive (e.g. old pipeline output vs new engine output).
 
-    Each side reduces to (keys, xxhash64(compare_cols)) BEFORE the
-    full-outer join, so the shuffle carries 8-byte digests instead of
-    full rows and the change test is one integer comparison (null-safe:
-    xxhash64 never returns NULL, a missing side shows as a NULL hash).
-    A 2^-64 hash collision reads as 'equal' — acceptable for a
-    reconciliation report; byte-exact audits should diff the flagged
-    keys' full rows afterward.
+    Each side reduces to (keys, xxhash64 digest) BEFORE the full-outer
+    join, so the shuffle carries 8-byte digests instead of full rows and
+    the change test is one integer comparison (null-safe: xxhash64 never
+    returns NULL, a missing side shows as a NULL hash).
+
+    Spark's hash functions SKIP null inputs entirely, so a bare
+    ``xxhash64(*compare_cols)`` would hash ('x', NULL) and (NULL, 'x')
+    identically — a deterministic false 'equal' exactly in the
+    value-shifted-between-columns / column-nulled cases migration
+    validation exists to catch. Each column is therefore prefixed with
+    its own is-null flag: the flag both marks the null and keeps the
+    surviving values at distinct stream positions. The remaining 2^-64
+    random collision reads as 'equal' — acceptable for a reconciliation
+    report; byte-exact audits should diff the flagged keys' full rows
+    afterward.
     """
-    ha = a.select(*keys, F.xxhash64(*compare_cols).alias("__ha"))
-    hb = b.select(*keys, F.xxhash64(*compare_cols).alias("__hb"))
+
+    def _null_safe_hash(alias: str):
+        parts = []
+        for col in compare_cols:
+            parts.append(F.col(col).isNull().cast("int"))
+            parts.append(F.col(col))
+        return F.xxhash64(*parts).alias(alias)
+
+    ha = a.select(*keys, _null_safe_hash("__ha"))
+    hb = b.select(*keys, _null_safe_hash("__hb"))
     j = ha.join(hb, keys, "full_outer")
     status = (
         F.when(F.col("__hb").isNull(), F.lit("only_a"))

@@ -20,7 +20,7 @@ Scale posture per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -32,17 +32,37 @@ S = T.SPARK
 def cap_hot_keys(df, keys: list[str], limit: int):
     """Drop rows whose key combination occurs more than ``limit`` times —
     the shared skew guard of every pair generator (band buckets, shingle
-    posting lists). A WINDOW count over the keys, deliberately: the
-    candidate self-join downstream shuffles on exactly those keys, so the
-    window's exchange is reused, where a groupBy+join formulation costs
-    an extra aggregate shuffle (measured ~20% slower at sf0.1). Keep the
-    oracle HAVING/count clauses in sync with callers.
+    posting lists).
+
+    Two-phase, deliberately NOT a window count: a window ``count(*) OVER
+    (PARTITION BY keys)`` must land every row of a key in ONE task before
+    it can count (a window partition cannot be split by AQE), so a
+    mega-hot key — the empty-document band, a boilerplate shingle — would
+    serialize exactly the rows this guard exists to discard. Here only
+    map-side-combined partials cross the wire: ``groupBy(keys).count()``
+    reduces to one row per key before the exchange, the over-limit key
+    list is tiny by construction (each key carries > ``limit`` rows, so
+    there are at most rows/limit of them) and broadcasts, and the
+    left-anti probe is shuffle-free on the data side. No single task ever
+    receives a hot key's rows. Costs one extra small exchange vs the
+    window form locally; at scale it is the difference between finishing
+    and one straggler task OOMing.
+
+    Join keys use null-safe equality so a NULL key counts as one key, as
+    it does under GROUP BY in the oracle HAVING clauses callers keep in
+    sync with this cap.
     """
-    return (
-        df.withColumn("__kc", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
-        .filter(F.col("__kc") <= limit)
-        .drop("__kc")
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__kc"))
+        .filter(F.col("__kc") > limit)
+        .select(*[F.col(k).alias(f"__hot_{k}") for k in keys])
     )
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__hot_{k}"))
+        cond = c if cond is None else cond & c
+    return df.join(F.broadcast(hot), cond, "left_anti")
 
 
 

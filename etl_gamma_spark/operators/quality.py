@@ -216,7 +216,7 @@ def contamination_pairs(
     )
     bench_sizes = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
     corpus = sh.filter((F.col(id_col) % bench_mod) != 0)
-    # shared skew guard (see dedup.cap_hot_keys: exchange-reusing window)
+    # shared skew guard (see dedup.cap_hot_keys: two-phase hot-key anti-join)
     corpus = cap_hot_keys(corpus, ["shingle"], max_df)
     shared = (
         corpus.join(bench, "shingle")

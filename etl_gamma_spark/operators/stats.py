@@ -102,9 +102,13 @@ def iqr_outliers(
             F.max("q3").alias("q3"),
             F.max("lo_fence").alias("lo_fence"),
             F.max("hi_fence").alias("hi_fence"),
-            F.sum(
-                F.when(out, F.round(F.col("x"), 2).cast("decimal(18,2)"))
-            ).alias("outlier_sum"),
+            # SUM(decimal(18,2)) widens to (28,2) — int128-backed past the
+            # driver boundary, which the oracle-parity invariant forbids
+            # (wide-decimal → double is not correctly rounded in DuckDB);
+            # cast back to the int64-backed width the oracle emits
+            F.sum(F.when(out, F.round(F.col("x"), 2).cast("decimal(18,2)")))
+            .cast("decimal(18,2)")
+            .alias("outlier_sum"),
         )
         .withColumnRenamed("grp", group)
     )
@@ -128,6 +132,8 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     Callers stringify-sensitive types first (cast DOUBLE money to
     DECIMAL) so engine and oracle render min/max identically.
     """
+    if not cols:
+        raise ValueError("profile_table: at least one column required")
     parts = []
     for c in cols:
         parts.append(

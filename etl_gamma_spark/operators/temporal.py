@@ -367,22 +367,32 @@ def rolling_months(
 
     The frame orders by an integer month index (year*12 + month) so the
     RANGE bound is exact integer arithmetic in both engines. The window
-    value aggregate is a DECIMAL sum — exact, hence order-independent.
+    value aggregate is a DECIMAL sum — exact, hence order-independent;
+    when the input is an int64-backed DECIMAL the widened SUM result is
+    cast back to the input type so no int128-backed decimal crosses the
+    driver boundary (oracle-parity invariant; a few trailing months of
+    already-rounded values cannot overflow it).
     One shuffle on the entity key; partitions are entity-span-sized.
     """
+    from pyspark.sql.types import DecimalType
+
     midx = (F.year(month_col) * 12 + F.month(month_col)).alias("__midx")
     w = (
         Window.partitionBy(key)
         .orderBy("__midx")
         .rangeBetween(-(months - 1), Window.currentRow)
     )
+    trailing = F.sum(value_col).over(w)
+    vtype = df.schema[value_col].dataType
+    if isinstance(vtype, DecimalType) and vtype.precision <= 18:
+        trailing = trailing.cast(vtype)
     return (
         df.select(key, month_col, value_col, midx)
         .select(
             key,
             month_col,
             value_col,
-            F.sum(value_col).over(w).alias(f"{value_col}_trailing"),
+            trailing.alias(f"{value_col}_trailing"),
             F.count("*").over(w).cast("long").alias("n_months"),
         )
     )

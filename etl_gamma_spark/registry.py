@@ -3571,7 +3571,14 @@ def q_twap_hourly(spark, sf_dir):
 
 
 _TRIANGLES_SQL = """
-WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+WITH sp0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+-- mirrors the engine's cooccurrence_edges(max_df=64) hot-part cap so
+-- engine and oracle agree on ANY fixture, not just ones where TPC-H's
+-- <=4-suppliers-per-part shape keeps the cap from firing
+sp AS (
+    SELECT p, s FROM sp0
+    WHERE p IN (SELECT p FROM sp0 GROUP BY p HAVING COUNT(*) <= 64)
+),
 w AS (
     SELECT a.s AS x, b.s AS y, CAST(COUNT(*) AS BIGINT) AS n_shared
     FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
@@ -3722,7 +3729,12 @@ def q_orders_table_diff(spark, sf_dir):
 
 
 _ALSO_BOUGHT_SQL = """
-WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+WITH sp0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+-- mirrors the engine's cooccurrence_edges(max_df=64) hot-part cap
+sp AS (
+    SELECT p, s FROM sp0
+    WHERE p IN (SELECT p FROM sp0 GROUP BY p HAVING COUNT(*) <= 64)
+),
 w AS (
     SELECT a.s AS x, b.s AS y, CAST(COUNT(*) AS BIGINT) AS n_shared
     FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s

@@ -51,6 +51,13 @@ def read_any(
     """
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    if quarantine and fmt not in ("csv", "json"):
+        # self-describing binary formats have no malformed-line concept;
+        # silently ignoring the flag would leave a caller believing bad
+        # records are routed to _corrupt_record when nothing is
+        raise ValueError(
+            f"quarantine=True applies only to text formats (csv/json), not {fmt!r}"
+        )
     reader = spark.read
     text_mode = "PERMISSIVE" if quarantine else "FAILFAST"
     if fmt == "csv":

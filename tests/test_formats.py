@@ -55,6 +55,15 @@ def test_unknown_format_rejected(spark, tmp_path):
         write_any(src, str(tmp_path / "x"), "avro")
 
 
+def test_quarantine_rejected_for_binary_formats(spark, tmp_path):
+    # parquet/orc have no malformed-line concept; silently ignoring the
+    # flag would fake dead-letter routing the caller believes exists
+    p = tmp_path / "t"
+    write_any(load_table(spark, SF_SMOKE, "nation"), str(p), "parquet")
+    with pytest.raises(ValueError, match="quarantine"):
+        read_any(spark, str(p), "parquet", quarantine=True)
+
+
 def test_quarantine_captures_malformed_json_rows(spark, tmp_path):
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, StringType, StructField, StructType

@@ -16,6 +16,24 @@ def _explain(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def _non_cap_broadcast_hints(analyzed: str) -> list[str]:
+    """ResolvedHint occurrences in an analyzed-plan string whose immediate
+    subtree is NOT cap_hot_keys' over-limit key list (recognizable by its
+    ``__hot_`` aliases). That hint is the one legitimate forced broadcast
+    in pair-generator plans: its build side holds at most rows/limit keys
+    by construction. Any other hint on a per-doc/per-vector O(N) frame is
+    an OOM at corpus scale."""
+    lines = analyzed.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line:
+            continue
+        window = "\n".join(lines[i + 1 : i + 4])
+        if "__hot_" not in window:
+            bad.append(line.strip())
+    return bad
+
+
 def test_flagship_pushdown_and_broadcast(spark):
     plan = _explain(QUERIES["receita_farmer_m_passado"](spark, SF_CORRECT))
     # month-window predicate reaches the lineitem scan
@@ -68,12 +86,13 @@ def test_pair_ops_never_force_broadcast_of_per_doc_frames(spark):
     # embedding_neardup re-attaches the full vector corpus — both are
     # O(N) tables. A broadcast() HINT there forces an OOM at corpus scale;
     # without the hint Catalyst/AQE broadcasts only when the runtime size
-    # is actually small (fine). Assert no hint survives in the analyzed
-    # plan, and candidate generation stays an equi-join (no BNLJ).
+    # is actually small (fine). Assert no hint beyond cap_hot_keys'
+    # tiny over-limit key list survives in the analyzed plan, and
+    # candidate generation stays an equi-join (no BNLJ).
     for name in ["ngram_jaccard_pairs", "embedding_neardup_pairs"]:
         df = QUERIES[name](spark, SF_CORRECT)
         analyzed = df._jdf.queryExecution().analyzed().toString()
-        assert "ResolvedHint" not in analyzed, (
+        assert not _non_cap_broadcast_hints(analyzed), (
             f"{name}: forced broadcast hint on a per-doc/per-vector frame"
         )
         assert "BroadcastNestedLoopJoin" not in _explain(df), name
@@ -173,7 +192,10 @@ def test_pair_candidate_joins_degrade_to_shuffle_not_broadcast(spark):
     # broadcast (threshold -1) and assert every capped pair op plans its
     # joins as shuffle joins (sort-merge / shuffled-hash) — which AQE's
     # skew-join splitter can then subdivide — never a nested loop and
-    # never a forced broadcast that would OOM at 100×.
+    # never a forced broadcast that would OOM at 100×. The ONE broadcast
+    # that may survive the -1 threshold is cap_hot_keys' LeftAnti probe:
+    # its build side is the over-limit key list, tiny by construction
+    # (at most rows/limit keys), and hinting it broadcast is the point.
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -187,8 +209,13 @@ def test_pair_candidate_joins_degrade_to_shuffle_not_broadcast(spark):
         ]:
             plan = _explain(QUERIES[name](spark, SF_CORRECT))
             assert "BroadcastNestedLoopJoin" not in plan, name
-            assert "BroadcastHashJoin" not in plan, (
-                f"{name}: forced broadcast survives a -1 threshold"
+            # every BroadcastHashJoin appears twice in formatted explain
+            # (tree line carries the join type, details line does not):
+            # require every one to be the hot-key-cap LeftAnti
+            n_bhj = plan.count("BroadcastHashJoin")
+            n_anti = plan.count("BroadcastHashJoin LeftAnti")
+            assert n_bhj == 2 * n_anti, (
+                f"{name}: non-anti forced broadcast survives a -1 threshold"
             )
             assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
     finally:
@@ -212,7 +239,7 @@ def test_quality_ops_plan_shape(spark):
     for name in ["gopher_repetition", "contamination_pairs"]:
         df = QUERIES[name](spark, SF_CORRECT)
         analyzed = df._jdf.queryExecution().analyzed().toString()
-        assert "ResolvedHint" not in analyzed, name
+        assert not _non_cap_broadcast_hints(analyzed), name
         plan = _explain(df)
         assert "BroadcastNestedLoopJoin" not in plan, name
 

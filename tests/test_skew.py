@@ -46,3 +46,65 @@ def test_salted_join_rejects_right_outer(spark):
     small = spark.createDataFrame([(1, "x")], "k int, label string")
     with pytest.raises(ValueError, match="salted_join supports"):
         salted_join(big, small, "k", how="right")
+
+
+# --- cap_hot_keys: the shared pair-generator skew guard ---------------------
+
+
+def test_cap_hot_keys_adversarial_hot_key(spark):
+    # one band key holds ~50% of ALL rows (plus a NULL key over-cap too):
+    # the guard must drop exactly the over-limit keys and keep the rest
+    from etl_gamma_spark.operators.dedup import cap_hot_keys
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("HOT"))
+        .when(F.col("id") % 2000 == 1, F.lit(None))
+        .otherwise((F.col("id") % 1000).cast("string"))
+        .alias("k"),
+        F.col("id").alias("v"),
+    ).repartition(32)
+    capped = cap_hot_keys(df, ["k"], limit=50)
+    kept = {r.k for r in capped.select("k").distinct().collect()}
+    # fixture arithmetic: even ids (20k rows) → 'HOT' (over cap, dropped);
+    # odd ids with id % 2000 == 1 → NULL (20 rows, kept — NULL is a
+    # countable key, not a free pass); other odd ids → str(id % 1000),
+    # 40 rows per odd residue (kept), except residue '1' which holds only
+    # the 20 odd ids with id % 2000 == 1001
+    assert "HOT" not in kept
+    assert None in kept
+    assert "999" in kept and "1" in kept
+    assert capped.count() == n - n // 2  # only HOT dropped
+    # survivors' per-key counts all within the cap
+    over = capped.groupBy("k").count().filter(F.col("count") > 50).count()
+    assert over == 0
+
+
+def test_cap_hot_keys_never_serializes_the_hot_key(spark):
+    # scale-posture proof: the plan must show (a) NO window — a window
+    # partition cannot be split, so a mega-hot key would land on one task;
+    # (b) a two-phase aggregate (partial_count) — only map-side-combined
+    # partials (one row per key per input partition) cross the exchange;
+    # (c) the probe side feeds the LeftAnti broadcast join WITHOUT a
+    # key-based exchange — raw rows are never re-partitioned by the hot
+    # key at all. Together: no single task ever receives the hot key's
+    # rows, which is what makes the cap safe at 100x scale.
+    from etl_gamma_spark.operators.dedup import cap_hot_keys
+
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("HOT"))
+        .otherwise(F.col("id").cast("string"))
+        .alias("k"),
+        F.col("id").alias("v"),
+    ).repartition(8)
+    capped = cap_hot_keys(df, ["k"], limit=10)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = capped._jdf.queryExecution().explainString(mode)
+    assert "Window" not in plan
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin LeftAnti" in plan
+    # exactly one key-based exchange: the count aggregate's (partials
+    # only); the probe-side data path has none (formatted explain names
+    # the partitioning in the Exchange details' Arguments line)
+    assert plan.count("hashpartitioning") == 1

@@ -482,6 +482,24 @@ def test_table_diff_statuses(spark):
     assert got == {1: "equal", 2: "changed", 3: "only_a", 4: "only_b"}
 
 
+def test_table_diff_null_shift_detected(spark):
+    # Spark hash functions SKIP null inputs, so without per-column null
+    # flags ('x', NULL) and (NULL, 'x') hash identically — the
+    # value-shifted-between-columns case a migration diff exists for
+    from etl_gamma_spark.operators.cdc import table_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", None), (2, None, "x"), (3, None, None)],
+        "k long, c1 string, c2 string",
+    )
+    b = spark.createDataFrame(
+        [(1, None, "x"), (2, None, "x"), (4, None, None)],
+        "k long, c1 string, c2 string",
+    )
+    got = {r.k: r.status for r in table_diff(a, b, ["k"], ["c1", "c2"]).collect()}
+    assert got == {1: "changed", 2: "equal", 3: "only_a", 4: "only_b"}
+
+
 def test_iqr_outliers_null_values_excluded(spark):
     rows = [(0, "g", None), (1, "g", 1.0), (2, "g", 2.0), (3, "g", 3.0), (4, "g", None)]
     df = spark.createDataFrame(rows, "id long, g string, x double")
