@@ -13,8 +13,10 @@ startup so per-query numbers reflect plan execution.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -37,12 +39,52 @@ BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
 # for cache warmth, so run the flagship first
 BENCH_QUERIES = list(QUERIES)
 
+# Load-gating (VERDICT r5 item 2): BENCH_r05 shipped numbers taken at
+# loadavg 7-8.5 and read as a 44% regression that did not exist. Before
+# timing, wait (bounded) for the 1-min loadavg to drop below the gate;
+# after the loop, re-time any query that regressed >2.5x vs the previous
+# round's artifact and keep the min — noise only ever inflates.
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "2.0"))
+LOAD_WAIT_MAX_S = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
+RETIME_FACTOR = 2.5
+
+
+def wait_for_quiet_host() -> None:
+    deadline = time.monotonic() + LOAD_WAIT_MAX_S
+    while os.getloadavg()[0] > LOAD_GATE and time.monotonic() < deadline:
+        print(
+            f"loadavg {os.getloadavg()[0]:.2f} > gate {LOAD_GATE}; waiting",
+            file=sys.stderr,
+        )
+        time.sleep(20)
+
+
+def previous_round_times() -> dict[str, float]:
+    """Per-query seconds from the newest BENCH_r{N}.json next to bench.py."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict[str, float]] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            queries = {k: float(v) for k, v in data.get("queries", {}).items()}
+        except Exception:
+            continue
+        rnd = int(m.group(1))
+        if queries and (best is None or rnd > best[0]):
+            best = (rnd, queries)
+    return best[1] if best else {}
+
 
 def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
 def main() -> None:
+    wait_for_quiet_host()
     spark = get_spark("etl-gamma-bench")
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -86,8 +128,27 @@ def main() -> None:
         if best is None:
             continue
         per_query[name] = round(best, 3)
-        total += per_query[name]
 
+    # Re-time pass: any query slower than RETIME_FACTOR x its previous-round
+    # number is assumed load-contaminated; measure again (after re-gating on
+    # load) and keep the min. Genuine regressions survive this — noise only
+    # ever inflates a timing, so min() cannot hide a real slowdown.
+    prior = previous_round_times()
+    retimed: list[str] = []
+    for name, secs in list(per_query.items()):
+        ref = prior.get(name)
+        if ref is None or ref <= 0 or secs <= RETIME_FACTOR * ref:
+            continue
+        wait_for_quiet_host()
+        t0 = time.monotonic()
+        try:
+            materialize(QUERIES[name](spark, SF_DIR))
+        except Exception:
+            continue
+        per_query[name] = round(min(secs, time.monotonic() - t0), 3)
+        retimed.append(name)
+
+    total = sum(per_query.values())
     result = {
         "metric": "etl_gamma_spark headline queries wall-clock",
         "value": round(total, 3),
@@ -99,6 +160,8 @@ def main() -> None:
         # the artifact carries its measurement conditions
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
+    if retimed:
+        result["retimed"] = retimed
     if errors:
         result["errors"] = errors
     print(json.dumps(result))

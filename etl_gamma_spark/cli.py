@@ -64,11 +64,22 @@ PIPELINES = {
 }
 
 
-def setup_logging(level: str) -> None:
+def setup_logging(level: str, log_file: str | None = None) -> None:
+    """Configure stdout + optional file logging.
+
+    Reference parity: kpi_*/main.py:29-55 attaches both a StreamHandler
+    and a FileHandler so operators can tail the run live and keep an
+    audit trail; ``log_file=None`` keeps the stdout-only behavior.
+    """
+    handlers: list[logging.Handler] = [logging.StreamHandler(sys.stdout)]
+    if log_file:
+        parent = os.path.dirname(os.path.abspath(log_file))
+        os.makedirs(parent, exist_ok=True)
+        handlers.append(logging.FileHandler(log_file, encoding="utf-8"))
     logging.basicConfig(
         level=getattr(logging, level.upper(), logging.INFO),
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
-        stream=sys.stdout,
+        handlers=handlers,
         force=True,
     )
 
@@ -132,9 +143,15 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--months-back", type=int, default=11)
     parser.add_argument("--as-of", type=dt.date.fromisoformat, default=asof.AS_OF_TPCH)
     parser.add_argument("--log-level", default="INFO")
+    parser.add_argument(
+        "--log-file",
+        default=None,
+        help="also append logs to this file (reference main.py logs to "
+        "file+stdout); stdout-only when omitted",
+    )
     args = parser.parse_args(argv)
 
-    setup_logging(args.log_level)
+    setup_logging(args.log_level, args.log_file)
     from .session import get_spark
 
     spark = get_spark("etl-gamma-cli")

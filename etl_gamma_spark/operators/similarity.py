@@ -394,6 +394,89 @@ def ivf_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_write_index(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    base_dir: str,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index in the 100-TB layout the ``ivf_build``
+    docstring promises: vectors co-located with their assignment, written
+    under ``base_dir/ivf`` PARTITIONED BY ``centroid_id`` (one directory
+    per cell), with the coarse quantizer under ``base_dir/centroids``.
+
+    A probe then reads only the ``n_probe`` probed cell directories —
+    partition pruning at the file-listing level, so search cost scales
+    with cell size, not corpus size (see :func:`ivf_topk_persisted` and
+    the pruned-scan assert in tests/test_plan_quality.py).
+    """
+    from ..sources.sink import write_full_refresh
+
+    import os as _os
+
+    emb = embeddings.selectExpr(id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v")
+    rows = _assign_to(emb, centroids, dim, id_col).select(
+        id_col, F.col("v").alias(vec_col), "centroid_id"
+    )
+    write_full_refresh(rows, _os.path.join(base_dir, "ivf"), ["centroid_id"])
+    write_full_refresh(centroids, _os.path.join(base_dir, "centroids"))
+
+
+def probe_cells(
+    spark,
+    base_dir: str,
+    query_vec: list[float],
+    n_probe: int = 4,
+) -> list[int]:
+    """Driver-side probe-cell selection over the persisted coarse
+    quantizer. The centroid table is index METADATA — sized by design to
+    fit in serving memory (even 65k cells × 64 dims ≈ 32 MB), never
+    scaling with the corpus — so computing the ``n_probe`` nearest cells
+    on the driver is the standard ANN serving shape, not a collect()-of-
+    data antipattern. The distance is the same left-associative
+    sequential fold as ``dist2_unrolled`` (Python float64 ops in the same
+    order → bit-identical ranking to the Spark/DuckDB plans)."""
+    cents = spark.read.parquet(f"{base_dir}/centroids").collect()
+    scored = []
+    for row in cents:
+        d2 = 0.0
+        for x, c in zip(query_vec, row.centroid):
+            d2 += (float(x) - float(c)) * (float(x) - float(c))
+        scored.append((d2, int(row.centroid_id)))
+    scored.sort()
+    return [cid for _, cid in scored[:n_probe]]
+
+
+def ivf_topk_persisted(
+    spark,
+    base_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against the WRITTEN index: a static ``isin`` filter on
+    the partition column makes Catalyst prune the scan to the probed cell
+    directories before any file is opened (PartitionFilters in the plan;
+    asserted by tests/test_plan_quality.py). Only the probed cells'
+    vectors are read, scored with the codegen'd cosine, and top-k'd."""
+    cells = probe_cells(spark, base_dir, query_vec, n_probe)
+    ivf = spark.read.parquet(f"{base_dir}/ivf").filter(
+        F.col("centroid_id").isin(cells)
+    )
+    if exclude_id is not None:
+        ivf = ivf.filter(F.col(id_col) != exclude_id)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = ivf.withColumn("__qv", q).selectExpr(
+        id_col, f"{cosine_expr(vec_col, '__qv')} AS cosine"
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,

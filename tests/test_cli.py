@@ -78,3 +78,34 @@ def test_cli_round5_pipelines(spark, tmp_path):
     assert n1 == 500 and n2 > 0
     got = spark.read.parquet(os.path.join(out, "chunk_dedup"))
     assert got.count() == 500 and "updated_at" in got.columns
+
+
+def test_setup_logging_file_and_stdout(tmp_path, capsys):
+    """--log-file parity with reference main.py:29-55 (file + stdout
+    handlers); stdout-only when omitted."""
+    import logging
+
+    from etl_gamma_spark.cli import setup_logging
+
+    log_file = tmp_path / "logs" / "run.log"
+    setup_logging("INFO", str(log_file))
+    try:
+        logging.getLogger("etl_gamma_spark").info("file-and-stdout probe")
+        for h in logging.getLogger().handlers:
+            h.flush()
+        body = log_file.read_text()
+        assert body.count("file-and-stdout probe") == 1
+        assert "INFO" in body
+        # stdout handler still attached alongside the file handler
+        kinds = {type(h).__name__ for h in logging.getLogger().handlers}
+        assert kinds == {"StreamHandler", "FileHandler"}
+
+        # omitted log_file -> stdout only, no file handler left behind
+        setup_logging("INFO")
+        kinds = {type(h).__name__ for h in logging.getLogger().handlers}
+        assert kinds == {"StreamHandler"}
+    finally:
+        # detach the handlers bound to pytest's captured streams — a live
+        # StreamHandler on a closed capture object makes py4j's shutdown
+        # log line raise "--- Logging error ---" at interpreter exit
+        logging.basicConfig(force=True, handlers=[logging.NullHandler()])

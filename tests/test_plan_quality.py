@@ -396,3 +396,48 @@ def test_round5_batch5_plan_shapes(spark):
     # triangles: every join is a hash join on edge keys
     plan = _explain(QUERIES["supplier_triangles"](spark, SF_CORRECT))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_persisted_probe_prunes_partitions(spark, tmp_path):
+    """The written IVF index (VERDICT r5 item 4): a probe against the
+    centroid_id-partitioned table must prune the scan to the n_probe
+    probed cells BEFORE opening any file — PartitionFilters in the plan
+    and, at the file level, inputFiles drawn only from probed cell
+    directories."""
+    from etl_gamma_spark.io import load_table
+    from etl_gamma_spark.operators.similarity import (
+        ivf_topk_persisted,
+        ivf_write_index,
+        probe_cells,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    base = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, seed_centroids(emb, 16), base)
+
+    qv = [float(x) for x in emb.filter("vec_id = 0").select("embedding").head()[0]]
+    cells = probe_cells(spark, base, qv, n_probe=4)
+    assert len(cells) == 4
+
+    topk = ivf_topk_persisted(spark, base, qv, k=10, n_probe=4, exclude_id=0)
+    plan = _explain(topk)
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+
+    # the PartitionFilters IN-list is exactly the probed cells (Catalyst
+    # applies PartitionFilters at file listing — files in other cell
+    # directories are never opened)
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[centroid_id[^ ]* IN \(([^)]*)\)", plan)
+    assert m, f"no centroid_id IN PartitionFilters in plan:\n{plan}"
+    assert {int(x) for x in m.group(1).split(",")} == set(cells)
+
+    # and the persisted answer equals the in-memory index's answer
+    from etl_gamma_spark.operators.similarity import ivf_build, ivf_topk
+
+    cents = seed_centroids(emb, 16)
+    mem = ivf_topk(emb, query_id=0, k=10, n_probe=4, index=(ivf_build(emb, cents), cents))
+    got = [(r[0], round(r[1], 12)) for r in topk.collect()]
+    want = [(r[0], round(r[1], 12)) for r in mem.collect()]
+    assert got == want
