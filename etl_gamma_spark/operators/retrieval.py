@@ -1,0 +1,152 @@
+"""Keyword retrieval over the documents table: BM25 top-k scoring.
+
+The retrieval side of a training-data pipeline (mining a corpus for
+documents matching a query, e.g. benchmark-adjacent text or targeted
+domain data) — the counterpart of the embedding-space searches in
+operators/similarity.py. Classic Robertson/Spärck-Jones BM25 with the
+Lucene idf form:
+
+    idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
+    s(d, t) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    bm25(d) = sum over query terms t of s(d, t)
+
+Engine-parity design (the repo's oracle gate compares value hashes):
+
+* All the RATIONAL parts (tf, dl, avgdl = sum(dl)/N, the k1/b mixing)
+  are IEEE basic ops on identical inputs in a text-pinned evaluation
+  order — correctly rounded in every engine, so bit-identical.
+* ``ln`` is libm-dependent — and on THIS host JVM Math.log and DuckDB's
+  glibc log genuinely disagree in the last ulp (measured:
+  ln(333.(3)) = 5.8111409929767 vs ...76701; see
+  tests/test_env_canary.py). So the idf log is NOT the native ln: it is
+  an engine-portable expansion built exclusively from IEEE
+  correctly-rounded operations (sqrt, +, -, *, /), which every engine
+  must compute bit-identically:
+
+      ln(x) = 2^20 * 2 * atanh(t),  t = (s - 1) / (s + 1),
+      s = sqrt applied 20 times to x,  atanh(t) ~ t + t^3/3
+
+  After 20 square roots s - 1 <= ln(x)/2^20 (~2e-5 even for a
+  trillion-document corpus), so the two-term series truncation error is
+  below 1e-20 relative; the dominant error is the accumulated sqrt
+  rounding, giving |portable_ln - ln| < ~1e-8 absolute over the idf
+  domain (unit-tested). The approximation is part of the operator
+  CONTRACT (documented here), deterministic, and identical in both
+  engines by construction — then quantized once per DISTINCT query term:
+  ROUND(..., 9) → DECIMAL(18,9).
+* Per-(doc, term) scores are rounded then summed as DECIMAL — the
+  repo-wide order-independent-sum rule — so the final ranking hashes
+  identically regardless of partitioning.
+
+Scale posture: tokens for NON-query terms are dropped before the
+(doc, token) aggregate (predicate on the exploded token, pushed below
+the shuffle), so the heavy agg carries |terms| x N_docs rows at most;
+the per-term df/idf table is bounded by the query length and broadcast;
+the doc-length stats attach via a 1-row broadcast (bcast_attach — no
+collect, no BNLJ). One shuffle for the tf agg, one for the final top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..io import spread
+from .similarity import bcast_attach
+
+S = T.SPARK
+
+
+def _score_sql(k1: str, b: str) -> str:
+    """The per-(doc, term) BM25 contribution, shared verbatim between the
+    Spark plan and the DuckDB oracle (identical text → identical
+    evaluation order → bit-identical doubles; see module docstring).
+    Expects columns tf, dl (BIGINT), idf9 DECIMAL(18,9), avgdl DOUBLE."""
+    return (
+        f"CAST(idf9 AS DOUBLE) * "
+        f"((CAST(tf AS DOUBLE) * ({k1} + 1.0)) / "
+        f"(CAST(tf AS DOUBLE) + {k1} * "
+        f"((1.0 - {b}) + ({b} * (CAST(dl AS DOUBLE) / avgdl)))))"
+    )
+
+
+# The idf pipeline as FOUR text-pinned steps (each shared verbatim
+# between the Spark plan and the DuckDB oracle; binding each stage to a
+# column keeps the expression linear-sized and single-evaluated):
+#   IDF_X_SQL : the Lucene idf argument from (n_docs, df)
+#   IDF_S_SQL : sqrt applied 20 times to x
+#   IDF_T_SQL : the atanh argument (s-1)/(s+1)
+#   IDF9_FROM_T_SQL : 2^21 * (t + t^3/3), quantized to DECIMAL(18,9)
+IDF_X_SQL = (
+    "(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)"
+    " / (CAST(df AS DOUBLE) + 0.5) + 1.0)"
+)
+IDF_S_SQL = "sqrt(" * 20 + "x" + ")" * 20
+IDF_T_SQL = "((s - 1.0) / (s + 1.0))"
+IDF9_FROM_T_SQL = (
+    "CAST(ROUND(2097152.0 * (t + (((t * t) * t) / 3.0)), 9) AS DECIMAL(18,9))"
+)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: str = "1.2",
+    b: str = "0.75",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under BM25.
+
+    ``k1``/``b`` are passed as SQL literal TEXT (not floats) so engine
+    and oracle parse the identical literal into the identical double.
+    Output: (doc_id, n_terms, bm25 DECIMAL(18,9)) ordered by bm25 desc
+    with doc_id tiebreak.
+    """
+    if not query_terms:
+        raise ValueError("at least one query term required")
+    words = spread(docs).selectExpr(
+        id_col, f"{T.split_ws(text_col, S)} AS __w"
+    ).selectExpr(id_col, "__w", "CAST(size(__w) AS BIGINT) AS dl")
+
+    terms_in = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    tf = (
+        words.selectExpr(id_col, "dl", "explode(__w) AS token")
+        .filter(F.expr(f"token IN ({terms_in})"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    )
+
+    # corpus stats: one row, broadcast-attached (no collect)
+    stats = words.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    # per-term document frequency over the tf frame (already one row per
+    # (doc, term)); bounded by the query length -> idf table is tiny
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        bcast_attach(df_, stats, "token", "n_docs")
+        .selectExpr("token", f"{IDF_X_SQL} AS x")
+        .selectExpr("token", f"{IDF_S_SQL} AS s")
+        .selectExpr("token", f"{IDF_T_SQL} AS t")
+        .selectExpr("token", f"{IDF9_FROM_T_SQL} AS idf9")
+    )
+
+    scored = (
+        bcast_attach(tf, stats, "token", "n_docs")
+        .withColumn("avgdl", F.expr("CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+        .join(F.broadcast(idf), "token")
+        .selectExpr(
+            id_col,
+            "token",
+            f"CAST(ROUND({_score_sql(k1, b)}, 9) AS DECIMAL(18,9)) AS s9",
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.expr("CAST(SUM(s9) AS DECIMAL(18,9))").alias("bm25"),
+    )
+    return agg.orderBy(F.col("bm25").desc(), id_col).limit(k)

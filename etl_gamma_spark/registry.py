@@ -4242,6 +4242,86 @@ def q_jdbc_roundtrip_agg(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-6: BM25 keyword retrieval (operators/retrieval.py) — the lexical
+# counterpart of the embedding searches. The idf log uses the
+# engine-PORTABLE expansion (20x sqrt + atanh series: only IEEE
+# correctly-rounded ops — native ln measurably diverges between JVM and
+# glibc on this host, see tests/test_env_canary.py), quantized to
+# DECIMAL(18,9) per DISTINCT query term before any multiplication; the
+# per-(doc,term) scores are rounded-then-decimal-summed, so the ranking
+# hashes identically across engines by construction.
+# ---------------------------------------------------------------------------
+
+from .operators.retrieval import (  # noqa: E402
+    IDF9_FROM_T_SQL,
+    IDF_S_SQL,
+    IDF_T_SQL,
+    IDF_X_SQL,
+    _score_sql,
+    bm25_topk,
+)
+
+_BM25_TERMS = ("spark", "vector", "window", "scan")
+
+
+def _bm25_sql(d: str) -> str:
+    terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH w AS (
+    SELECT doc_id, {T.split_ws('text', d)} AS __w FROM documents
+),
+docs AS (
+    SELECT doc_id, __w, CAST({T.asize('__w', d)} AS BIGINT) AS dl FROM w
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_len,
+           CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS avgdl
+    FROM docs
+),
+tok AS (
+    SELECT doc_id, dl, unnest(__w) AS token FROM docs
+),
+tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+    FROM tok WHERE token IN ({terms_in})
+    GROUP BY 1, 2
+),
+dfreq AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+idf_x AS (
+    SELECT token, {IDF_X_SQL} AS x FROM dfreq CROSS JOIN stats
+),
+idf_s AS (
+    SELECT token, {IDF_S_SQL} AS s FROM idf_x
+),
+idf_t AS (
+    SELECT token, {IDF_T_SQL} AS t FROM idf_s
+),
+idf AS (
+    SELECT token, {IDF9_FROM_T_SQL} AS idf9 FROM idf_t
+),
+sc AS (
+    SELECT tf.doc_id, tf.token,
+           CAST(ROUND({_score_sql('1.2', '0.75')}, 9) AS DECIMAL(18,9)) AS s9
+    FROM tf CROSS JOIN stats JOIN idf USING (token)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(s9) AS DECIMAL(18,9)) AS bm25
+FROM sc
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("bm25_topk", _bm25_sql(_D))
+def q_bm25_topk(spark, sf_dir):
+    return bm25_topk(spark.table("documents"), list(_BM25_TERMS), k=10)
+
+
+# ---------------------------------------------------------------------------
 # Driver-graded ordering (VERDICT r3 item 4)
 #
 # The correctness driver grades only the FIRST 50 entries of
@@ -4461,7 +4541,14 @@ def q_jdbc_roundtrip_agg(spark, sf_dir):
 #                                 graded revenue aggregate; the JDBC hop
 #                                 itself has no DuckDB-reachable side, so
 #                                 its oracle checks hop-invisibility
+#   bm25_topk                     enters ungraded on registration (rotate
+#                                 in next round): the explode→tf-agg shape
+#                                 is carried by graded tfidf_top_terms and
+#                                 the round-then-decimal-sum discipline by
+#                                 every graded revenue aggregate; the BM25
+#                                 formula itself is pytest-oracle-checked
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "bm25_topk",
     "embedding_ivf_persisted",
     "jdbc_roundtrip_agg",
     "streaming_windowed_events",

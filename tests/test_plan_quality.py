@@ -441,3 +441,22 @@ def test_ivf_persisted_probe_prunes_partitions(spark, tmp_path):
     got = [(r[0], round(r[1], 12)) for r in topk.collect()]
     want = [(r[0], round(r[1], 12)) for r in mem.collect()]
     assert got == want
+
+
+def test_bm25_plan_shape(spark):
+    """BM25 (round 6): non-query tokens dropped before the tf aggregate,
+    stats/idf attach via broadcast hash joins (never BNLJ), scans pruned
+    to (doc_id, text)."""
+    plan = _explain(QUERIES["bm25_topk"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the IN-list filter sits under the (doc, token) aggregate
+    assert "token#" in plan and " IN (" in plan
+    # column pruning: only doc_id/text leave the documents scan
+    import re
+
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert schemas, plan
+    for s in schemas:
+        assert "lang" not in s and "url" not in s, s

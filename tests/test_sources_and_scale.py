@@ -191,3 +191,66 @@ def test_multi_file_inputs_identical_results_no_plan_degradation(spark, tmp_path
         assert "BroadcastNestedLoopJoin" not in plan, name
         multi = sorted(map(str, multi_df.collect()))
         assert multi == base, f"{name}: results differ across file layouts"
+
+
+def test_round5_heavy_ops_subquadratic_on_replicated_corpus(spark, tmp_path):
+    """VERDICT r5 item 6: replicate the sf0.001 corpus 4x with
+    tools/scale_probe's structure-preserving mutations and check the
+    round-5 heavy ops stay sub-quadratic. Wall-clock on this shared host
+    is too noisy to gate tightly, so the primary assert is deterministic
+    OUTPUT GROWTH (candidate/pair blowup is what kills banded joins at
+    scale — a quadratic generator shows 16x rows at 4x input); a single
+    generous wall-clock bound (< half the quadratic ratio) backstops
+    execution cost."""
+    import time
+
+    from etl_gamma_spark.registry import QUERIES, _REGISTERED
+    from tools import scale_probe as sp
+
+    base = SF_SMOKE
+    replica = str(tmp_path / "x4")
+    old_base = sp.BASE
+    sp.BASE = base
+    try:
+        sp.replicate(spark, replica, 4)
+
+        ops = [
+            "fuzzy_name_pairs",
+            "supplier_triangles",
+            "also_bought_topk",
+            "embedding_neardup_pairs",
+            "pagerank_bipartite",
+        ]
+        counts = {}
+        timings = {}
+        for sf_dir in (base, replica):
+            _REGISTERED.pop(spark, None)
+            for name in ops:
+                best, n = None, None
+                for _ in range(2):
+                    t0 = time.monotonic()
+                    n = QUERIES[name](spark, sf_dir).count()
+                    dt_ = time.monotonic() - t0
+                    best = dt_ if best is None else min(best, dt_)
+                counts.setdefault(name, []).append(n)
+                timings.setdefault(name, []).append(best)
+    finally:
+        sp.BASE = old_base
+        _REGISTERED.pop(spark, None)
+
+    for name in ops:
+        n1, n4 = counts[name]
+        # linear-ish output growth: a quadratic pair generator would emit
+        # ~16x at 4x input; allow 6x (graph ops stay ~constant — the
+        # distinct co-purchase graph does not grow under orderkey shifts).
+        # embedding_neardup_pairs is exempt: replicate() makes every copy
+        # a TRUE near-duplicate of its base vector, so the correct answer
+        # itself contains the quadratic cross-copy identity pairs — its
+        # scale posture is covered by the wall-clock backstop below and
+        # the banding plan-shape tests.
+        if name != "embedding_neardup_pairs":
+            assert n4 <= max(6 * n1, n1 + 64), (name, n1, n4)
+        t1, t4 = timings[name]
+        # generous noise-tolerant backstop: well under the 16x quadratic
+        # signature even if the 1x run hit a fast path
+        assert t4 <= 8 * max(t1, 0.5), (name, t1, t4)

@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-DIM_TABLES = ["region", "nation", "customer", "supplier", "part"]
+DIM_TABLES = ["region", "nation", "supplier", "part"]
 PROBE_QUERIES = [
     "receita_farmer_m_passado",
     "receita_produto_f_m_passado",
@@ -46,14 +46,25 @@ PROBE_QUERIES = [
     "cdc_merge",
     "token_histogram",
     "user_sessions",
-    # round-5 batch-4 fact-table operators (fuzzy/profile target dim
-    # tables, which the probe deliberately leaves unreplicated)
+    # round-5 batch-4 fact-table operators
     "range_tier_join",
     "hll_distinct",
     "cms_topk",
     "pagerank_bipartite",
     "supplier_window_overlaps",
     "iqr_outliers",
+    # round-6 (VERDICT r5 item 6): the round-5 heavy ops. The graph ops
+    # read lineitem — replication shifts orderkeys but keeps the
+    # (partkey, suppkey) pairs, so the distinct-pair graph is constant
+    # while the rows feeding the DISTINCT grow Nx (the "N more months of
+    # history" scenario). fuzzy_name_pairs reads customer, which IS now
+    # replicated (keys shifted, names tagged with pairwise-distance-2
+    # suffixes so no cross-copy pairs appear and true pairs grow
+    # linearly, never quadratically).
+    "supplier_triangles",
+    "also_bought_topk",
+    "fuzzy_name_pairs",
+    "embedding_neardup_pairs",
 ]
 
 
@@ -113,6 +124,14 @@ def replicate(spark, out_dir: str, copies: int) -> None:
         "documents",
     )
     write(
+        stacked("customer", lambda df, i: df
+                .withColumn("c_custkey", df.c_custkey + F.lit(i * shift))
+                # pairwise tag distance 2 ("x00" vs "x11"): no cross-copy
+                # pairs at lev<=1, so fuzzy pair counts grow linearly
+                .withColumn("c_name", F.concat(df.c_name, F.lit(f" x{i}{i}")))),
+        "customer",
+    )
+    write(
         stacked("embeddings", lambda df, i: df
                 .withColumn("vec_id", df.vec_id + F.lit(i * shift))
                 .withColumn(
@@ -127,12 +146,14 @@ def replicate(spark, out_dir: str, copies: int) -> None:
     )
 
 
-def time_queries(spark, sf_dir: str, reps: int) -> dict[str, float]:
+def time_queries(
+    spark, sf_dir: str, reps: int, names: list[str] | None = None
+) -> dict[str, float]:
     from etl_gamma_spark.registry import QUERIES, _REGISTERED
 
     _REGISTERED.pop(spark, None)  # force re-registration for this dir
     out = {}
-    for name in PROBE_QUERIES:
+    for name in (names if names is not None else PROBE_QUERIES):
         best = None
         for _ in range(reps):
             t0 = time.monotonic()
