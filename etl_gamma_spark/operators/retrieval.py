@@ -84,9 +84,10 @@ IDF_X_SQL = (
 )
 IDF_S_SQL = "sqrt(" * 20 + "x" + ")" * 20
 IDF_T_SQL = "((s - 1.0) / (s + 1.0))"
-IDF9_FROM_T_SQL = (
-    "CAST(ROUND(2097152.0 * (t + (((t * t) * t) / 3.0)), 9) AS DECIMAL(18,9))"
-)
+# generic portable ln from the atanh argument t (see module docstring):
+# 2^21 * (t + t^3/3); negate/quantize at the call sites
+LN_FROM_T_SQL = "(2097152.0 * (t + (((t * t) * t) / 3.0)))"
+IDF9_FROM_T_SQL = f"CAST(ROUND({LN_FROM_T_SQL}, 9) AS DECIMAL(18,9))"
 
 
 def bm25_topk(
@@ -150,3 +151,99 @@ def bm25_topk(
         F.expr("CAST(SUM(s9) AS DECIMAL(18,9))").alias("bm25"),
     )
     return agg.orderBy(F.col("bm25").desc(), id_col).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Language-model quality scoring (CCNet-style perplexity filtering)
+# ---------------------------------------------------------------------------
+
+# add-k smoothed bigram probability, text-pinned (columns c2, c1, vocab):
+#   p(w2 | w1) = (c(w1 w2) + 0.5) / (c(w1 .) + 0.5 * V)
+LM_P_SQL = (
+    "((CAST(c2 AS DOUBLE) + 0.5)"
+    " / (CAST(c1 AS DOUBLE) + (0.5 * CAST(vocab AS DOUBLE))))"
+)
+LM_S_SQL = "sqrt(" * 20 + "p" + ")" * 20
+NLL9_FROM_T_SQL = f"CAST(ROUND(-({LN_FROM_T_SQL}), 9) AS DECIMAL(18,9))"
+
+
+def lm_bigram_nll(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document language-model surprisal — the perplexity-filter
+    quality signal of CCNet/CC-style curation pipelines: score every
+    document by the average negative log-likelihood of its bigrams under
+    an add-0.5-smoothed bigram model estimated FROM THE CORPUS ITSELF
+    (self-scoring: boilerplate and templated text score low NLL, rare
+    garbled text scores high; no external model artifact needed —
+    deterministic and oracle-checkable).
+
+    The log is the engine-portable sqrt-chain expansion (see module
+    docstring), computed once per DISTINCT bigram and quantized to
+    DECIMAL(18,9); per-occurrence NLLs then sum as DECIMAL, so the score
+    hashes identically across engines. The reported ``avg_nll`` is in
+    nats/bigram (perplexity = e^avg_nll — deliberately NOT computed:
+    exp() would reintroduce libm divergence, and the ranking is
+    identical).
+
+    Output: (doc_id, n_bigrams, nll_sum DECIMAL(18,9), avg_nll9
+    DECIMAL(18,9)) for every document with at least one bigram.
+
+    Scale posture: one explode→hash-agg for bigram counts (map-side
+    combined); context counts and the smoothed logp derive from the
+    DISTINCT-bigram table (vocabulary-scale, not corpus-scale rows);
+    occurrences re-attach logp by a bigram-keyed shuffle join (vocab is
+    corpus-scale: never broadcast); corpus stats attach via a 1-row
+    broadcast. No per-occurrence transcendentals — the sqrt chain runs
+    once per distinct bigram.
+    """
+    words = spread(docs).selectExpr(
+        id_col, f"{T.split_ws(text_col, S)} AS __w"
+    )
+    occ = words.selectExpr(
+        id_col, f"explode({T.word_ngrams('__w', S, 2)}) AS bg"
+    )
+    c2 = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    # context counts from the distinct-bigram table: c(w1 .) = sum of c2
+    # over bigrams sharing the first word — no per-occurrence split
+    bg_w1 = c2.selectExpr("bg", "c2", f"{T.elem(T.split_ws('bg', S), '1', S)} AS w1")
+    c1 = bg_w1.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    stats = words.selectExpr(f"explode({T.adistinct('__w', S)}) AS w").agg(
+        F.count_distinct("w").alias("vocab")
+    )
+    logp = (
+        bcast_attach(bg_w1.join(c1, "w1"), stats, "bg", "vocab")
+        .selectExpr("bg", f"{LM_P_SQL} AS p")
+        .selectExpr("bg", f"{LM_S_SQL} AS s")
+        .selectExpr("bg", f"{IDF_T_SQL} AS t")
+        .selectExpr("bg", f"{NLL9_FROM_T_SQL} AS nll9")
+    )
+    per_doc = (
+        occ.join(logp, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("CAST(SUM(nll9) AS DECIMAL(18,9))").alias("nll_sum"),
+        )
+    )
+    # avg = nll_sum / n at scale 9, HALF_UP, in EXACT integer arithmetic:
+    # a double division here hits exact .5e-9 ties (nll_sum has scale 9,
+    # so remainder/n = 1/2 is common — observed at sf0.1) and Spark and
+    # DuckDB round double ties differently. (2u + n) DIV (2n) on the
+    # 1e9-scaled BIGINT is the tie-proof HALF_UP for non-negative u.
+    return per_doc.selectExpr(
+        id_col,
+        "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+        "nll_sum",
+        # width-19 operand: DuckDB multiplies width<=18 decimals in int64
+        # storage and overflows; 19 forces hugeint (Spark caps at 38)
+        "CAST(CAST(nll_sum AS DECIMAL(19,9)) * 1000000000 AS BIGINT) AS __u",
+    ).selectExpr(
+        id_col,
+        "n_bigrams",
+        "nll_sum",
+        "CAST(CAST((2 * __u + n_bigrams) DIV (2 * n_bigrams) AS DECIMAL(18,0))"
+        " * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(18,9)) AS avg_nll",
+    )

