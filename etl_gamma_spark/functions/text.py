@@ -93,6 +93,20 @@ def hexint(s: str, d: str) -> str:
     return f"CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
 
 
+def hexwin(s: str, start: int, length: int, d: str) -> str:
+    """Integer from a window of the md5 hex digest of ``s`` (engine-equal).
+    Disjoint windows of ONE digest give independent hash families without
+    re-hashing (round-5 lesson); 15 hex chars = 60 bits fits BIGINT."""
+    if d == SPARK:
+        return f"CAST(conv(substr(md5({s}), {start}, {length}), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substr(md5({s}), {start}, {length})) AS BIGINT)"
+
+
+def tostr(x: str, d: str) -> str:
+    """Integer → string cast, dialect-paired (Spark STRING, DuckDB VARCHAR)."""
+    return f"CAST({x} AS STRING)" if d == SPARK else f"CAST({x} AS VARCHAR)"
+
+
 def bit(h: str, i: int, d: str) -> str:
     if d == SPARK:
         return f"(shiftright({h}, {i}) & 1)"

@@ -585,3 +585,77 @@ def cap_per_group(
         .drop("__rn")
     )
     return whole.unionByName(boundary).drop("__h", "__b", "__cut", "__before")
+
+
+# hashing-trick linear classifier (fastText-style quality filter)
+HASH_CLF_FEATURES = 4096
+HASH_CLF_BIAS_MICRO = 0
+
+
+def hash_classifier_score(
+    docs: DataFrame,
+    n_features: int = HASH_CLF_FEATURES,
+    bias_micro: int = HASH_CLF_BIAS_MICRO,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear text-classifier INFERENCE with the hashing trick — the
+    fastText-style quality-filter stage (Joulin et al. 2016; the
+    classifier gate in CCNet / DCLM-style curation pipelines): tokens map
+    to ``n_features`` buckets via a feature hash, each bucket carries a
+    weight, and a document's score is the tf-weighted sum plus bias.
+
+    The model is DATA, not code: a (fid, weight) table joined into the
+    plan — swap in a genuinely trained weights table and the plan is
+    production inference. Here the stand-in weights derive
+    deterministically from the feature id (md5 window → integer micro
+    units in [-1000, 1000]), so the whole operator is oracle-checkable.
+
+    All arithmetic is integer (micro units): tf · w_micro sums are
+    order-independent, so the score hashes identically regardless of
+    partitioning — no float ever crosses the driver boundary.
+
+    Output: (doc_id, margin_micro, verdict) — verdict = 'keep' iff the
+    margin is positive.
+
+    Scale posture: explode → (doc, token) hash agg (map-side combined)
+    → token-keyed join to the distinct-token feature map (corpus-scale
+    vocab: shuffle join, AQE-sized, never broadcast) → fid-keyed join to
+    the weights table (exactly ``n_features`` rows — broadcast) → per-doc
+    agg. md5 is evaluated once per DISTINCT token and once per distinct
+    fid, never per occurrence.
+    """
+    words = spread(docs).selectExpr(id_col, f"{T.split_ws(text_col, S)} AS __w")
+    tf = (
+        words.select(id_col, F.explode("__w").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = (
+        tf.select("token")
+        .distinct()
+        .selectExpr("token", f"{T.hexint('token', S)} % {n_features} AS fid")
+    )
+    weights = (
+        vocab.select("fid")
+        .distinct()
+        .selectExpr(
+            "fid",
+            f"({T.hexwin(T.tostr('fid', S), 1, 15, S)} % 2001 - 1000) AS w_micro",
+        )
+    )
+    scored = (
+        tf.join(vocab, "token")
+        .join(F.broadcast(weights), "fid")
+        .groupBy(id_col)
+        .agg(
+            (F.lit(bias_micro) + F.sum(F.col("tf") * F.col("w_micro")))
+            .cast("bigint")
+            .alias("margin_micro")
+        )
+    )
+    return scored.selectExpr(
+        id_col,
+        "margin_micro",
+        "CASE WHEN margin_micro > 0 THEN 'keep' ELSE 'drop' END AS verdict",
+    )

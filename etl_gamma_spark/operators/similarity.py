@@ -584,3 +584,67 @@ def embedding_neardup_pairs(
         f"({dot_unrolled('v_a', 'v_b', dim)}) / nullif(n_a * n_b, 0.0D) AS cosine",
     )
     return scored.filter(F.col("cosine") >= F.lit(threshold))
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    tau: float = 0.35,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus embeddings with a coarse
+    quantizer, compare pairs only WITHIN a cluster, and drop every vector
+    that has a same-cluster neighbor with cosine >= ``tau`` and a smaller
+    id (greedy keep-first, matching the repo-wide dedup convention).
+    Returns the surviving (id, centroid_id) rows.
+
+    This is the embedding-space sibling of ``exact_dedup``/MinHash: near-
+    duplicate *semantics* (paraphrases, templated rewrites) that no
+    lexical fingerprint catches. The clustering is what makes it scale:
+    pairwise cosine is quadratic, but only within a cell, so the corpus-
+    level cost is sum(|cell|^2) — at 100 TB you raise ``n_centroids``
+    so cells stay ~1e4 vectors (the paper uses 50k clusters for LAION),
+    and the pair join is an equi-join on centroid_id that AQE can split
+    per cell; nothing is ever broadcast except the centroid table.
+
+    Oracle-parity: assignment ranks by the shared unrolled dist2 chain
+    (bit-identical in DuckDB), the cosine is the same left-associative
+    unrolled dot over materialized per-row norms, and the output carries
+    ids only — no floating value crosses the driver boundary.
+    """
+    cents = seed_centroids(embeddings, n_centroids, id_col, vec_col)
+    emb = embeddings.selectExpr(
+        id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v"
+    )
+    # materialize assignment + per-row norm once: the self-join below
+    # would otherwise recompute the 16-way assignment window per PAIR
+    w = (
+        _assign_to(spread(emb), cents, dim, id_col)
+        .selectExpr(
+            id_col,
+            "v",
+            "centroid_id",
+            f"sqrt({dot_unrolled('v', 'v', dim)}) AS nrm",
+        )
+        .localCheckpoint()
+    )
+    a = w.selectExpr(f"{id_col} AS id_a", "v AS v_a", "centroid_id", "nrm AS n_a")
+    b = w.selectExpr(f"{id_col} AS id_b", "v AS v_b", "centroid_id", "nrm AS n_b")
+    dups = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .selectExpr(
+            "id_b",
+            f"({dot_unrolled('v_a', 'v_b', dim)}) / nullif(n_a * n_b, 0.0D) AS cos",
+        )
+        .filter(F.col("cos") >= F.lit(tau))
+        .select("id_b")
+        .distinct()
+    )
+    return (
+        w.join(dups, w[id_col] == dups["id_b"], "left_anti")
+        .select(id_col, "centroid_id")
+    )

@@ -4381,6 +4381,201 @@ def q_lm_bigram_nll(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# semdedup_prune — SemDeDup embedding-space semantic dedup (extension:
+# cluster-then-pairwise cosine prune; arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.35
+
+_SEMDEDUP_SQL = (
+    _ivf_common_sql()
+    + f""",
+w AS (
+    SELECT a.vec_id, a.centroid_id, e.v,
+           sqrt(list_dot_product(e.v, e.v)) AS nrm
+    FROM assign a JOIN e USING (vec_id)
+),
+dups AS (
+    SELECT DISTINCT b.vec_id AS vec_id
+    FROM w a JOIN w b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / nullif(a.nrm * b.nrm, 0.0) >= {_SEMDEDUP_TAU}
+)
+SELECT vec_id, centroid_id FROM w
+WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+"""
+)
+
+
+@query("semdedup_prune", _SEMDEDUP_SQL)
+def q_semdedup_prune(spark, sf_dir):
+    from .operators.similarity import semdedup_prune
+
+    return semdedup_prune(
+        spark.table("embeddings"), n_centroids=_IVF_K, tau=_SEMDEDUP_TAU
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier — hashing-trick linear classifier inference
+# (fastText-style quality gate; model-as-data weights join)
+# ---------------------------------------------------------------------------
+
+
+def _hash_clf_sql(d: str) -> str:
+    from .operators.quality import HASH_CLF_BIAS_MICRO, HASH_CLF_FEATURES
+
+    return f"""
+WITH w AS (
+    SELECT doc_id, {T.split_ws('text', d)} AS __w FROM documents
+),
+tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(__w) AS token FROM w)
+    GROUP BY doc_id, token
+),
+vocab AS (
+    SELECT token, {T.hexint('token', d)} % {HASH_CLF_FEATURES} AS fid
+    FROM (SELECT DISTINCT token FROM tf)
+),
+wt AS (
+    SELECT fid,
+           ({T.hexwin(T.tostr('fid', d), 1, 15, d)} % 2001 - 1000) AS w_micro
+    FROM (SELECT DISTINCT fid FROM vocab)
+),
+agg AS (
+    SELECT doc_id,
+           CAST({HASH_CLF_BIAS_MICRO} + SUM(tf * w_micro) AS BIGINT) AS margin_micro
+    FROM tf JOIN vocab USING (token) JOIN wt USING (fid)
+    GROUP BY doc_id
+)
+SELECT doc_id, margin_micro,
+       CASE WHEN margin_micro > 0 THEN 'keep' ELSE 'drop' END AS verdict
+FROM agg
+"""
+
+
+@query("quality_classifier_score", _hash_clf_sql(_D))
+def q_quality_classifier_score(spark, sf_dir):
+    from .operators.quality import hash_classifier_score
+
+    return hash_classifier_score(spark.table("documents"))
+
+
+# ---------------------------------------------------------------------------
+# bloom_filtered_revenue — portable Bloom-filter semi-join pruning
+# (operators/bloom.py). The oracle is the PLAIN semi-join: the Bloom
+# stage's contract is output-invariance (no false negatives, exact
+# verify kills false positives), so driver parity proves the pruning
+# changed nothing; the superset/fp-rate property is unit-tested.
+# ---------------------------------------------------------------------------
+
+_BLOOM_REV_SQL = """
+WITH keys AS (
+    SELECT c_custkey
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+),
+f AS (
+    SELECT * FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM keys)
+)
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+FROM f
+GROUP BY mes
+"""
+
+
+@query("bloom_filtered_revenue", _BLOOM_REV_SQL)
+def q_bloom_filtered_revenue(spark, sf_dir):
+    from .operators.bloom import bloom_semi_join
+
+    build = (
+        spark.table("customer")
+        .join(
+            F.broadcast(
+                spark.table("nation").filter(F.col("n_name") == "NATION_2")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    pruned = bloom_semi_join(
+        spark.table("orders"), build, "o_custkey", "c_custkey"
+    )
+    return (
+        pruned.selectExpr(
+            "CAST(date_trunc('month', o_orderdate) AS DATE) AS mes",
+            "CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS __tp",
+        )
+        .groupBy("mes")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("__tp").cast("decimal(18,2)").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# zorder_layout — Morton-curve multi-dimensional clustering
+# (operators/layout.py): per-bucket extent stats prove every bucket is an
+# axis-aligned tile (the file-skipping property), bit-for-bit in both
+# engines (flat shift/mask integer arithmetic).
+# ---------------------------------------------------------------------------
+
+
+def _zorder_sql(d: str) -> str:
+    from .operators.layout import Z_BITS, quantize_expr, zvalue_expr
+
+    step = (1 << (2 * Z_BITS)) // 64
+    return f"""
+WITH xy AS (
+    SELECT l_partkey AS x, l_suppkey AS y FROM lineitem
+),
+st AS (
+    SELECT MIN(x) AS xmn, MAX(x) AS xmx, MIN(y) AS ymn, MAX(y) AS ymx FROM xy
+),
+q AS (
+    SELECT {quantize_expr('x', 'xmn', 'xmx', Z_BITS, d)} AS xq,
+           {quantize_expr('y', 'ymn', 'ymx', Z_BITS, d)} AS yq
+    FROM xy CROSS JOIN st
+),
+z AS (
+    SELECT xq, yq,
+           {T.idiv(zvalue_expr('xq', 'yq', Z_BITS, d), str(step), d)} AS zbucket
+    FROM q
+)
+SELECT zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(xq) AS min_xq, MAX(xq) AS max_xq,
+       MIN(yq) AS min_yq, MAX(yq) AS max_yq
+FROM z
+GROUP BY zbucket
+"""
+
+
+@query("zorder_layout", _zorder_sql(_D))
+def q_zorder_layout(spark, sf_dir):
+    from .operators.layout import Z_BITS, zorder_buckets
+
+    xy = spark.table("lineitem").selectExpr(
+        "l_partkey AS x", "l_suppkey AS y"
+    )
+    return (
+        zorder_buckets(xy, "x", "y", Z_BITS, n_buckets=64)
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("xq").alias("min_xq"),
+            F.max("xq").alias("max_xq"),
+            F.min("yq").alias("min_yq"),
+            F.max("yq").alias("max_yq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-graded ordering (VERDICT r3 item 4)
 #
 # The correctness driver grades only the FIRST 50 entries of
@@ -4612,9 +4807,41 @@ def q_lm_bigram_nll(spark, sf_dir):
 #                                 family is carried by graded tfidf and
 #                                 the portable-log discipline shared with
 #                                 bm25_topk; fully pytest-oracle-checked
+# Round-6 second rotation: the six round-6 operator families move INTO
+# the graded window (bm25_topk — keyword retrieval; lm_bigram_nll —
+# LM-perplexity quality scoring; semdedup_prune — embedding-space
+# semantic dedup; quality_classifier_score — hashing-trick classifier
+# gate; bloom_filtered_revenue — portable Bloom join pruning;
+# zorder_layout — Morton-curve data layout); displaced, each
+# transitively proven:
+#   embedding_lsh_topk        SRP bucketing + exact-cosine rerank both
+#                             carried by graded embedding_neardup_pairs
+#                             (same codes) and embedding_ivf_topk (same
+#                             rerank exprs)
+#   salted_skew_agg           technique demo; the salted two-phase sum is
+#                             plan-level (pytest plan asserts) and its
+#                             aggregate family is carried by every graded
+#                             revenue aggregate
+#   bucketed_join_rollup      same: co-located join plan shape pinned by
+#                             test_plan_quality; the rollup agg family is
+#                             graded via receita_rollup
+#   winnow_overlap_pairs      dedup-pair family carried by graded
+#                             minhash_lsh_pairs / simhash_neardup_pairs;
+#                             winnowing selection pytest-oracle-checked
+#   receita_pivot_fonte       explicit-values pivot = conditional aggs,
+#                             carried by graded fechamento CASE ladders +
+#                             receita_rollup; pivot API pytest-checked
+#   fechamento_m_passado      the parameterized month sibling of graded
+#                             fechamento_m_presente (identical plan,
+#                             different as_of) — still pytest-oracle- and
+#                             reference-fidelity-checked
 UNGRADED_QUERIES: tuple[str, ...] = (
-    "lm_bigram_nll",
-    "bm25_topk",
+    "embedding_lsh_topk",
+    "salted_skew_agg",
+    "bucketed_join_rollup",
+    "winnow_overlap_pairs",
+    "receita_pivot_fonte",
+    "fechamento_m_passado",
     "embedding_ivf_persisted",
     "jdbc_roundtrip_agg",
     "streaming_windowed_events",

@@ -1,0 +1,272 @@
+"""Independent verification of the round-6 second-batch operators:
+portable Bloom semi-join pruning (operators/bloom.py), z-order layout
+(operators/layout.py), SemDeDup semantic pruning
+(operators/similarity.py::semdedup_prune) and the hashing-trick
+classifier (operators/quality.py::hash_classifier_score) — properties
+the DuckDB oracle can't express (superset contracts, file layout,
+pure-Python recomputation)."""
+
+import hashlib
+import math
+
+import pyarrow.parquet as pq
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_gamma_spark.io import load_table
+from etl_gamma_spark.operators.bloom import (
+    BLOOM_K,
+    bloom_positions,
+    bloom_prune,
+    bloom_semi_join,
+)
+from etl_gamma_spark.operators.layout import (
+    Z_BITS,
+    write_zordered_quantized,
+    zorder_buckets,
+)
+from etl_gamma_spark.operators.quality import hash_classifier_score
+from etl_gamma_spark.operators.similarity import semdedup_prune
+from tests.conftest import SF_SMOKE
+
+
+# --- bloom ----------------------------------------------------------------
+
+
+def _keys(spark):
+    build = (
+        load_table(spark, SF_SMOKE, "customer")
+        .filter("c_mktsegment = 'BUILDING'")
+        .select("c_custkey")
+    )
+    probe = load_table(spark, SF_SMOKE, "orders")
+    return probe, build
+
+
+def test_bloom_candidates_are_a_superset_with_low_fp(spark):
+    probe, build = _keys(spark)
+    cand = bloom_semi_join(probe, build, "o_custkey", "c_custkey", exact=False)
+    exact = probe.join(
+        build.withColumnRenamed("c_custkey", "o_custkey").distinct(),
+        "o_custkey",
+        "left_semi",
+    )
+    cand_keys = {r.o_custkey for r in cand.select("o_custkey").distinct().collect()}
+    exact_keys = {r.o_custkey for r in exact.select("o_custkey").distinct().collect()}
+    assert exact_keys <= cand_keys, "Bloom must never drop a true match"
+    all_keys = probe.select("o_custkey").distinct().count()
+    fp = len(cand_keys - exact_keys)
+    negatives = all_keys - len(exact_keys)
+    n_build = build.distinct().count()
+    # theoretical rate for m=65536, k=4 at this n is ~(1-e^{-kn/m})^4;
+    # allow 5x slack — the property that matters is "small", not exact
+    bound = (1 - math.exp(-BLOOM_K * n_build / 65536)) ** BLOOM_K * 5 + 1e-9
+    assert negatives == 0 or fp / negatives <= max(bound, 0.02)
+
+
+def test_bloom_exact_matches_plain_semi_join(spark):
+    probe, build = _keys(spark)
+    got = sorted(
+        r.o_orderkey
+        for r in bloom_semi_join(probe, build, "o_custkey", "c_custkey")
+        .select("o_orderkey")
+        .collect()
+    )
+    want = sorted(
+        r.o_orderkey
+        for r in probe.join(
+            build.withColumnRenamed("c_custkey", "o_custkey").distinct(),
+            "o_custkey",
+            "left_semi",
+        )
+        .select("o_orderkey")
+        .collect()
+    )
+    assert got == want
+
+
+def test_bloom_prune_plan_is_broadcast_semi_joins(spark):
+    probe, build = _keys(spark)
+    plan = bloom_semi_join(
+        probe, build, "o_custkey", "c_custkey", exact=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= BLOOM_K
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_bloom_positions_match_python_md5(spark):
+    rows = [Row(k=v) for v in (1, 42, 99999)]
+    got = {
+        r.pos
+        for r in bloom_positions(spark.createDataFrame(rows), "k").collect()
+    }
+    want = set()
+    for v in (1, 42, 99999):
+        dig = hashlib.md5(str(v).encode()).hexdigest()
+        for j in range(BLOOM_K):
+            want.add(int(dig[8 * j : 8 * j + 8], 16) % 65536)
+    assert got == want
+
+
+# --- z-order --------------------------------------------------------------
+
+
+def test_zorder_buckets_are_axis_aligned_tiles(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").selectExpr(
+        "l_partkey AS x", "l_suppkey AS y"
+    )
+    rows = (
+        zorder_buckets(li, "x", "y", n_buckets=64)
+        .groupBy("zbucket")
+        .agg({"xq": "min", "yq": "min"})
+        .collect()
+    )
+    maxs = {
+        r["zbucket"]: (r["max(xq)"], r["max(yq)"])
+        for r in zorder_buckets(li, "x", "y", n_buckets=64)
+        .groupBy("zbucket")
+        .agg({"xq": "max", "yq": "max"})
+        .collect()
+    }
+    assert len(rows) > 1  # quantization spreads even small-key fixtures
+    # 64 buckets = top 3 bits of each quantized dim fixed → tile side 2^13
+    side = 1 << (Z_BITS - 3)
+    for r in rows:
+        mx = maxs[r["zbucket"]]
+        assert mx[0] - r["min(xq)"] < side
+        assert mx[1] - r["min(yq)"] < side
+
+
+def test_zorder_zvalue_matches_python_and_sink_writer(spark):
+    # corner points quantize to themselves when min=0 and max=65535, so
+    # the z-values are the raw interleaves — checkable against Python
+    # AND against the Column-form writer (sink.zorder_value must share
+    # the exact bit convention: first col odd bits, second col even)
+    from etl_gamma_spark.sources.sink import zorder_value
+
+    pts = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame([Row(x=x, y=y) for x, y in pts])
+    got = {(r.x, r.y): r.zval for r in zorder_buckets(df, "x", "y").collect()}
+    sink_form = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_value(F.col("x"), F.col("y"), Z_BITS).alias("z")
+        ).collect()
+    }
+
+    def interleave(x, y):
+        z = 0
+        for j in range(Z_BITS):
+            z |= ((x >> j) & 1) << (2 * j + 1)
+            z |= ((y >> j) & 1) << (2 * j)
+        return z
+
+    for x, y in pts:
+        assert got[(x, y)] == interleave(x, y)
+        assert sink_form[(x, y)] == interleave(x, y)
+
+
+def test_write_zordered_quantized_files_are_tiles(spark, tmp_path):
+    li = load_table(spark, SF_SMOKE, "lineitem").selectExpr(
+        "l_partkey AS x", "l_suppkey AS y"
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered_quantized(li, out, "x", "y", n_files=16)
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    assert set(back.columns) == {"x", "y"}
+    # each written file's x-extent must be far below the global range:
+    # footer min/max stats are what readers skip on
+    import glob
+
+    spans = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        xs = [
+            (
+                md.row_group(i).column(0).statistics.min,
+                md.row_group(i).column(0).statistics.max,
+            )
+            for i in range(md.num_row_groups)
+        ]
+        spans.append(max(mx for _, mx in xs) - min(mn for mn, _ in xs))
+    stats = li.selectExpr("max(x) - min(x) AS span").collect()[0]
+    assert spans and sorted(spans)[len(spans) // 2] <= stats.span // 2
+
+
+# --- semdedup -------------------------------------------------------------
+
+
+def test_semdedup_survivors_partition_and_prune_is_justified(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    kept = semdedup_prune(emb, n_centroids=8, tau=0.3)
+    kept_ids = {r.vec_id for r in kept.collect()}
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert kept_ids <= all_ids and len(kept_ids) < len(all_ids)
+
+    # brute-force recheck in Python: a pruned id must have an earlier
+    # same-cluster neighbor with cosine >= tau; a kept id must not
+    rows = emb.selectExpr(
+        "vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"
+    ).collect()
+    vecs = {r.vec_id: r.v for r in rows}
+    cents = {r.vec_id: r.v for r in sorted(rows, key=lambda r: r.vec_id)[:8]}
+
+    def d2(a, b):
+        return sum((p - q) * (p - q) for p, q in zip(a, b))
+
+    def cos(a, b):
+        dot = sum(p * q for p, q in zip(a, b))
+        na = math.sqrt(sum(p * p for p in a))
+        nb = math.sqrt(sum(q * q for q in b))
+        return dot / (na * nb) if na * nb else None
+
+    assign = {
+        vid: min(enumerate(cents.values()), key=lambda cv: (d2(v, cv[1]), cv[0]))[0]
+        for vid, v in vecs.items()
+    }
+    for vid in sorted(vecs):
+        earlier = [
+            u
+            for u in vecs
+            if u < vid
+            and assign[u] == assign[vid]
+            and (cos(vecs[u], vecs[vid]) or 0) >= 0.3
+        ]
+        assert (vid not in kept_ids) == bool(earlier), vid
+
+
+# --- hash classifier ------------------------------------------------------
+
+
+def test_hash_classifier_python_recompute(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    got = {
+        r.doc_id: (r.margin_micro, r.verdict)
+        for r in hash_classifier_score(docs).collect()
+    }
+
+    def fid(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 4096
+
+    def weight(f):
+        return int(hashlib.md5(str(f).encode()).hexdigest()[:15], 16) % 2001 - 1000
+
+    for row in docs.select("doc_id", "text").collect():
+        m = sum(weight(fid(t)) for t in row.text.split(" "))
+        assert got[row.doc_id] == (m, "keep" if m > 0 else "drop"), row.doc_id
+
+
+def test_hash_classifier_collisions_share_weights(spark):
+    # two different tokens in the same feature bucket must contribute the
+    # same per-occurrence weight — the defining hashing-trick property
+    df = spark.createDataFrame([Row(doc_id=1, text="aa bb")])
+    out = hash_classifier_score(df).collect()[0]
+
+    def fid(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 4096
+
+    def weight(f):
+        return int(hashlib.md5(str(f).encode()).hexdigest()[:15], 16) % 2001 - 1000
+
+    assert out.margin_micro == weight(fid("aa")) + weight(fid("bb"))
