@@ -460,3 +460,37 @@ def test_bm25_plan_shape(spark):
     assert schemas, plan
     for s in schemas:
         assert "lang" not in s and "url" not in s, s
+
+
+def test_round6_batch2_plan_shapes(spark):
+    """SemDeDup / classifier / bloom / zorder plan posture."""
+    # semdedup: pair generation is ONE equi-join on centroid_id over the
+    # materialized assignment (no nested loop, no re-assignment per pair
+    # — the checkpointed scan appears, not a second ranking window chain)
+    plan = _explain(QUERIES["semdedup_prune"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") == 0, "assignment must be pre-materialized"
+
+    # classifier: weights table broadcast (n_features rows), vocab join
+    # NOT force-broadcast (corpus-scale), no nested loop
+    plan = _explain(QUERIES["quality_classifier_score"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    # bloom: the k position filters are broadcast semi-joins ahead of the
+    # exact verify; nothing nested-loops, nothing range-shuffles
+    from etl_gamma_spark.operators.bloom import BLOOM_K
+
+    plan = _explain(QUERIES["bloom_filtered_revenue"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    # 4 position prefilters + the exact verify, all broadcast semi joins
+    assert plan.count("BroadcastHashJoin LeftSemi") >= BLOOM_K + 1, plan
+
+    # zorder: one scan + the 1-row stats broadcast + one agg — the whole
+    # interleave is codegen'd projection arithmetic (no UDF, no window)
+    plan = _explain(QUERIES["zorder_layout"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # two pruned scans of lineitem: the 1-row min/max stats pass and the
+    # row pass the stats broadcast onto — nothing else
+    assert plan.count("Location: InMemoryFileIndex") == 2, plan

@@ -220,6 +220,11 @@ def test_round5_heavy_ops_subquadratic_on_replicated_corpus(spark, tmp_path):
             "also_bought_topk",
             "embedding_neardup_pairs",
             "pagerank_bipartite",
+            # round-6: linear-output ops (bm25 top-k is constant rows;
+            # classifier/semdedup emit <= one row per doc/vector)
+            "bm25_topk",
+            "quality_classifier_score",
+            "semdedup_prune",
         ]
         counts = {}
         timings = {}

@@ -65,6 +65,16 @@ PROBE_QUERIES = [
     "also_bought_topk",
     "fuzzy_name_pairs",
     "embedding_neardup_pairs",
+    # round-6 second batch. semdedup_prune's carrier keeps n_centroids
+    # fixed at 16, so a 10x corpus grows within-cluster pairs ~100x — by
+    # design the knob is n_centroids ∝ corpus (docstring); its ratio here
+    # documents the fixed-K cost, it is not a regression signal.
+    "bm25_topk",
+    "lm_bigram_nll",
+    "semdedup_prune",
+    "quality_classifier_score",
+    "bloom_filtered_revenue",
+    "zorder_layout",
 ]
 
 
