@@ -96,9 +96,14 @@ def cooccurrence_edges(
     """
     from .dedup import cap_hot_keys
 
-    base = pairs.select(F.col(item).alias("i"), F.col(entity).alias("e")).distinct()
-    # window-count cap (not groupBy+join): the posting-list self-join
-    # below shuffles on the item key anyway, so the exchange is reused
+    # materialize the distinct posting list once: the two-phase cap scans
+    # its input twice (count pass + anti-join probe), and re-running the
+    # distinct exchange both times measurably dominates the edge build
+    base = (
+        pairs.select(F.col(item).alias("i"), F.col(entity).alias("e"))
+        .distinct()
+        .localCheckpoint()
+    )
     kept = cap_hot_keys(base, ["i"], max_df)
     a = kept.select("i", F.col("e").alias("x"))
     b = kept.select("i", F.col("e").alias("y"))

@@ -209,3 +209,100 @@ def cms_heavy_hitters(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
         .groupBy("key", "exact")
         .agg(F.min("counter").cast("long").alias("est"))
     )
+
+
+# --- HDR-style mergeable percentile sketch --------------------------------
+
+HDR_SUB_BITS = 3  # 8 sub-buckets per octave → <= 2^-3 = 12.5% rel. error
+
+
+def hdr_bucket_exprs(v: str, sub_bits: int = HDR_SUB_BITS, d: str = "spark"):
+    """(index_expr, lower_bound_expr_from('__idx')) for the HDR-histogram
+    bucketing of a positive BIGINT: exact below 2^(sub_bits+1), then
+    ``sub_bits`` mantissa bits per power-of-two octave — every bucket's
+    width/value <= 2^-sub_bits. Pure integer bit arithmetic in BOTH
+    dialects (floor(log2 v) = length(bin(v)) - 1; bin() renders without
+    leading zeros in both engines — same trick as the HLL rank), so
+    histograms built by either engine are bit-identical and merge by
+    adding counts."""
+    s = sub_bits
+    shr = (lambda a, b: f"shiftright({a}, {b})") if d == "spark" else (
+        lambda a, b: f"({a} >> ({b}))"
+    )
+    shl = (lambda a, b: f"shiftleft({a}, {b})") if d == "spark" else (
+        lambda a, b: f"({a} << ({b}))"
+    )
+    e = f"(length(bin({v})) - 1)"
+    o = f"greatest({e} - {s}, 0)"
+    idx = f"({o} * {1 << s} + {shr(v, o)})"
+    o_r = f"greatest({shr('__idx', str(s))} - 1, 0)"
+    lo = shl(f"(__idx - {o_r} * {1 << s})", o_r)
+    return idx, f"CAST({lo} AS BIGINT)"
+
+
+def hdr_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: tuple[int, ...] = (50, 95, 99),
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """Approximate per-group percentiles from a mergeable HDR-style
+    histogram — the 100 TB alternative to exact percentiles: exact
+    quantiles need a per-group sort (or the rank/interpolate pass the
+    registry's ``revenue_percentiles`` shares with its oracle), while
+    this collapses ANY number of rows into <= 64·2^sub_bits bucket
+    counts via one map-side-combinable aggregate. Partial histograms
+    from different partitions, jobs, days, or engines merge by adding
+    counts — the same mergeability contract as the HLL/CMS sketches in
+    this module, with a deterministic <= 2^-sub_bits relative error
+    bound (each reported value is its bucket's exact LOWER bound, so
+    results are integers, order-independent and engine-identical; no
+    float crosses the driver boundary).
+
+    Contract: positive values only (rows with ``value_col`` < 1 are
+    ignored; offset or split by sign upstream for signed data). The
+    percentile rank is the ceiling convention: the reported bucket is
+    the first whose cumulative count reaches ceil(q·n/100).
+
+    Plan: one hash-agg shuffle builds the histogram; the cumulative
+    window runs over <= ~512 bucket rows per group (bounded regardless
+    of corpus size — this is NOT a corpus-wide window); one final
+    per-group aggregate picks all quantiles in a single pass.
+    """
+    from pyspark.sql import Window
+
+    idx, lo = hdr_bucket_exprs(value_col, sub_bits)
+    hist = (
+        df.filter(f"{value_col} >= 1")
+        .selectExpr(*group_cols, f"{idx} AS __idx")
+        .groupBy(*group_cols, "__idx")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    wg = Window.partitionBy(*group_cols)
+    wc = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        *group_cols,
+        "__idx",
+        F.sum("__cnt").over(wg).alias("__n"),
+        F.sum("__cnt").over(wc).alias("__cum"),
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.expr(f"__cum >= ({q} * __n + 99) DIV 100"), F.col("__idx")
+            )
+        ).alias(f"__i{q}")
+        for q in quantiles
+    ]
+    agg = cum.groupBy(*group_cols).agg(
+        F.max("__n").cast("bigint").alias("n_values"), *picks
+    )
+    outs = [
+        lo.replace("__idx", f"__i{q}") + f" AS p{q}" for q in quantiles
+    ]
+    return agg.selectExpr(*group_cols, "n_values", *outs)

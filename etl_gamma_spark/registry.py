@@ -4576,6 +4576,64 @@ def q_zorder_layout(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# hdr_value_percentiles — mergeable HDR-histogram percentile sketch
+# (operators/sketch.py::hdr_percentiles): integer bit-bucket arithmetic,
+# bit-identical in both engines; the scale path for percentiles (exact
+# quantiles sort; this is one combinable agg + a <=512-row window).
+# ---------------------------------------------------------------------------
+
+
+def _hdr_sql(d: str) -> str:
+    from .operators.sketch import hdr_bucket_exprs
+
+    idx, lo = hdr_bucket_exprs("v", d=d)
+    cols = []
+    for q in (50, 95, 99):
+        t = T.idiv(f"({q} * n + 99)", "100", d)
+        cols.append(
+            f"MIN(CASE WHEN cum >= {t} THEN __idx END) AS __i{q}"
+        )
+    outs = ", ".join(
+        lo.replace("__idx", f"__i{q}") + f" AS p{q}" for q in (50, 95, 99)
+    )
+    return f"""
+WITH v0 AS (
+    SELECT event_type, CAST(FLOOR(value * 1000000) AS BIGINT) AS v FROM events
+),
+v AS (SELECT event_type, v FROM v0 WHERE v >= 1),
+h AS (
+    SELECT event_type, {idx} AS __idx, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM v GROUP BY event_type, {idx}
+),
+c AS (
+    SELECT event_type, __idx,
+           SUM(cnt) OVER (PARTITION BY event_type) AS n,
+           SUM(cnt) OVER (
+               PARTITION BY event_type ORDER BY __idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM h
+),
+p AS (
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_values,
+           {', '.join(cols)}
+    FROM c GROUP BY event_type
+)
+SELECT event_type, n_values, {outs} FROM p
+"""
+
+
+@query("hdr_value_percentiles", _hdr_sql(_D))
+def q_hdr_value_percentiles(spark, sf_dir):
+    from .operators.sketch import hdr_percentiles
+
+    ev = spark.table("events").selectExpr(
+        "event_type", "CAST(FLOOR(value * 1000000) AS BIGINT) AS v"
+    )
+    return hdr_percentiles(ev, "v", ["event_type"])
+
+
+# ---------------------------------------------------------------------------
 # Driver-graded ordering (VERDICT r3 item 4)
 #
 # The correctness driver grades only the FIRST 50 entries of
@@ -4835,7 +4893,13 @@ def q_zorder_layout(spark, sf_dir):
 #                             fechamento_m_presente (identical plan,
 #                             different as_of) — still pytest-oracle- and
 #                             reference-fidelity-checked
+# hdr_value_percentiles enters ungraded on registration (rotate in next
+# round): the sketch-family mergeability story is carried by graded
+# hll_distinct/cms_topk and the rank-pick window by graded
+# revenue_percentiles; the HDR bucket arithmetic is fully
+# pytest-oracle-checked at both SFs.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "hdr_value_percentiles",
     "embedding_lsh_topk",
     "salted_skew_agg",
     "bucketed_join_rollup",

@@ -270,3 +270,73 @@ def test_hash_classifier_collisions_share_weights(spark):
         return int(hashlib.md5(str(f).encode()).hexdigest()[:15], 16) % 2001 - 1000
 
     assert out.margin_micro == weight(fid("aa")) + weight(fid("bb"))
+
+
+# --- HDR percentile sketch ------------------------------------------------
+
+
+def test_hdr_percentiles_python_recompute_and_error_bound(spark):
+    from etl_gamma_spark.operators.sketch import HDR_SUB_BITS, hdr_percentiles
+
+    ev = load_table(spark, SF_SMOKE, "events").selectExpr(
+        "event_type", "CAST(FLOOR(value * 1000000) AS BIGINT) AS v"
+    )
+    got = {
+        r.event_type: r
+        for r in hdr_percentiles(ev, "v", ["event_type"]).collect()
+    }
+
+    s = HDR_SUB_BITS
+
+    def bucket_lo(v):
+        e = v.bit_length() - 1
+        o = max(e - s, 0)
+        idx = o * (1 << s) + (v >> o)
+        o_r = max((idx >> s) - 1, 0)
+        return (idx - o_r * (1 << s)) << o_r
+
+    rows = ev.filter("v >= 1").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.v)
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        assert got[et].n_values == n
+        for q in (50, 95, 99):
+            # ceiling-rank convention: the bucket of the ceil(q*n/100)-th
+            # smallest value (1-based), reported as its exact lower bound
+            exact = vals[max((q * n + 99) // 100, 1) - 1]
+            want = bucket_lo(exact)
+            have = getattr(got[et], f"p{q}")
+            assert have == want, (et, q, have, want)
+            # deterministic error contract vs the true quantile value
+            assert have <= exact < have + max(have >> s, 1) + (1 << s), (
+                et,
+                q,
+                have,
+                exact,
+            )
+
+
+def test_hdr_histograms_merge_by_addition(spark):
+    # partial histograms from two halves must give the same percentiles
+    # as one pass — the mergeability contract
+    from etl_gamma_spark.operators.sketch import hdr_percentiles
+
+    ev = load_table(spark, SF_SMOKE, "events").selectExpr(
+        "event_type", "CAST(FLOOR(value * 1000000) AS BIGINT) AS v",
+        "event_id",
+    )
+    whole = {
+        r.event_type: (r.n_values, r.p50, r.p95, r.p99)
+        for r in hdr_percentiles(ev, "v", ["event_type"]).collect()
+    }
+    halves = ev.filter("event_id % 2 = 0").unionByName(
+        ev.filter("event_id % 2 = 1")
+    )
+    merged = {
+        r.event_type: (r.n_values, r.p50, r.p95, r.p99)
+        for r in hdr_percentiles(halves, "v", ["event_type"]).collect()
+    }
+    assert whole == merged
