@@ -648,3 +648,46 @@ def semdedup_prune(
         w.join(dups, w[id_col] == dups["id_b"], "left_anti")
         .select(id_col, "centroid_id")
     )
+
+
+def split_leakage_pairs(
+    embeddings: DataFrame,
+    train_pct: int = 90,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train/test leakage detection in EMBEDDING space: near-duplicate
+    pairs that straddle the deterministic dataset split — the semantic
+    sibling of lexical benchmark decontamination
+    (quality.contamination_pairs). A test document whose paraphrase sits
+    in train inflates eval scores without sharing a single n-gram; the
+    embedding near-dup pairs catch exactly that class.
+
+    Split assignment is the same md5-bucket function dataset_split uses
+    (pure function of the id — re-runs always agree); candidates come
+    from the banded SRP pipeline (embedding_neardup_pairs), so the
+    corpus-scale cost profile is identical to the dedup pass — one more
+    tiny id-keyed join per side to attach the split labels.
+
+    Output: (id_a, id_b, split_a, split_b, cosine), only rows where the
+    splits differ.
+    """
+    from ..functions import text as T
+
+    split = (
+        f"CASE WHEN {T.hexint(f'CAST({id_col} AS STRING)', S)} % 100 "
+        f"< {train_pct} THEN 'train' ELSE 'test' END"
+    )
+    labels = embeddings.selectExpr(id_col, f"{split} AS split")
+    pairs = embedding_neardup_pairs(
+        embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+    la = labels.selectExpr(f"{id_col} AS id_a", "split AS split_a")
+    lb = labels.selectExpr(f"{id_col} AS id_b", "split AS split_b")
+    return (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "cosine")
+    )

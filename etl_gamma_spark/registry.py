@@ -4634,6 +4634,54 @@ def q_hdr_value_percentiles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# split_leakage_pairs — embedding-space train/test contamination
+# (similarity.py::split_leakage_pairs): near-dup pairs straddling the
+# deterministic dataset split. Oracle = the neardup brute-force
+# restatement + md5-bucket split labels.
+# ---------------------------------------------------------------------------
+
+_SPLIT_LEAK_SQL = f"""
+WITH b AS (
+    SELECT vec_id, embedding, {SIM.bucket_expr('embedding', 64, 8, _D)} AS bucket
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id,
+           CASE WHEN {T.hexint('CAST(vec_id AS VARCHAR)', _D)} % 100 < 90
+                THEN 'train' ELSE 'test' END AS split
+    FROM embeddings
+),
+cand AS (
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           a.embedding AS ea, b2.embedding AS eb
+    FROM b a JOIN b b2
+      ON a.vec_id < b2.vec_id
+     AND {SIM.hamming_expr('a.bucket', 'b2.bucket', _D)} <= 3
+),
+p AS (
+    SELECT id_a, id_b,
+           list_dot_product(CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(ea AS DOUBLE[]), CAST(ea AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(eb AS DOUBLE[]), CAST(eb AS DOUBLE[])))) AS cosine
+    FROM cand
+    WHERE list_dot_product(CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(ea AS DOUBLE[]), CAST(ea AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(eb AS DOUBLE[]), CAST(eb AS DOUBLE[])))) >= 0.35
+)
+SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b, p.cosine
+FROM p
+JOIN s sa ON p.id_a = sa.vec_id
+JOIN s sb ON p.id_b = sb.vec_id
+WHERE sa.split <> sb.split
+"""
+
+
+@query("split_leakage_pairs", _SPLIT_LEAK_SQL)
+def q_split_leakage_pairs(spark, sf_dir):
+    return SIM.split_leakage_pairs(spark.table("embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # Driver-graded ordering (VERDICT r3 item 4)
 #
 # The correctness driver grades only the FIRST 50 entries of
@@ -4898,7 +4946,12 @@ def q_hdr_value_percentiles(spark, sf_dir):
 # hll_distinct/cms_topk and the rank-pick window by graded
 # revenue_percentiles; the HDR bucket arithmetic is fully
 # pytest-oracle-checked at both SFs.
+# split_leakage_pairs enters ungraded on registration (rotate in next
+# round): the banded candidate pipeline is graded via
+# embedding_neardup_pairs and the md5-bucket split via dataset_split's
+# family; the straddle join composition is pytest-oracle-checked.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "split_leakage_pairs",
     "hdr_value_percentiles",
     "embedding_lsh_topk",
     "salted_skew_agg",

@@ -340,3 +340,54 @@ def test_hdr_histograms_merge_by_addition(spark):
         for r in hdr_percentiles(halves, "v", ["event_type"]).collect()
     }
     assert whole == merged
+
+
+def test_bloom_positions_persist_and_reuse(spark, tmp_path):
+    # the "filter as data" contract: write the position set, read it back
+    # (as another job/engine would), and prune with the stored filter —
+    # candidates must be identical to the in-memory filter's
+    probe, build = _keys(spark)
+    positions = bloom_positions(build, "c_custkey")
+    path = str(tmp_path / "bloom_positions")
+    positions.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    live = {
+        r.o_orderkey
+        for r in bloom_prune(probe, positions, "o_custkey").select("o_orderkey").collect()
+    }
+    reused = {
+        r.o_orderkey
+        for r in bloom_prune(probe, stored, "o_custkey").select("o_orderkey").collect()
+    }
+    assert live == reused and live
+
+
+def test_split_leakage_pairs_straddle_only_and_match_neardups(spark):
+    import hashlib
+
+    from etl_gamma_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        split_leakage_pairs,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    leaks = split_leakage_pairs(emb).collect()
+    assert leaks, "fixture should contain at least one straddling near-dup"
+
+    def split_of(vid):
+        b = int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16) % 100
+        return "train" if b < 90 else "test"
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(emb).select("id_a", "id_b").collect()
+    }
+    for r in leaks:
+        assert r.split_a == split_of(r.id_a) and r.split_b == split_of(r.id_b)
+        assert r.split_a != r.split_b
+        assert (r.id_a, r.id_b) in pairs
+    # completeness: every straddling near-dup pair is reported
+    want = {
+        (a, b) for a, b in pairs if split_of(a) != split_of(b)
+    }
+    assert {(r.id_a, r.id_b) for r in leaks} == want
