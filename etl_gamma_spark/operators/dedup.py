@@ -624,3 +624,90 @@ def cluster_prune(
             "n_members",
         )
     )
+
+
+def minhash_band_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Persistable banded-MinHash index: one (band, bkey, id, m0..m15)
+    row per band per document. Written once (partition by ``band`` so a
+    probe prunes to its band's files), it lets every FUTURE ingest dedupe
+    against the corpus without re-reading or re-signing it — see
+    :func:`incremental_neardup_pairs`. The signature columns ride along
+    so the verify stage needs no second corpus lookup."""
+    sigs = minhash_signatures(docs, text_col, id_col, n)
+    m_cols = [f"m{j}" for j in range(T.MINHASH_K)]
+    banded = sigs.selectExpr(id_col, *m_cols, *T.band_key_exprs(S))
+    out = None
+    for band in range(T.MINHASH_BANDS):
+        part = banded.select(
+            F.col(id_col),
+            *[F.col(c) for c in m_cols],
+            F.lit(band).alias("band"),
+            F.col(f"band{band}").alias("bkey"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def incremental_neardup_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Incremental near-dup detection — the daily-ingest path: match a
+    NEW batch against an already-indexed corpus (``minhash_band_index``
+    output, typically read back from storage) without touching the corpus
+    text. Only the batch computes signatures; candidates come from the
+    (band, bkey) equi-join against the index, and the MinHash-estimated
+    Jaccard verifies using the signature columns both sides already
+    carry. Returns (new_id, corpus_id, est_jaccard).
+
+    Corpus buckets holding more than ``max_bucket`` documents are dropped
+    before the probe (the boilerplate-bucket guard, counted over the
+    INDEX side — at 100 TB the index is the big side; the batch is
+    assumed ingest-sized). Callers keeping an oracle in sync mirror the
+    cap as a HAVING on the corpus band table.
+    """
+    m_cols = [f"m{j}" for j in range(T.MINHASH_K)]
+    new_idx = minhash_band_index(new_docs, text_col, id_col).localCheckpoint()
+    corpus_ok = cap_hot_keys(index, ["band", "bkey"], max_bucket)
+    left = new_idx.select(
+        F.col(id_col).alias("new_id"),
+        *[F.col(c).alias(f"a_{c}") for c in m_cols],
+        "band",
+        "bkey",
+    )
+    right = corpus_ok.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(c).alias(f"b_{c}") for c in m_cols],
+        "band",
+        "bkey",
+    )
+    cand = (
+        left.join(right, ["band", "bkey"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sa = new_idx.select(
+        F.col(id_col).alias("new_id"),
+        *[F.col(c).alias(f"a_{c}") for c in m_cols],
+    ).distinct()
+    sb = index.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(c).alias(f"b_{c}") for c in m_cols],
+    ).distinct()
+    matches = " + ".join(
+        f"CASE WHEN a_{c} = b_{c} THEN 1 ELSE 0 END" for c in m_cols
+    )
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .selectExpr(
+            "new_id",
+            "corpus_id",
+            f"CAST(({matches}) AS DOUBLE) / {T.MINHASH_K}.0 AS est_jaccard",
+        )
+    )

@@ -4682,6 +4682,79 @@ def q_split_leakage_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# incremental_neardup — dedupe a new ingest batch against the persisted
+# corpus band index (operators/dedup.py::minhash_band_index /
+# incremental_neardup_pairs). Batch = doc_id % 10 = 0, corpus = the rest.
+# ---------------------------------------------------------------------------
+
+
+def _incremental_neardup_sql(d: str, max_bucket: int = 1024) -> str:
+    bands = ",\n       ".join(T.band_key_exprs(d))
+    m_cols = [f"m{j}" for j in range(T.MINHASH_K)]
+    matches = " + ".join(f"CASE WHEN a.{c} = b.{c} THEN 1 ELSE 0 END" for c in m_cols)
+
+    def band_union(src: str) -> str:
+        return "\nUNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, band{b} AS bkey FROM {src}"
+            for b in range(T.MINHASH_BANDS)
+        )
+
+    return f"""
+WITH words AS (
+    SELECT doc_id, {T.split_ws('text', d)} AS w, text FROM documents
+),
+sh AS (
+    SELECT doc_id, {T.word_shingles('w', 'text', d)} AS shingles FROM words
+),
+hashed AS (
+    SELECT doc_id, {T.shingle_hash_expr('shingles', d)} AS hs FROM sh
+),
+sigs AS (
+    SELECT doc_id, {", ".join(T.minhash_exprs('hs', d))} FROM hashed
+),
+banded AS (
+    SELECT doc_id, {", ".join(m_cols)},
+       {bands}
+    FROM sigs
+),
+corpus_banded AS (SELECT * FROM banded WHERE doc_id % 10 <> 0),
+new_banded AS (SELECT * FROM banded WHERE doc_id % 10 = 0),
+corpus_long AS (
+{band_union('corpus_banded')}
+),
+new_long AS (
+{band_union('new_banded')}
+),
+bucket_ok AS (
+    SELECT band, bkey FROM corpus_long
+    GROUP BY band, bkey HAVING COUNT(*) <= {max_bucket}
+),
+corpus_ok AS (
+    SELECT l.doc_id, l.band, l.bkey
+    FROM corpus_long l JOIN bucket_ok o ON l.band = o.band AND l.bkey = o.bkey
+),
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM new_long n JOIN corpus_ok c ON n.band = c.band AND n.bkey = c.bkey
+)
+SELECT cd.new_id, cd.corpus_id,
+       CAST(({matches}) AS DOUBLE) / {T.MINHASH_K}.0 AS est_jaccard
+FROM cand cd
+JOIN sigs a ON a.doc_id = cd.new_id
+JOIN sigs b ON b.doc_id = cd.corpus_id
+"""
+
+
+@query("incremental_neardup", _incremental_neardup_sql(_D))
+def q_incremental_neardup(spark, sf_dir):
+    docs = spark.table("documents")
+    corpus = docs.filter("doc_id % 10 <> 0")
+    batch = docs.filter("doc_id % 10 = 0")
+    index = DD.minhash_band_index(corpus).localCheckpoint()
+    return DD.incremental_neardup_pairs(batch, index)
+
+
+# ---------------------------------------------------------------------------
 # Driver-graded ordering (VERDICT r3 item 4)
 #
 # The correctness driver grades only the FIRST 50 entries of
@@ -4950,7 +5023,12 @@ def q_split_leakage_pairs(spark, sf_dir):
 # round): the banded candidate pipeline is graded via
 # embedding_neardup_pairs and the md5-bucket split via dataset_split's
 # family; the straddle join composition is pytest-oracle-checked.
+# incremental_neardup enters ungraded on registration (rotate in next
+# round): the band join + est-jaccard verify family is graded via
+# minhash_lsh_pairs; the index/batch split composition is
+# pytest-oracle-checked and the persisted-index reuse unit-tested.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "incremental_neardup",
     "split_leakage_pairs",
     "hdr_value_percentiles",
     "embedding_lsh_topk",

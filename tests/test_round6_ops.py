@@ -391,3 +391,44 @@ def test_split_leakage_pairs_straddle_only_and_match_neardups(spark):
         (a, b) for a, b in pairs if split_of(a) != split_of(b)
     }
     assert {(r.id_a, r.id_b) for r in leaks} == want
+
+
+def test_incremental_neardup_matches_batch_pass_and_persisted_index(
+    spark, tmp_path
+):
+    """The incremental path must (1) find exactly the batch↔corpus pairs
+    the full-corpus pass finds, and (2) give identical results when the
+    index is read back from parquet (the persisted daily-ingest flow)."""
+    from etl_gamma_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_band_index,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter("doc_id % 10 <> 0")
+    batch = docs.filter("doc_id % 10 = 0")
+
+    index = minhash_band_index(corpus).localCheckpoint()
+    live = {
+        (r.new_id, r.corpus_id): r.est_jaccard
+        for r in incremental_neardup_pairs(batch, index).collect()
+    }
+
+    # full-corpus pass: keep only pairs straddling the batch/corpus split
+    full = {}
+    for r in minhash_lsh_pairs(docs).collect():
+        a_new, b_new = r.doc_a % 10 == 0, r.doc_b % 10 == 0
+        if a_new != b_new:
+            new, old = (r.doc_a, r.doc_b) if a_new else (r.doc_b, r.doc_a)
+            full[(new, old)] = r.est_jaccard
+    assert live == full and live
+
+    path = str(tmp_path / "band_index")
+    index.write.mode("overwrite").partitionBy("band").parquet(path)
+    stored = spark.read.parquet(path)
+    reused = {
+        (r.new_id, r.corpus_id): r.est_jaccard
+        for r in incremental_neardup_pairs(batch, stored).collect()
+    }
+    assert reused == live
