@@ -691,14 +691,17 @@ def incremental_neardup_pairs(
         .select("new_id", "corpus_id")
         .distinct()
     )
-    sa = new_idx.select(
+    # one signature row per doc WITHOUT a distinct shuffle: every doc has
+    # exactly one row per band (minhash_band_index contract), so band 0
+    # is already the deduplicated signature table
+    sa = new_idx.filter(F.col("band") == 0).select(
         F.col(id_col).alias("new_id"),
         *[F.col(c).alias(f"a_{c}") for c in m_cols],
-    ).distinct()
-    sb = index.select(
+    )
+    sb = index.filter(F.col("band") == 0).select(
         F.col(id_col).alias("corpus_id"),
         *[F.col(c).alias(f"b_{c}") for c in m_cols],
-    ).distinct()
+    )
     matches = " + ".join(
         f"CASE WHEN a_{c} = b_{c} THEN 1 ELSE 0 END" for c in m_cols
     )

@@ -63,3 +63,25 @@ def conform(df: DataFrame, to_columns: list[str], types: dict[str, str] | None =
         for c in to_columns
     ]
     return df.select(*cols)
+
+
+def schema_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Schema drift report between two frames (e.g. yesterday's table and
+    today's ingest): one row per differing column with status
+    ``only_a`` / ``only_b`` / ``type_changed`` — the structural sibling
+    of operators/cdc.py::table_diff's row-level reconciliation. Built as
+    a local-relation DataFrame (schemas are driver-side metadata; no job
+    runs), so it composes with the rest of a validation pipeline."""
+    ta = {f.name: f.dataType.simpleString() for f in a.schema.fields}
+    tb = {f.name: f.dataType.simpleString() for f in b.schema.fields}
+    rows = []
+    for name in sorted(set(ta) | set(tb)):
+        if name not in tb:
+            rows.append((name, "only_a", ta[name], None))
+        elif name not in ta:
+            rows.append((name, "only_b", None, tb[name]))
+        elif ta[name] != tb[name]:
+            rows.append((name, "type_changed", ta[name], tb[name]))
+    return a.sparkSession.createDataFrame(
+        rows, "column STRING, status STRING, type_a STRING, type_b STRING"
+    )

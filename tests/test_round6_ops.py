@@ -432,3 +432,70 @@ def test_incremental_neardup_matches_batch_pass_and_persisted_index(
         for r in incremental_neardup_pairs(batch, stored).collect()
     }
     assert reused == live
+
+
+def test_hdr_bucket_properties_hypothesis(spark):
+    """Property test of the HDR bucket arithmetic on adversarial ints:
+    monotone index, lower bound <= v, and relative width <= 2^-sub_bits
+    (absolute 2^sub_bits for the exact low range)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_gamma_spark.operators.sketch import HDR_SUB_BITS
+
+    s = HDR_SUB_BITS
+
+    def idx_of(v):
+        e = v.bit_length() - 1
+        o = max(e - s, 0)
+        return o * (1 << s) + (v >> o)
+
+    def lo_of(idx):
+        o_r = max((idx >> s) - 1, 0)
+        return (idx - o_r * (1 << s)) << o_r
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=1, max_value=2**62))
+    def check(v):
+        idx = idx_of(v)
+        lo = lo_of(idx)
+        assert lo <= v
+        # bucket width: next bucket's lower bound
+        hi = lo_of(idx + 1)
+        assert v < hi
+        assert hi - lo <= max(lo >> s, 1)
+        assert idx_of(v + 1) >= idx
+
+    check()
+
+    # and the SQL expression agrees with the Python model on edge values
+    from pyspark.sql import Row
+
+    from etl_gamma_spark.operators.sketch import hdr_bucket_exprs
+
+    edge = [1, 2, (1 << s) - 1, 1 << s, (1 << (s + 1)) - 1, 1 << (s + 1),
+            12345, 2**40 - 1, 2**40, 2**62]
+    idx_e, lo_e = hdr_bucket_exprs("v")
+    df = spark.createDataFrame([Row(v=v) for v in edge]).selectExpr(
+        "v", f"{idx_e} AS __idx"
+    ).selectExpr("v", "__idx", f"{lo_e} AS lo")
+    for r in df.collect():
+        assert r["__idx"] == idx_of(r.v), r
+        assert r.lo == lo_of(idx_of(r.v)), r
+
+
+def test_schema_diff_reports_drift(spark):
+    from etl_gamma_spark.sources.catalog import schema_diff
+
+    a = spark.createDataFrame([], "id BIGINT, x STRING, gone INT")
+    b = spark.createDataFrame([], "id BIGINT, x DOUBLE, added DATE")
+    got = {
+        r.column: (r.status, r.type_a, r.type_b)
+        for r in schema_diff(a, b).collect()
+    }
+    assert got == {
+        "gone": ("only_a", "int", None),
+        "added": ("only_b", None, "date"),
+        "x": ("type_changed", "string", "double"),
+    }
+    assert schema_diff(a, a).count() == 0
