@@ -63,6 +63,21 @@ PIPELINES = {
     "expectations": ("orders_expectations", None),
 }
 
+# KPI-group selectors. The reference's run_etl.ps1 documents group names
+# ("receita_*", "comissao_farmer") in its -Kpi comment but its dispatch
+# has no branches for them (any unknown value falls through to the
+# m_passado default) — this implements the documented intent instead of
+# the fall-through bug (divergence noted, SURVEY §3 pattern).
+GROUPS = {
+    "receita": [
+        "receita_farmer_m_passado",
+        "receita_farmer_m_presente",
+        "receita_cliente",
+        "receita_produto_f_m_passado",
+    ],
+    "comissao": ["fechamento_m_presente", "fechamento_m_passado"],
+}
+
 
 def setup_logging(level: str, log_file: str | None = None) -> None:
     """Configure stdout + optional file logging.
@@ -136,7 +151,7 @@ def run_pipeline(spark, name: str, sf_dir: str, out_dir: str,
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="etl_gamma_spark")
-    parser.add_argument("pipeline", choices=[*PIPELINES, "all"])
+    parser.add_argument("pipeline", choices=[*PIPELINES, *GROUPS, "all"])
     parser.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     parser.add_argument("--out", default="/tmp/etl_gamma_warehouse")
     parser.add_argument("--farmer-id", type=int, default=None)
@@ -156,7 +171,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("etl-gamma-cli")
     try:
-        names = list(PIPELINES) if args.pipeline == "all" else [args.pipeline]
+        if args.pipeline == "all":
+            names = list(PIPELINES)
+        elif args.pipeline in GROUPS:
+            names = GROUPS[args.pipeline]
+        else:
+            names = [args.pipeline]
         for name in names:
             run_pipeline(
                 spark, name, args.sf_dir, args.out,

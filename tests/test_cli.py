@@ -109,3 +109,26 @@ def test_setup_logging_file_and_stdout(tmp_path, capsys):
         # StreamHandler on a closed capture object makes py4j's shutdown
         # log line raise "--- Logging error ---" at interpreter exit
         logging.basicConfig(force=True, handlers=[logging.NullHandler()])
+
+
+def test_cli_group_selector_runs_each_member(monkeypatch, tmp_path):
+    # `comissao` must dispatch both fechamento pipelines (the documented
+    # intent of run_etl.ps1's -Kpi groups, whose own dispatch falls
+    # through); no real Spark work — record the dispatched names
+    import etl_gamma_spark.cli as cli
+
+    ran = []
+    monkeypatch.setattr(
+        cli, "run_pipeline", lambda spark, name, *a, **k: ran.append(name)
+    )
+
+    class _FakeSpark:
+        def stop(self):
+            pass
+
+    import etl_gamma_spark.session as session
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: _FakeSpark())
+    rc = cli.main(["comissao", "--out", str(tmp_path)])
+    assert rc == 0
+    assert ran == ["fechamento_m_presente", "fechamento_m_passado"]

@@ -75,6 +75,9 @@ PROBE_QUERIES = [
     "quality_classifier_score",
     "bloom_filtered_revenue",
     "zorder_layout",
+    "hdr_value_percentiles",
+    "split_leakage_pairs",
+    "incremental_neardup",
 ]
 
 
