@@ -4755,6 +4755,64 @@ def q_incremental_neardup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# wav_header_stats — REAL binary-format codec, JVM-columnar (no Python):
+# canonical PCM WAV headers built and parsed via hex arithmetic
+# (operators/multimodal.py WAV section). Complements the stubbed
+# heavy-codec kernels with a fully oracle-checked decode path.
+# ---------------------------------------------------------------------------
+
+
+def _wav_stats_sql(d: str) -> str:
+    from .operators.multimodal import (
+        WAV_PARSE_FIELDS,
+        le_int_expr,
+        wav_hex_expr,
+    )
+
+    h = wav_hex_expr(
+        "1 + doc_id % 2",
+        "([8000, 16000, 44100])[CAST(doc_id % 3 AS INT) + 1]",
+        "16",
+        "n_chars",
+        d,
+    )
+    fields = ",\n           ".join(
+        f"{le_int_expr('__h', off, n, d)} AS {name}"
+        for name, (off, n) in WAV_PARSE_FIELDS.items()
+    )
+    return f"""
+WITH m AS (
+    SELECT doc_id AS media_id, unhex({h}) AS payload FROM documents
+),
+hx AS (SELECT media_id, upper(hex(payload)) AS __h FROM m),
+p AS (
+    SELECT media_id,
+           {fields},
+           substr(__h, 1, 8) = '52494646' AND substr(__h, 17, 8) = '57415645' AS __valid
+    FROM hx
+),
+dur AS (
+    SELECT channels, sample_rate, data_bytes,
+           (data_bytes * 8000) // (sample_rate * channels * bits_per_sample) AS duration_ms
+    FROM p WHERE __valid
+)
+SELECT channels, sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(data_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms
+FROM dur
+GROUP BY channels, sample_rate
+"""
+
+
+@query("wav_header_stats", _wav_stats_sql(_D))
+def q_wav_header_stats(spark, sf_dir):
+    from .operators.multimodal import synth_wav_media, wav_header_stats
+
+    return wav_header_stats(synth_wav_media(spark.table("documents")))
+
+
+# ---------------------------------------------------------------------------
 # Driver-graded ordering (VERDICT r3 item 4)
 #
 # The correctness driver grades only the FIRST 50 entries of
@@ -5027,7 +5085,12 @@ def q_incremental_neardup(spark, sf_dir):
 # round): the band join + est-jaccard verify family is graded via
 # minhash_lsh_pairs; the index/batch split composition is
 # pytest-oracle-checked and the persisted-index reuse unit-tested.
+# wav_header_stats enters ungraded on registration (rotate in next
+# round): the multimodal binary plumbing family is graded via
+# media_stats and the integer-DIV aggregate discipline by many graded
+# queries; the hex codec itself is pytest-oracle-checked at both SFs.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "wav_header_stats",
     "incremental_neardup",
     "split_leakage_pairs",
     "hdr_value_percentiles",
