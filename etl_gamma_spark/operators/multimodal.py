@@ -306,3 +306,77 @@ def wav_header_stats(media: DataFrame) -> DataFrame:
             F.sum("duration_ms").cast("bigint").alias("total_duration_ms"),
         )
     )
+
+
+# PNG IHDR — the image-side sibling of the WAV codec: big-endian, so the
+# parse is a straight hex window (no byte swap). Layout: 8-byte magic
+# 89504E470D0A1A0A, then the IHDR chunk (len=13, type 'IHDR', width @16,
+# height @20, bit_depth @24, color_type @25 — 0-based byte offsets).
+
+PNG_MAGIC_HEX = "89504E470D0A1A0A"
+
+
+def be_int_expr(hex_col: str, byte_off: int, n_bytes: int, d: str) -> str:
+    """Parse a big-endian unsigned int from a hex string at a 0-based
+    byte offset — one contiguous hex window."""
+    win = f"substr({hex_col}, {2 * byte_off + 1}, {2 * n_bytes})"
+    if d == WAV_SPARK:
+        return f"CAST(conv({win}, 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || {win}) AS BIGINT)"
+
+
+def png_hex_expr(width: str, height: str, d: str) -> str:
+    """Hex of a PNG signature + IHDR chunk (8-bit RGB, standard flags).
+    The IHDR CRC is carried as a fixed placeholder — parsers here (and
+    most corpus scanners) read geometry without CRC validation; the
+    stdlib cross-check in tests validates the byte layout instead."""
+
+    def be(val: str, n: int) -> str:
+        return f"lpad(hex({val}), {2 * n}, '0')"
+
+    return (
+        f"concat('{PNG_MAGIC_HEX}', {be('13', 4)}, '49484452', "
+        f"{be(width, 4)}, {be(height, 4)}, '08', '02', '000000', "
+        f"'00000000')"
+    )
+
+
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic PNG-header corpus from the documents fixture:
+    width/height derived from doc stats (header-only payloads — a
+    geometry scan never needs pixel data)."""
+    from ..io import spread
+
+    h = png_hex_expr("CAST(64 + doc_id % 960 AS BIGINT)", "CAST(64 + n_chars % 960 AS BIGINT)", WAV_SPARK)
+    return spread(docs).selectExpr(
+        "doc_id AS media_id", f"unhex({h}) AS payload"
+    )
+
+
+def png_header_stats(media: DataFrame) -> DataFrame:
+    """Aspect-bucketed geometry stats parsed from PNG headers only:
+    (orientation, n_images, total_pixels, max_width, max_height).
+    Non-PNG payloads are skipped, not fatal."""
+    hx = media.selectExpr("media_id", "upper(hex(payload)) AS __h")
+    parsed = hx.selectExpr(
+        "media_id",
+        f"{be_int_expr('__h', 16, 4, WAV_SPARK)} AS width",
+        f"{be_int_expr('__h', 20, 4, WAV_SPARK)} AS height",
+        f"substr(__h, 1, 16) = '{PNG_MAGIC_HEX}' AND substr(__h, 25, 8) = '49484452' AS __valid",
+    )
+    return (
+        parsed.filter("__valid")
+        .selectExpr(
+            "CASE WHEN width > height THEN 'landscape' "
+            "WHEN width < height THEN 'portrait' ELSE 'square' END AS orientation",
+            "width",
+            "height",
+        )
+        .groupBy("orientation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.sum(F.expr("width * height")).cast("bigint").alias("total_pixels"),
+            F.max("width").alias("max_width"),
+            F.max("height").alias("max_height"),
+        )
+    )

@@ -4812,6 +4812,57 @@ def q_wav_header_stats(spark, sf_dir):
     return wav_header_stats(synth_wav_media(spark.table("documents")))
 
 
+# png_header_stats — the image-side sibling (big-endian IHDR geometry).
+
+
+def _png_stats_sql(d: str) -> str:
+    from .operators.multimodal import (
+        PNG_MAGIC_HEX,
+        be_int_expr,
+        png_hex_expr,
+    )
+
+    h = png_hex_expr(
+        "CAST(64 + doc_id % 960 AS BIGINT)",
+        "CAST(64 + n_chars % 960 AS BIGINT)",
+        d,
+    )
+    return f"""
+WITH m AS (
+    SELECT doc_id AS media_id, unhex({h}) AS payload FROM documents
+),
+hx AS (SELECT media_id, upper(hex(payload)) AS __h FROM m),
+p AS (
+    SELECT media_id,
+           {be_int_expr('__h', 16, 4, d)} AS width,
+           {be_int_expr('__h', 20, 4, d)} AS height,
+           substr(__h, 1, 16) = '{PNG_MAGIC_HEX}'
+           AND substr(__h, 25, 8) = '49484452' AS __valid
+    FROM hx
+),
+o AS (
+    SELECT CASE WHEN width > height THEN 'landscape'
+                WHEN width < height THEN 'portrait' ELSE 'square' END AS orientation,
+           width, height
+    FROM p WHERE __valid
+)
+SELECT orientation,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(width * height) AS BIGINT) AS total_pixels,
+       MAX(width) AS max_width,
+       MAX(height) AS max_height
+FROM o
+GROUP BY orientation
+"""
+
+
+@query("png_header_stats", _png_stats_sql(_D))
+def q_png_header_stats(spark, sf_dir):
+    from .operators.multimodal import png_header_stats, synth_png_media
+
+    return png_header_stats(synth_png_media(spark.table("documents")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-graded ordering (VERDICT r3 item 4)
 #
@@ -5090,6 +5141,7 @@ def q_wav_header_stats(spark, sf_dir):
 # media_stats and the integer-DIV aggregate discipline by many graded
 # queries; the hex codec itself is pytest-oracle-checked at both SFs.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "png_header_stats",
     "wav_header_stats",
     "incremental_neardup",
     "split_leakage_pairs",

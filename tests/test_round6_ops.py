@@ -555,3 +555,49 @@ def test_synth_wav_payloads_are_valid_wav_files(spark):
             assert w.getnchannels() == 1 + doc_id % 2
             assert w.getframerate() == (8000, 16000, 44100)[doc_id % 3]
             assert w.getsampwidth() == 2
+
+
+def test_png_parser_against_hand_packed_and_zlib_valid_bytes(spark):
+    """Cross-check the PNG parse against bytes packed with struct (an
+    independent construction), plus junk tolerance; and assert the
+    synthesized headers start with the exact 8-byte PNG signature."""
+    import struct
+    import zlib
+
+    from etl_gamma_spark.operators.multimodal import (
+        png_header_stats,
+        synth_png_media,
+    )
+
+    def make_png_header(w, h):
+        ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        )
+
+    rows = [
+        Row(media_id=1, payload=make_png_header(640, 480)),
+        Row(media_id=2, payload=make_png_header(480, 640)),
+        Row(media_id=3, payload=make_png_header(100, 100)),
+        Row(media_id=4, payload=b"GIF89a junk"),
+    ]
+    out = {
+        r.orientation: (r.n_images, r.total_pixels, r.max_width, r.max_height)
+        for r in png_header_stats(spark.createDataFrame(rows)).collect()
+    }
+    assert out == {
+        "landscape": (1, 640 * 480, 640, 480),
+        "portrait": (1, 480 * 640, 480, 640),
+        "square": (1, 10000, 100, 100),
+    }
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(5)
+    for r in synth_png_media(docs).collect():
+        b = bytes(r.payload)
+        assert b.startswith(b"\x89PNG\r\n\x1a\n")
+        w, h = struct.unpack(">II", b[16:24])
+        assert w == 64 + r.media_id % 960
