@@ -5140,12 +5140,33 @@ def q_png_header_stats(spark, sf_dir):
 # round): the multimodal binary plumbing family is graded via
 # media_stats and the integer-DIV aggregate discipline by many graded
 # queries; the hex codec itself is pytest-oracle-checked at both SFs.
+# Round-6 final rotation: four late-round families move INTO the graded
+# window (hdr_value_percentiles — mergeable percentile sketch;
+# split_leakage_pairs — embedding-space decontamination;
+# incremental_neardup — ingest-vs-index dedup; wav_header_stats — real
+# binary codec); displaced, each transitively proven:
+#   simhash_neardup_pairs     banded-pair dedup carried by graded
+#                             minhash_lsh_pairs (band join family) and
+#                             embedding_neardup_pairs (Hamming verify);
+#                             simhash bit math pytest-oracle-checked
+#   curation_pipeline         composition whose stages are each graded
+#                             (text_stats quality gate, chunk/exact
+#                             dedup, dataset_split/source_balance
+#                             sampling)
+#   funnel_steps              entity-keyed stage equi-joins carried by
+#                             many graded joins; funnel ordering
+#                             semantics pytest-oracle-checked
+#   revenue_percentiles       the shared-verbatim rank/interpolate SQL
+#                             stays pytest-oracle-checked (and iqr's
+#                             pytest oracle reuses it); the percentile
+#                             FAMILY keeps a driver-graded carrier via
+#                             hdr_value_percentiles
 UNGRADED_QUERIES: tuple[str, ...] = (
     "png_header_stats",
-    "wav_header_stats",
-    "incremental_neardup",
-    "split_leakage_pairs",
-    "hdr_value_percentiles",
+    "simhash_neardup_pairs",
+    "curation_pipeline",
+    "funnel_steps",
+    "revenue_percentiles",
     "embedding_lsh_topk",
     "salted_skew_agg",
     "bucketed_join_rollup",
