@@ -297,3 +297,47 @@ def write_zordered(
     out.write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).parquet(path)
+
+
+def propagate_deletes(
+    spark,
+    tables: dict[str, str],
+    keys: DataFrame,
+    key_col: str = "key",
+) -> dict[str, tuple[int, int]]:
+    """Right-to-be-forgotten propagation: remove every row matching the
+    deletion key set from each table of a warehouse, atomically per
+    table. ``tables`` maps a table path to ITS key column name; ``keys``
+    is a one-column DataFrame (``key_col``) of values to erase.
+
+    Per table: read → broadcast left-anti join on the deletion keys
+    (erasure lists are small — thousands of subjects against billions of
+    rows; the fact side never shuffles) → rewrite via the rename-aside
+    ``swap_directory`` (a crash mid-swap leaves the OLD table intact or
+    recoverable — for deletions specifically, a lost table would be a
+    far worse incident than a retried erasure). Returns
+    {path: (rows_before, rows_after)} as the audit record the request
+    needs.
+
+    At 100 TB the rewrite cost is bounded by partition pruning upstream:
+    pass pre-filtered table paths (e.g. only the affected months) rather
+    than whole-history roots when the erasure scope is known.
+    """
+    out: dict[str, tuple[int, int]] = {}
+    key_set = F.broadcast(keys.select(key_col).distinct())
+    for path, col in tables.items():
+        df = spark.read.parquet(path)
+        kept = df.join(
+            key_set, df.__getattr__(col) == key_set.__getattr__(key_col), "left_anti"
+        )
+        before = df.count()
+        tmp = path.rstrip("/") + "._pending"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        kept.write.mode("overwrite").parquet(tmp)
+        swap_directory(tmp, path)
+        after = spark.read.parquet(path).count()
+        out[path] = (before, after)
+    return out

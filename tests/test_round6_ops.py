@@ -601,3 +601,35 @@ def test_png_parser_against_hand_packed_and_zlib_valid_bytes(spark):
         assert b.startswith(b"\x89PNG\r\n\x1a\n")
         w, h = struct.unpack(">II", b[16:24])
         assert w == 64 + r.media_id % 960
+
+
+# --- delete propagation ---------------------------------------------------
+
+
+def test_propagate_deletes_erases_across_tables_atomically(spark, tmp_path):
+    from etl_gamma_spark.sources.sink import propagate_deletes
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    t_orders, t_li = str(tmp_path / "orders"), str(tmp_path / "lineitem")
+    orders.write.parquet(t_orders)
+    li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == orders.o_orderkey,
+    ).select("l_orderkey", "o_custkey", "l_quantity").write.parquet(t_li)
+
+    victims = orders.select("o_custkey").distinct().limit(5)
+    victim_set = {r.o_custkey for r in victims.collect()}
+    audit = propagate_deletes(
+        spark,
+        {t_orders: "o_custkey", t_li: "o_custkey"},
+        victims,
+        key_col="o_custkey",
+    )
+    for path, col in ((t_orders, "o_custkey"), (t_li, "o_custkey")):
+        back = spark.read.parquet(path)
+        assert back.filter(back.__getattr__(col).isin(victim_set)).count() == 0
+        before, after = audit[path]
+        assert after == back.count() < before
+    # no leftover scratch or rename-aside dirs
+    assert not [p for p in tmp_path.iterdir() if "._" in p.name]
