@@ -341,3 +341,63 @@ def propagate_deletes(
         after = spark.read.parquet(path).count()
         out[path] = (before, after)
     return out
+
+
+def write_versioned(
+    df: DataFrame, root: str, partition_by: list[str] | None = None
+) -> int:
+    """Poor-man's time travel without a table format: each write lands in
+    ``root/v=N`` (monotonic), and ``root/_latest`` is swapped to N only
+    AFTER the data write completes — readers either see the previous
+    complete version or the new complete version, never a partial one.
+    Returns N. Old versions stay until ``expire_versions`` prunes them:
+    reproducibility (re-run yesterday's job against yesterday's corpus
+    exactly) is the point of keeping them."""
+    os.makedirs(root, exist_ok=True)
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ]
+    n = max(versions, default=0) + 1
+    target = os.path.join(root, f"v={n}")
+    w = df.write.mode("overwrite").option("partitionOverwriteMode", "static")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(target)
+    # pointer swap: write-new-then-rename is atomic on POSIX
+    tmp = os.path.join(root, "_latest.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(n))
+    os.replace(tmp, os.path.join(root, "_latest"))
+    return n
+
+
+def read_version(spark, root: str, version: int | None = None) -> DataFrame:
+    """Read a specific version, or the committed latest (``_latest``
+    pointer — NOT max(v=): a crashed write may have left a newer data
+    dir whose pointer swap never happened; it must stay invisible)."""
+    if version is None:
+        with open(os.path.join(root, "_latest"), encoding="utf-8") as fh:
+            version = int(fh.read().strip())
+    return spark.read.parquet(os.path.join(root, f"v={version}"))
+
+
+def expire_versions(root: str, keep: int = 3) -> list[int]:
+    """Drop all but the newest ``keep`` versions (never the committed
+    latest). Returns the expired version numbers."""
+    import shutil
+
+    with open(os.path.join(root, "_latest"), encoding="utf-8") as fh:
+        latest = int(fh.read().strip())
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+    doomed = [v for v in versions[:-keep] if v != latest] if keep else [
+        v for v in versions if v != latest
+    ]
+    for v in doomed:
+        shutil.rmtree(os.path.join(root, f"v={v}"))
+    return doomed

@@ -633,3 +633,37 @@ def test_propagate_deletes_erases_across_tables_atomically(spark, tmp_path):
         assert after == back.count() < before
     # no leftover scratch or rename-aside dirs
     assert not [p for p in tmp_path.iterdir() if "._" in p.name]
+
+
+# --- versioned snapshots --------------------------------------------------
+
+
+def test_versioned_writes_time_travel_and_expiry(spark, tmp_path):
+    import os
+
+    from etl_gamma_spark.sources.sink import (
+        expire_versions,
+        read_version,
+        write_versioned,
+    )
+
+    root = str(tmp_path / "table")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    v1 = write_versioned(orders.limit(10), root)
+    v2 = write_versioned(orders.limit(25), root)
+    assert (v1, v2) == (1, 2)
+    assert read_version(spark, root).count() == 25          # committed latest
+    assert read_version(spark, root, 1).count() == 10       # time travel
+
+    # a crashed write (data dir present, pointer never swapped) must stay
+    # invisible to latest-readers
+    os.makedirs(os.path.join(root, "v=3"))
+    spark.range(1).write.mode("overwrite").parquet(os.path.join(root, "v=3"))
+    assert read_version(spark, root).count() == 25
+
+    v4 = write_versioned(orders.limit(40), root)
+    assert v4 == 4 and read_version(spark, root).count() == 40
+    expired = expire_versions(root, keep=2)
+    assert 1 in expired and not os.path.exists(os.path.join(root, "v=1"))
+    assert read_version(spark, root).count() == 40
+    assert read_version(spark, root, 3) is not None  # kept (newest 2 + latest)
