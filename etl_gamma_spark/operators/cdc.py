@@ -125,3 +125,68 @@ def table_diff(
         .otherwise(F.lit("equal"))
     )
     return j.select(*keys, status.alias("status"))
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str],
+) -> DataFrame:
+    """Build a Type-2 slowly-changing-dimension history from a change
+    feed: one validity-interval row per VALUE EPISODE per key —
+    consecutive feed rows with identical tracked values collapse into
+    one interval (true SCD2 change detection), ``valid_to`` is the next
+    episode's start (NULL = open) and ``is_current`` marks it.
+
+    The repo's interval machinery in reverse: responsibility.py turns
+    existing period tables into point-in-time joins; this MANUFACTURES
+    the period table from raw change events.
+
+    Determinism: the per-key order is (ts, *tiebreak_cols) — callers
+    must pass tiebreakers making it total (CLAUDE.md window rule).
+    Change detection is null-safe (NULL → value and value → NULL both
+    open new episodes).
+
+    Scale posture: all three windows partition BY KEY — per-key history
+    is bounded (a dimension key's change count, not the corpus), so no
+    partition outgrows a task; the episode aggregate is map-side
+    combinable. One shuffle on the key, reused by every window stage.
+    """
+    from pyspark.sql import Window
+
+    order = [ts_col, *tiebreak_cols]
+    wk = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = None
+    for c in value_cols:
+        diff = ~F.col(c).eqNullSafe(F.lag(c).over(wk))
+        changed = diff if changed is None else (changed | diff)
+    first = F.row_number().over(wk) == 1
+    flagged = changes.select(
+        *key_cols,
+        *value_cols,
+        *order,
+        F.when(first | changed, F.lit(1)).otherwise(F.lit(0)).alias("__chg"),
+    )
+    epoch = flagged.withColumn(
+        "__epoch",
+        F.sum("__chg").over(
+            wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    episodes = epoch.groupBy(*key_cols, "__epoch", *value_cols).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    we = Window.partitionBy(*key_cols).orderBy("__epoch")
+    return (
+        episodes.withColumn("valid_to", F.lead("valid_from").over(we))
+        .withColumn(
+            "is_current", F.col("valid_to").isNull().cast("int")
+        )
+        .select(
+            *key_cols, *value_cols, "valid_from", "valid_to",
+            "is_current", "n_events",
+        )
+    )

@@ -4864,6 +4864,63 @@ def q_png_header_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# user_state_history — SCD Type-2 history manufactured from a change
+# feed (operators/cdc.py::scd2_history): validity intervals per value
+# episode, consecutive duplicates collapsed, open intervals current.
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH feed AS (
+    SELECT user_id, event_type, ts, event_id FROM events
+),
+flagged AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN row_number() OVER w = 1
+                     OR NOT (event_type IS NOT DISTINCT FROM lag(event_type) OVER w)
+                THEN 1 ELSE 0 END AS chg
+    FROM feed
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+epoch AS (
+    SELECT user_id, event_type, ts, event_id,
+           SUM(chg) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ep
+    FROM flagged
+),
+ep2 AS (
+    SELECT user_id, ep, event_type,
+           MIN(ts) AS valid_from,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM epoch GROUP BY user_id, ep, event_type
+)
+SELECT user_id, event_type AS state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY ep) AS valid_to,
+       CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY ep)
+                 IS NULL THEN 1 ELSE 0 END AS INT) AS is_current,
+       n_events
+FROM ep2
+"""
+
+
+@query("user_state_history", _SCD2_SQL)
+def q_user_state_history(spark, sf_dir):
+    from .operators.cdc import scd2_history
+
+    return scd2_history(
+        spark.table("events").select("user_id", "event_type", "ts", "event_id"),
+        key_cols=["user_id"],
+        value_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    ).selectExpr(
+        "user_id", "event_type AS state", "valid_from", "valid_to",
+        "is_current", "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-graded ordering (VERDICT r3 item 4)
 #
 # The correctness driver grades only the FIRST 50 entries of
@@ -5161,7 +5218,13 @@ def q_png_header_stats(spark, sf_dir):
 #                             pytest oracle reuses it); the percentile
 #                             FAMILY keeps a driver-graded carrier via
 #                             hdr_value_percentiles
+# user_state_history enters ungraded on registration (rotate in next
+# round): the LEAD-closed interval family is carried by graded
+# responsibility_periods and the per-key running-sum window by graded
+# receita_rolling_3m's frame family; the episode-collapse change
+# detection is pytest-oracle-checked at both SFs.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",
     "curation_pipeline",

@@ -667,3 +667,46 @@ def test_versioned_writes_time_travel_and_expiry(spark, tmp_path):
     assert 1 in expired and not os.path.exists(os.path.join(root, "v=1"))
     assert read_version(spark, root).count() == 40
     assert read_version(spark, root, 3) is not None  # kept (newest 2 + latest)
+
+
+# --- SCD2 history ---------------------------------------------------------
+
+
+def test_scd2_history_collapses_episodes_and_handles_nulls(spark):
+    import datetime as dt
+
+    from etl_gamma_spark.operators.cdc import scd2_history
+
+    t = lambda m: dt.datetime(2001, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # key 1: A A B A  -> episodes A(2) B(1) A(1)
+        Row(k=1, v="A", ts=t(0), i=0),
+        Row(k=1, v="A", ts=t(1), i=1),
+        Row(k=1, v="B", ts=t(2), i=2),
+        Row(k=1, v="A", ts=t(3), i=3),
+        # key 2: NULL NULL X NULL -> NULL(2) X(1) NULL(1)
+        Row(k=2, v=None, ts=t(0), i=4),
+        Row(k=2, v=None, ts=t(1), i=5),
+        Row(k=2, v="X", ts=t(2), i=6),
+        Row(k=2, v=None, ts=t(3), i=7),
+        # same-ts tiebreak: order by (ts, i)
+        Row(k=3, v="P", ts=t(0), i=8),
+        Row(k=3, v="Q", ts=t(0), i=9),
+    ]
+    out = scd2_history(
+        spark.createDataFrame(rows), ["k"], ["v"], "ts", ["i"]
+    ).collect()
+    hist = {}
+    for r in sorted(out, key=lambda r: (r.k, r.valid_from, r.n_events)):
+        hist.setdefault(r.k, []).append(
+            (r.v, r.valid_from.minute, None if r.valid_to is None else r.valid_to.minute,
+             r.is_current, r.n_events)
+        )
+    assert hist[1] == [("A", 0, 2, 0, 2), ("B", 2, 3, 0, 1), ("A", 3, None, 1, 1)]
+    assert hist[2] == [(None, 0, 2, 0, 2), ("X", 2, 3, 0, 1), (None, 3, None, 1, 1)]
+    assert hist[3] == [("P", 0, 0, 0, 1), ("Q", 0, None, 1, 1)]
+    # exactly one current row per key; intervals chain without gaps
+    for k, eps in hist.items():
+        assert sum(e[3] for e in eps) == 1
+        for a, b in zip(eps, eps[1:]):
+            assert a[2] == b[1]
