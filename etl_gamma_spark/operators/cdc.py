@@ -156,6 +156,8 @@ def scd2_history(
     """
     from pyspark.sql import Window
 
+    if not value_cols:
+        raise ValueError("at least one value column required")
     order = [ts_col, *tiebreak_cols]
     wk = Window.partitionBy(*key_cols).orderBy(*order)
     changed = None

@@ -29,7 +29,20 @@ from .similarity import hamming_expr
 
 S = T.SPARK
 
-def cap_hot_keys(df, keys: list[str], limit: int):
+def _hot_keys(df, keys: list[str], limit: int):
+    """Lazy over-limit key list: ``groupBy(keys).count()`` reduces to one
+    row per key map-side, so only combined partials cross the exchange —
+    the two-phase half of the skew guard, kept separate so plan tests can
+    assert its shape before :func:`cap_hot_keys` materializes it."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__kc"))
+        .filter(F.col("__kc") > limit)
+        .select(*[F.col(k).alias(f"__hot_{k}") for k in keys])
+    )
+
+
+def cap_hot_keys(df, keys: list[str], limit: int, max_broadcast_keys: int = 4_000_000):
     """Drop rows whose key combination occurs more than ``limit`` times —
     the shared skew guard of every pair generator (band buckets, shingle
     posting lists).
@@ -51,18 +64,24 @@ def cap_hot_keys(df, keys: list[str], limit: int):
     Join keys use null-safe equality so a NULL key counts as one key, as
     it does under GROUP BY in the oracle HAVING clauses callers keep in
     sync with this cap.
+
+    "Tiny by construction" is only rows/limit — NOT tiny on a
+    duplicate-heavy corpus at a small ``limit`` (10^11 rows at limit 64
+    admits ~10^9 over-limit keys). The hot list is therefore
+    materialized (localCheckpoint — which also makes the count pass run
+    ONCE instead of re-executing inside the join) and force-broadcast
+    only while it holds at most ``max_broadcast_keys`` entries; beyond
+    that the anti-join falls back to a shuffle, which is slower but
+    cannot OOM the driver/executors inside the guard that exists to
+    keep the job survivable.
     """
-    hot = (
-        df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("__kc"))
-        .filter(F.col("__kc") > limit)
-        .select(*[F.col(k).alias(f"__hot_{k}") for k in keys])
-    )
+    hot = _hot_keys(df, keys, limit).localCheckpoint()
     cond = None
     for k in keys:
         c = F.col(k).eqNullSafe(F.col(f"__hot_{k}"))
         cond = c if cond is None else cond & c
-    return df.join(F.broadcast(hot), cond, "left_anti")
+    build = F.broadcast(hot) if hot.count() <= max_broadcast_keys else hot
+    return df.join(build, cond, "left_anti")
 
 
 
@@ -637,7 +656,14 @@ def minhash_band_index(
     so the verify stage needs no second corpus lookup."""
     sigs = minhash_signatures(docs, text_col, id_col, n)
     m_cols = [f"m{j}" for j in range(T.MINHASH_K)]
-    banded = sigs.selectExpr(id_col, *m_cols, *T.band_key_exprs(S))
+    # Materialize before the band union: Spark does not CSE across union
+    # branches, so without this each of the MINHASH_BANDS branches would
+    # re-run the whole shingle-md5 + minhash-fold pipeline (the dominant
+    # cost) from the docs scan — same reason minhash_lsh_pairs
+    # checkpoints its signature frame.
+    banded = sigs.selectExpr(
+        id_col, *m_cols, *T.band_key_exprs(S)
+    ).localCheckpoint()
     out = None
     for band in range(T.MINHASH_BANDS):
         part = banded.select(
@@ -672,7 +698,9 @@ def incremental_neardup_pairs(
     cap as a HAVING on the corpus band table.
     """
     m_cols = [f"m{j}" for j in range(T.MINHASH_K)]
-    new_idx = minhash_band_index(new_docs, text_col, id_col).localCheckpoint()
+    # minhash_band_index checkpoints the signature frame itself; the
+    # band union over it is a cheap projection, no second checkpoint.
+    new_idx = minhash_band_index(new_docs, text_col, id_col)
     corpus_ok = cap_hot_keys(index, ["band", "bkey"], max_bucket)
     left = new_idx.select(
         F.col(id_col).alias("new_id"),

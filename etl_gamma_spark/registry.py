@@ -4224,10 +4224,14 @@ def q_jdbc_roundtrip_agg(spark, sf_dir):
     drv = "org.apache.derby.jdbc.EmbeddedDriver"
     try:
         write_url(jan, url, "orders_jan", drv, mode="overwrite")
+        # bound the range-partitioned scan by the slice's actual key span
+        # (a fixed 6M bound put every fixture row in stride-1 partition 1
+        # and left partitions 2-8 empty — a serial scan in disguise)
+        hi = jan.agg(F.max("o_orderkey").alias("m")).first()["m"] or 1
         back = read_url(
             spark, url, "orders_jan", drv,
             partition_column="o_orderkey", num_partitions=8,
-            lower_bound=0, upper_bound=6_000_000,
+            lower_bound=0, upper_bound=int(hi) + 1,
         )
         return (
             back.groupBy("d")
@@ -4325,10 +4329,13 @@ def _lm_nll_sql(d: str) -> str:
     from .operators.retrieval import (
         IDF_T_SQL as _T_SQL,
         LM_P_SQL,
+        LM_S_SQL,
         NLL9_FROM_T_SQL,
     )
 
-    lm_s = "sqrt(" * 20 + "p" + ")" * 20
+    # shared-verbatim with the engine: if the portable-ln expansion is
+    # ever retuned in retrieval.py, both sides move together.
+    lm_s = LM_S_SQL
     return f"""
 WITH w AS (
     SELECT doc_id, {T.split_ws('text', d)} AS __w FROM documents

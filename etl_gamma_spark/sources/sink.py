@@ -299,6 +299,28 @@ def write_zordered(
     ).parquet(path)
 
 
+def _discover_partition_cols(path: str) -> list[str]:
+    """Infer a parquet table's Hive-style partition columns from its
+    directory layout: descend the first ``name=value`` subdirectory at
+    each level, collecting the column names in order. Matches what
+    Spark's own partition discovery infers on read, without needing the
+    caller to carry a spec."""
+    cols: list[str] = []
+    cur = path
+    while os.path.isdir(cur):
+        subs = sorted(
+            d for d in os.listdir(cur)
+            if "=" in d and not d.startswith((".", "_"))
+            and os.path.isdir(os.path.join(cur, d))
+        )
+        if not subs:
+            break
+        name = subs[0].split("=", 1)[0]
+        cols.append(name)
+        cur = os.path.join(cur, subs[0])
+    return cols
+
+
 def propagate_deletes(
     spark,
     tables: dict[str, str],
@@ -322,10 +344,17 @@ def propagate_deletes(
     At 100 TB the rewrite cost is bounded by partition pruning upstream:
     pass pre-filtered table paths (e.g. only the affected months) rather
     than whole-history roots when the erasure scope is known.
+
+    Partitioned tables keep their layout: the on-disk ``col=value``
+    directory chain is discovered per table and carried into the
+    rewrite's ``partitionBy`` — a flat rewrite would silently destroy
+    partition pruning (and break the next partition-overwrite write)
+    on every table the warehouse lays out by month/key.
     """
     out: dict[str, tuple[int, int]] = {}
     key_set = F.broadcast(keys.select(key_col).distinct())
     for path, col in tables.items():
+        part_cols = _discover_partition_cols(path)
         df = spark.read.parquet(path)
         kept = df.join(
             key_set, df.__getattr__(col) == key_set.__getattr__(key_col), "left_anti"
@@ -336,7 +365,10 @@ def propagate_deletes(
             import shutil
 
             shutil.rmtree(tmp)
-        kept.write.mode("overwrite").parquet(tmp)
+        w = kept.write.mode("overwrite").option("partitionOverwriteMode", "static")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(tmp)
         swap_directory(tmp, path)
         after = spark.read.parquet(path).count()
         out[path] = (before, after)

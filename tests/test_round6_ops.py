@@ -8,6 +8,7 @@ pure-Python recomputation)."""
 
 import hashlib
 import math
+import os
 
 import pyarrow.parquet as pq
 from pyspark.sql import Row
@@ -635,6 +636,46 @@ def test_propagate_deletes_erases_across_tables_atomically(spark, tmp_path):
     assert not [p for p in tmp_path.iterdir() if "._" in p.name]
 
 
+def test_propagate_deletes_preserves_partition_layout(spark, tmp_path):
+    # a partitioned warehouse table must come out of erasure still
+    # partitioned: a flat rewrite would destroy pruning and duplicate
+    # months under the next partition-overwrite write
+    from etl_gamma_spark.sources.sink import propagate_deletes
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "mes", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    t = str(tmp_path / "orders_by_month")
+    orders.write.partitionBy("mes").parquet(t)
+    victims = orders.select("o_custkey").distinct().limit(5)
+    victim_set = {r.o_custkey for r in victims.collect()}
+    n_parts_kept = (
+        orders.filter(~orders.o_custkey.isin(victim_set))
+        .select("mes").distinct().count()
+    )
+
+    propagate_deletes(spark, {t: "o_custkey"}, victims, key_col="o_custkey")
+
+    # layout survived: one mes= directory per surviving month, none
+    # flattened (a month whose every row was erased rightly disappears)
+    dirs = [d for d in os.listdir(t) if d.startswith("mes=")]
+    assert len(dirs) == n_parts_kept > 0
+    assert not [f for f in os.listdir(t) if f.endswith(".parquet")]
+    back = spark.read.parquet(t)
+    assert "mes" in back.columns  # still a partition column on read
+    assert back.filter(back.o_custkey.isin(victim_set)).count() == 0
+    # and the table still accepts a partition-scoped overwrite cleanly
+    one_month = sorted(d.split("=", 1)[1] for d in dirs)[0]
+    repl = back.filter(F.col("mes") == one_month).limit(3)
+    (
+        repl.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("mes")
+        .parquet(t)
+    )
+    assert spark.read.parquet(t).filter(F.col("mes") == one_month).count() == 3
+
+
 # --- versioned snapshots --------------------------------------------------
 
 
@@ -710,3 +751,13 @@ def test_scd2_history_collapses_episodes_and_handles_nulls(spark):
         assert sum(e[3] for e in eps) == 1
         for a, b in zip(eps, eps[1:]):
             assert a[2] == b[1]
+
+
+def test_scd2_history_rejects_empty_value_cols(spark):
+    import pytest as _pt
+
+    from etl_gamma_spark.operators.cdc import scd2_history
+
+    df = spark.createDataFrame([Row(k=1, ts=1, i=0)])
+    with _pt.raises(ValueError, match="value column"):
+        scd2_history(df, ["k"], [], "ts", ["i"])

@@ -81,15 +81,17 @@ def test_cap_hot_keys_adversarial_hot_key(spark):
 
 
 def test_cap_hot_keys_never_serializes_the_hot_key(spark):
-    # scale-posture proof: the plan must show (a) NO window — a window
-    # partition cannot be split, so a mega-hot key would land on one task;
-    # (b) a two-phase aggregate (partial_count) — only map-side-combined
-    # partials (one row per key per input partition) cross the exchange;
-    # (c) the probe side feeds the LeftAnti broadcast join WITHOUT a
-    # key-based exchange — raw rows are never re-partitioned by the hot
+    # scale-posture proof, in two halves matching the implementation:
+    # (1) the COUNT pass (_hot_keys, asserted pre-materialization) must
+    # show no Window — a window partition cannot be split, so a mega-hot
+    # key would land on one task — and a two-phase aggregate
+    # (partial_count): only map-side-combined partials (one row per key
+    # per input partition) cross its single exchange; (2) the PROBE join
+    # consumes the materialized key list as a LeftAnti broadcast with NO
+    # exchange anywhere — raw rows are never re-partitioned by the hot
     # key at all. Together: no single task ever receives the hot key's
     # rows, which is what makes the cap safe at 100x scale.
-    from etl_gamma_spark.operators.dedup import cap_hot_keys
+    from etl_gamma_spark.operators.dedup import _hot_keys, cap_hot_keys
 
     df = spark.range(10_000).select(
         F.when(F.col("id") % 2 == 0, F.lit("HOT"))
@@ -97,14 +99,50 @@ def test_cap_hot_keys_never_serializes_the_hot_key(spark):
         .alias("k"),
         F.col("id").alias("v"),
     ).repartition(8)
-    capped = cap_hot_keys(df, ["k"], limit=10)
     jvm = spark._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    count_plan = _hot_keys(df, ["k"], 10)._jdf.queryExecution().explainString(mode)
+    assert "Window" not in count_plan
+    assert "partial_count" in count_plan
+    assert count_plan.count("hashpartitioning") == 1
+
+    capped = cap_hot_keys(df, ["k"], limit=10)
     plan = capped._jdf.queryExecution().explainString(mode)
     assert "Window" not in plan
-    assert "partial_count" in plan
     assert "BroadcastHashJoin LeftAnti" in plan
-    # exactly one key-based exchange: the count aggregate's (partials
-    # only); the probe-side data path has none (formatted explain names
-    # the partitioning in the Exchange details' Arguments line)
-    assert plan.count("hashpartitioning") == 1
+    # probe-side data path has NO key-based exchange; the count pass ran
+    # once at materialization and feeds the join as an existing RDD
+    assert plan.count("hashpartitioning") == 0
+    assert "ExistingRDD" in plan
+
+
+def test_cap_hot_keys_huge_hot_list_falls_back_to_shuffle(spark):
+    # OOM guard: when the over-limit key list exceeds max_broadcast_keys
+    # the anti-join must NOT force a broadcast (a duplicate-heavy corpus
+    # can hold ~rows/limit hot keys — unbroadcastable at 100 TB); results
+    # are identical either way.
+    from etl_gamma_spark.operators.dedup import cap_hot_keys
+
+    df = spark.range(2_000).select(
+        (F.col("id") % 400).cast("string").alias("k"),
+        F.col("id").alias("v"),
+    ).repartition(8)
+    # every key holds 5 rows; limit 4 → all 400 keys are hot. Forbid
+    # auto-broadcast so a BroadcastHashJoin could only come from a forced
+    # hint — which is exactly what the size guard must withhold here.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        capped = cap_hot_keys(df, ["k"], limit=4, max_broadcast_keys=100)
+        jvm = spark._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = capped._jdf.queryExecution().explainString(mode)
+        assert "BroadcastHashJoin" not in plan
+        assert capped.count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # same fixture under the broadcast path agrees
+    assert cap_hot_keys(df, ["k"], limit=4).count() == 0
+    kept = cap_hot_keys(df, ["k"], limit=5, max_broadcast_keys=100)
+    assert kept.count() == 2_000
