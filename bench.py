@@ -85,6 +85,10 @@ def materialize(df) -> None:
 
 def main() -> None:
     wait_for_quiet_host()
+    # ambient load AFTER the gate, BEFORE we generate any ourselves: this
+    # is the number that says whether the timings below are trustworthy.
+    # Sampling at the end would only ever read back our own 32 threads.
+    load_at_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("etl-gamma-bench")
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -156,9 +160,11 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
         "runs_per_query": BENCH_RUNS,
-        # shared-host noise context: record the 1/5/15-min load averages so
-        # the artifact carries its measurement conditions
-        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        # shared-host noise context: the AMBIENT load when timing began
+        # (post-gate, pre-run) — the artifact's trust signal — plus the
+        # end-of-run value for completeness (dominated by our own work)
+        "loadavg": load_at_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     if retimed:
         result["retimed"] = retimed
