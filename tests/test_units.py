@@ -139,3 +139,40 @@ def test_word_chunks_dialect_parity_on_edges(spark):
     assert got_s[3] == ["a b c"]
     assert got_s[4] == ["a b c", "d"]
     assert got_s[5] == ["a b c", "d e f"]
+
+
+def test_bench_previous_round_times_reads_driver_wrapper(tmp_path, monkeypatch):
+    # the driver archives bench output as a wrapper {n, rc, tail, parsed}
+    # whose "tail" is the LAST 2000 bytes of stdout — the JSON line may be
+    # cut at the front. The retime pass must still recover per-query
+    # numbers from it (r5's artifact yielded zero references and the
+    # retime pass silently never fired).
+    import importlib
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    bench = importlib.import_module("bench")
+
+    line = _json.dumps(
+        {
+            "metric": "m",
+            "value": 3.5,
+            "queries": {"q_a": 1.25, "q_b": 2.25},
+            "sf": 0.1,
+            "runs_per_query": 2,
+            "loadavg": [1.0, 2.0, 3.0],
+        }
+    )
+    wrapper = {"n": 5, "rc": 0, "tail": line[10:], "parsed": None}  # cut head
+    (tmp_path / "BENCH_r07.json").write_text(_json.dumps(wrapper))
+    # a plain (non-wrapper) artifact from an older round must still win
+    # only if newer; here it is older, so the wrapper's numbers are used
+    (tmp_path / "BENCH_r06.json").write_text(
+        _json.dumps({"queries": {"q_a": 9.0}})
+    )
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda _: str(tmp_path)
+    )
+    got = bench.previous_round_times()
+    assert got == {"q_a": 1.25, "q_b": 2.25}
