@@ -4928,6 +4928,100 @@ def q_user_state_history(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# embedding_sq8_topk — scalar-quantized (SQ8) compressed-domain ANN
+# (operators/similarity.py::sq8_topk): integer code-space candidate
+# generation + exact cosine rerank. Codes are exact integers in both
+# engines (same left-associative IEEE quantization), so the candidate
+# cut is deterministic and the whole two-stage search oracle-checks.
+# ---------------------------------------------------------------------------
+
+
+def _sq8_topk_sql(k: int = 10, rerank: int = 40, dim: int = 64) -> str:
+    rmin, rmax = SIM.sq8_range_exprs("v", dim, _D)
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+rng AS (SELECT MIN({rmin}) AS __lo, MAX({rmax}) AS __hi FROM emb),
+codes AS (SELECT vec_id, v, {SIM.sq8_code_expr('v', dim, _D)} AS c FROM emb, rng),
+q AS (SELECT c AS qc, v AS qv FROM codes WHERE vec_id = 0),
+cand AS (
+    SELECT e.vec_id, e.v, q.qv, {SIM.sq8_dist2_expr('e.c', 'q.qc', dim, _D)} AS d2
+    FROM codes e, q
+    WHERE e.vec_id != 0
+    ORDER BY d2, e.vec_id
+    LIMIT {rerank}
+)
+SELECT vec_id,
+       list_dot_product(v, qv)
+       / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cosine
+FROM cand
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+@query("embedding_sq8_topk", _sq8_topk_sql())
+def q_embedding_sq8_topk(spark, sf_dir):
+    return SIM.sq8_topk(spark.table("embeddings"), query_id=0, k=10, rerank=40)
+
+
+# ---------------------------------------------------------------------------
+# url_dedup / domain_mix — web-corpus URL canonicalization
+# (operators/web.py): synthetic messy URLs from fixture rows (like the
+# WAV/PNG codecs), canonicalized with engine-identical regex arithmetic,
+# then duplicate-URL collapse and per-domain corpus share accounting.
+# ---------------------------------------------------------------------------
+
+from .operators import web as WEB  # noqa: E402
+
+
+def _url_dedup_sql() -> str:
+    return f"""
+WITH du AS (
+    SELECT doc_id, {WEB.synth_url_expr('doc_id', 'source', _D)} AS url
+    FROM documents
+),
+canon AS (SELECT doc_id, {WEB.canon_url_expr('url', _D)} AS canonical_url FROM du)
+SELECT canonical_url,
+       MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM canon
+GROUP BY canonical_url
+"""
+
+
+@query("url_dedup", _url_dedup_sql())
+def q_url_dedup(spark, sf_dir):
+    return WEB.url_dedup(WEB.with_urls(spark.table("documents")))
+
+
+def _domain_mix_sql() -> str:
+    dom = WEB.domain_expr(WEB.canon_host_expr("url", _D), _D)
+    share = T.idiv("(2000 * n_chars + __total)", "(2 * __total)", _D)
+    return f"""
+WITH du AS (
+    SELECT n_chars, {WEB.synth_url_expr('doc_id', 'source', _D)} AS url
+    FROM documents
+),
+per AS (
+    SELECT {dom} AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM du
+    GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS __total FROM per)
+SELECT domain, n_docs, n_chars,
+       CAST({share} AS BIGINT) AS share_permille
+FROM per, tot
+"""
+
+
+@query("domain_mix", _domain_mix_sql())
+def q_domain_mix(spark, sf_dir):
+    return WEB.domain_mix(WEB.with_urls(spark.table("documents")))
+
+
+# ---------------------------------------------------------------------------
 # Driver-graded ordering (VERDICT r3 item 4)
 #
 # The correctness driver grades only the FIRST 50 entries of
@@ -5230,7 +5324,18 @@ def q_user_state_history(spark, sf_dir):
 # responsibility_periods and the per-key running-sum window by graded
 # receita_rolling_3m's frame family; the episode-collapse change
 # detection is pytest-oracle-checked at both SFs.
+# embedding_sq8_topk enters ungraded on registration (rotate in next
+# round): the ANN family keeps graded carriers via embedding_ivf_topk /
+# embedding_neardup_pairs; the SQ8 quantization arithmetic is
+# pytest-oracle-checked at both SFs plus a recall test.
+# url_dedup / domain_mix enter ungraded on registration (rotate in next
+# round): the hash-agg keep-first family is carried by graded exact-dedup
+# siblings (chunk_dedup, cluster_prune); the regex canonicalization is
+# pytest-oracle-checked at both SFs plus variant-collapse unit tests.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "embedding_sq8_topk",
+    "url_dedup",
+    "domain_mix",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",

@@ -538,3 +538,22 @@ def test_streaming_cdc_apply_checkpoint_resume_is_exactly_once(spark, tmp_path):
 
     assert set(got) == {100, 200}
     assert got[100] == Decimal("999.000000"), "committed batch was replayed"
+
+
+def test_sq8_topk_recall_and_code_range(spark, emb):
+    from etl_gamma_spark.operators.similarity import sq8_codes, sq8_topk
+
+    exact = [r.vec_id for r in brute_force_topk(emb, query_id=0, k=10).collect()]
+    approx = [r.vec_id for r in sq8_topk(emb, query_id=0, k=10, rerank=40).collect()]
+    assert len(approx) == 10
+    # 8-bit codes over 64 dims lose little ranking info; with a 4x rerank
+    # pool the overlap floor is far above the LSH/IVF probes'
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.6, f"SQ8 recall collapsed: {overlap}"
+    # codes are bytes: every component in [0, 255], dim preserved
+    rows = sq8_codes(emb).limit(50).collect()
+    assert all(len(r.c) == 64 for r in rows)
+    assert all(0 <= x <= 255 for r in rows for x in r.c)
+    # deterministic across runs (pure function of the corpus)
+    approx2 = [r.vec_id for r in sq8_topk(emb, query_id=0, k=10, rerank=40).collect()]
+    assert approx == approx2

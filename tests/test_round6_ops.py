@@ -761,3 +761,73 @@ def test_scd2_history_rejects_empty_value_cols(spark):
     df = spark.createDataFrame([Row(k=1, ts=1, i=0)])
     with _pt.raises(ValueError, match="value column"):
         scd2_history(df, ["k"], [], "ts", ["i"])
+
+
+# --- URL canonicalization / dedup / domain mix ------------------------------
+
+import pytest
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").cache()
+    yield df
+    df.unpersist()
+
+
+def test_canon_url_collapses_every_variant_class(spark):
+    from etl_gamma_spark.operators.web import canon_url_expr
+
+    variants = [
+        "HTTP://WWW.Src3.News.com:80/articles/page-5/?id=5#ref",
+        "http://src3.news.com/articles/page-5?utm_campaign=x&id=5",
+        "http://src3.news.com/articles/page-5?id=5&utm_source=feed&fbclid=f9",
+        "http://www.src3.news.com:80/articles/page-5?id=5",
+        "http://SRC3.news.com/articles/page-5/?id=5&gclid=abc#frag",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    got = {r.c for r in df.selectExpr(f"{canon_url_expr('url', 'spark')} AS c").collect()}
+    assert got == {"http://src3.news.com/articles/page-5?id=5"}
+    # distinct logical pages must NOT collapse
+    other = spark.createDataFrame(
+        [("http://src3.news.com/articles/page-6?id=6",),
+         ("https://src3.news.com/articles/page-5?id=5",),
+         ("http://src4.news.com/articles/page-5?id=5",)],
+        "url string",
+    )
+    keys = {r.c for r in other.selectExpr(f"{canon_url_expr('url', 'spark')} AS c").collect()}
+    assert len(keys) == 3
+
+
+def test_url_dedup_keep_first_and_counts(spark, docs):
+    from etl_gamma_spark.operators.web import url_dedup, with_urls
+
+    du = with_urls(docs)
+    out = url_dedup(du)
+    rows = out.collect()
+    # total variants across groups == corpus size; keeper is the min id
+    assert sum(r.n_variants for r in rows) == docs.count()
+    sample = out.filter("n_variants > 1").limit(5).collect()
+    got = {r.canonical_url: r.keep_id for r in rows}
+    from etl_gamma_spark.operators.web import canon_url_expr
+
+    back = du.selectExpr("doc_id", f"{canon_url_expr('url', 'spark')} AS c").collect()
+    by_key = {}
+    for r in back:
+        by_key.setdefault(r.c, []).append(r.doc_id)
+    for url, ids in by_key.items():
+        assert got[url] == min(ids)
+    if sample:
+        assert all(r.keep_id is not None for r in sample)
+
+
+def test_domain_mix_shares_are_half_up_permille(spark, docs):
+    from etl_gamma_spark.operators.web import domain_mix, with_urls
+
+    rows = domain_mix(with_urls(docs)).collect()
+    assert {r.domain for r in rows} <= {"news.com", "blog.org", "wiki.net"}
+    total = sum(r.n_chars for r in rows)
+    for r in rows:
+        expect = (2000 * r.n_chars + total) // (2 * total)
+        assert r.share_permille == expect
