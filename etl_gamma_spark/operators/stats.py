@@ -150,3 +150,23 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Per-equivalence-class k-anonymity audit over the given
+    quasi-identifier columns: each distinct quasi-identifier combination
+    with its population and whether it falls below the ``k`` re-
+    identification floor (the governance sibling of pii_redact and
+    propagate_deletes — release gates run on exactly this report).
+
+    One hash aggregate with map-side combine; NULL quasi-values form
+    their own class (they are a linkable signal too). Output:
+    (*quasi_cols, group_n, at_risk).
+    """
+    if not quasi_cols:
+        raise ValueError("at least one quasi-identifier column required")
+    return df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("long").alias("group_n")
+    ).withColumn("at_risk", (F.col("group_n") < k).cast("int"))

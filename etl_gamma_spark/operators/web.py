@@ -160,3 +160,67 @@ def domain_mix(docs_with_url: DataFrame, url_col: str = "url") -> DataFrame:
         f"CAST({T.idiv('(2000 * n_chars + __total)', '(2 * __total)', S)} AS BIGINT)"
         " AS share_permille",
     )
+
+
+# --- HTML → text extraction -------------------------------------------------
+
+
+def synth_html_expr(doc_id: str, source: str, text: str, d: str) -> str:
+    """Deterministic HTML page wrapping a fixture document: head/title,
+    a nav boilerplate block (must NOT survive extraction), heading,
+    body paragraphs, and escaped entities."""
+    return (
+        f"concat('<html><head><title>', {source}, ' #', {T.tostr(doc_id, d)}, "
+        f"'</title></head><body>', "
+        f"'<nav class=\"menu\"><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>', "
+        f"'<h1>', {source}, '</h1> <p>', {text}, '</p> ', "
+        f"'<p>Tom &amp; Jerry &lt;3 &quot;quoted&quot;</p>', "
+        f"'</body></html>')"
+    )
+
+
+def html_to_text_expr(html: str, d: str) -> str:
+    """Main-content text from an HTML string (trafilatura-lite, pure
+    regex — the per-row projection shape of the C4 extraction step):
+
+    1. drop boilerplate container blocks (nav/script/style, non-greedy);
+    2. strip every remaining tag;
+    3. unescape the common entities (&amp; LAST, per the standard);
+    4. squeeze runs of spaces and trim.
+
+    Non-greedy ``.*?`` and the character-class-only patterns behave
+    identically in Java regex and RE2; no backslash escapes anywhere.
+    """
+    t0 = T.regex_strip(html, "<(nav|script|style)[^>]*>.*?</(nav|script|style)>", d)
+    # tags become SPACES (not ''): block boundaries must separate words —
+    # '</title><h1>' gluing adjacent text is the classic extractor bug
+    if d == S:
+        t1 = f"regexp_replace({t0}, '<[^>]*>', ' ')"
+    else:
+        t1 = f"regexp_replace({t0}, '<[^>]*>', ' ', 'g')"
+    t2 = (
+        f"replace(replace(replace(replace({t1}, "
+        f"'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&amp;', '&')"
+    )
+    if d == S:
+        squeezed = f"regexp_replace({t2}, '[ ]+', ' ')"
+    else:
+        squeezed = f"regexp_replace({t2}, '[ ]+', ' ', 'g')"
+    return f"trim({squeezed})"
+
+
+def with_html(documents: DataFrame) -> DataFrame:
+    """Attach the deterministic synthetic ``html`` column (carrier input)."""
+    return spread(documents).selectExpr(
+        "*", f"{synth_html_expr('doc_id', 'source', 'text', S)} AS html"
+    )
+
+
+def html_extract(docs_with_html: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, clean_text, clean_chars): extracted main content. A
+    narrow codegen projection — no shuffle, no Python; at 100 TB this is
+    the map stage in front of every text operator in this package."""
+    return docs_with_html.selectExpr(
+        "doc_id",
+        f"{html_to_text_expr(html_col, S)} AS clean_text",
+    ).selectExpr("doc_id", "clean_text", "length(clean_text) AS clean_chars")

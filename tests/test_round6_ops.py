@@ -831,3 +831,34 @@ def test_domain_mix_shares_are_half_up_permille(spark, docs):
     for r in rows:
         expect = (2000 * r.n_chars + total) // (2 * total)
         assert r.share_permille == expect
+
+
+def test_html_extract_strips_boilerplate_and_unescapes(spark, docs):
+    from etl_gamma_spark.operators.web import html_extract, with_html
+
+    out = html_extract(with_html(docs)).orderBy("doc_id").limit(5).collect()
+    assert len(out) == 5
+    for r in out:
+        assert "Home" not in r.clean_text and "About" not in r.clean_text
+        assert "<p>" not in r.clean_text and "&amp;" not in r.clean_text
+        assert r.clean_text.endswith('Tom & Jerry <3 "quoted"')
+        assert r.clean_chars == len(r.clean_text)
+        assert "  " not in r.clean_text
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from etl_gamma_spark.operators.stats import k_anonymity_report
+
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, None)],
+        "nat int, seg string",
+    )
+    got = {r.seg: (r.group_n, r.at_risk)
+           for r in k_anonymity_report(df, ["seg"], k=3).collect()}
+    assert got["A"] == (3, 0)
+    assert got["B"] == (1, 1)
+    assert got[None] == (1, 1)  # NULL quasi-values form their own class
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_anonymity_report(df, [], k=3)

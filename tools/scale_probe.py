@@ -78,6 +78,12 @@ PROBE_QUERIES = [
     "hdr_value_percentiles",
     "split_leakage_pairs",
     "incremental_neardup",
+    # round-6 third batch: compressed-domain ANN (rerank pool fixed, so
+    # the candidate stage is the part that scales) and the URL ops
+    # (narrow projections + one hash agg — expect ~linear).
+    "embedding_sq8_topk",
+    "url_dedup",
+    "domain_mix",
 ]
 
 
