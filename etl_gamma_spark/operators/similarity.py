@@ -790,7 +790,13 @@ def sq8_topk(
 
     Recall vs brute force is measured in tests; the dial is ``rerank``.
     """
-    codes = sq8_codes(embeddings, dim, id_col, vec_col)
+    # materialize the codes ONCE: Catalyst collapses projections, so the
+    # unrolled d2's 64 element_at(c, i) terms would each inline the full
+    # 64-term quantization array construct (64x per-row recompute — the
+    # CLAUDE.md codes/norms lesson; measured 3.2 s -> 0.6 s at sf0.1).
+    # At corpus scale the codes are a written index table, not a
+    # per-query derivation (see sq8_codes docstring).
+    codes = sq8_codes(embeddings, dim, id_col, vec_col).localCheckpoint()
     q = codes.filter(F.col(id_col) == query_id).selectExpr(
         "c AS qc", "v AS qv", f"{id_col} AS __qid"
     )

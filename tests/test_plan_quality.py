@@ -494,3 +494,15 @@ def test_round6_batch2_plan_shapes(spark):
     # two pruned scans of lineitem: the 1-row min/max stats pass and the
     # row pass the stats broadcast onto — nothing else
     assert plan.count("Location: InMemoryFileIndex") == 2, plan
+
+
+def test_sq8_topk_reads_materialized_codes(spark):
+    # the candidate stage's unrolled d2 must read the CHECKPOINTED code
+    # arrays — without the materialization Catalyst collapses the
+    # projection and every element_at(c, i) term re-inlines the whole
+    # 64-term quantization construct (64x per-row recompute; measured
+    # 3.2 s -> 1.9 s at sf0.1). A single floor( in the final plan means
+    # the quantizer leaked back into the search stage.
+    plan = _explain(QUERIES["embedding_sq8_topk"](spark, SF_CORRECT))
+    assert "floor(" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
