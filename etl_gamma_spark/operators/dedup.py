@@ -358,10 +358,14 @@ def neardup_clusters(
             .agg(F.min("cluster_id").alias("nbr_label"))
             .withColumnRenamed("nbr", id_col)
         )
-        new_labels = (
+        # carry the OLD label through the checkpoint so the convergence
+        # probe is a filter over the materialized frame, not another
+        # corpus-wide join per round
+        stepped = (
             labels.join(nbr_min, id_col, "left")
             .select(
                 F.col(id_col),
+                F.col("cluster_id").alias("__old"),
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_label", "cluster_id")
                 ).alias("cluster_id"),
@@ -369,13 +373,9 @@ def neardup_clusters(
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
+            stepped.filter(F.col("cluster_id") != F.col("__old")).limit(1).count()
         )
-        labels = new_labels
+        labels = stepped.select(id_col, "cluster_id")
         if changed == 0:
             converged = True
             break
