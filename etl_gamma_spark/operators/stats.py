@@ -170,3 +170,94 @@ def k_anonymity_report(
     return df.groupBy(*quasi_cols).agg(
         F.count("*").cast("long").alias("group_n")
     ).withColumn("at_risk", (F.col("group_n") < k).cast("int"))
+
+
+# --- PSI distribution-drift monitor ----------------------------------------
+#
+# Text-pinned stages shared verbatim with the DuckDB oracle (identical
+# text → identical IEEE evaluation order → bit-identical doubles). The
+# log uses the engine-portable expansion from operators/retrieval.py
+# (native ln differs JVM-vs-glibc in the last ulp on this host):
+# 20 nested sqrt + 2-term atanh series, |err| < 1e-8.
+# Laplace-smoothed proportions keep empty bins finite:
+#   p = (na + 1) / (tot_a + n_bins),  q = (nb + 1) / (tot_b + n_bins)
+# x = p / q computed as one division over exact BIGINT cross-products
+# (correctly rounded in both engines); each bin's term is quantized to
+# DECIMAL(18,9) so any later total is an order-independent decimal sum.
+
+PSI_X_SQL = (
+    "((CAST((na + 1) AS DOUBLE) * CAST((tot_b + {n}) AS DOUBLE))"
+    " / (CAST((nb + 1) AS DOUBLE) * CAST((tot_a + {n}) AS DOUBLE)))"
+)
+PSI_PMQ_SQL = (
+    "((CAST((na + 1) AS DOUBLE) / CAST((tot_a + {n}) AS DOUBLE))"
+    " - (CAST((nb + 1) AS DOUBLE) / CAST((tot_b + {n}) AS DOUBLE)))"
+)
+PSI_S_SQL = "sqrt(" * 20 + "x" + ")" * 20
+PSI_T_SQL = "((s - 1.0) / (s + 1.0))"
+PSI_LN9_SQL = (
+    "CAST(ROUND((2097152.0 * (t + (((t * t) * t) / 3.0))), 9)"
+    " AS DECIMAL(18,9))"
+)
+PSI_TERM_SQL = "CAST(ROUND(pmq * CAST(ln9 AS DOUBLE), 9) AS DECIMAL(18,9))"
+
+
+def psi_bin_expr(value_col: str, bin_width: str, n_bins: int) -> str:
+    """Fixed-width clamped bin id (bin_width is SQL literal TEXT so both
+    engines parse the identical double)."""
+    return (
+        f"least({n_bins - 1}, greatest(0, "
+        f"CAST(floor(CAST({value_col} AS DOUBLE) / {bin_width}) AS INT)))"
+    )
+
+
+def psi_drift(
+    base: DataFrame,
+    curr: DataFrame,
+    value_col: str,
+    bin_width: str = "25000.0",
+    n_bins: int = 20,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift gate between a training-time baseline
+    and a serving/current window (PSI > 0.2 ≈ action threshold; the
+    TOTAL is SUM(psi_term) over this per-bin report).
+
+    Two map-side-combined histogram aggregates (n_bins rows each), a
+    tiny full-outer bin join, and a 1-row totals broadcast — nothing
+    scales with the corpus after the two scans. Output:
+    (bin, n_base, n_curr, psi_term DECIMAL(18,9)).
+    """
+    from .similarity import bcast_attach
+
+    bexpr = psi_bin_expr(value_col, bin_width, n_bins)
+    ha = base.selectExpr(f"{bexpr} AS bin").groupBy("bin").agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    hb = curr.selectExpr(f"{bexpr} AS bin").groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    j = (
+        ha.join(hb, "bin", "full_outer")
+        .selectExpr(
+            "bin",
+            "CAST(coalesce(na, 0) AS BIGINT) AS na",
+            "CAST(coalesce(nb, 0) AS BIGINT) AS nb",
+        )
+    )
+    totals = j.agg(
+        F.sum("na").alias("tot_a"), F.sum("nb").alias("tot_b")
+    )
+    n = str(n_bins)
+    return (
+        bcast_attach(j, totals, "bin", "tot_a")
+        .selectExpr(
+            "bin", "na AS n_base", "nb AS n_curr",
+            PSI_X_SQL.format(n=n) + " AS x",
+            PSI_PMQ_SQL.format(n=n) + " AS pmq",
+        )
+        .selectExpr("bin", "n_base", "n_curr", "pmq", f"{PSI_S_SQL} AS s")
+        .selectExpr("bin", "n_base", "n_curr", "pmq", f"{PSI_T_SQL} AS t")
+        .selectExpr("bin", "n_base", "n_curr", "pmq", f"{PSI_LN9_SQL} AS ln9")
+        .selectExpr("bin", "n_base", "n_curr", f"{PSI_TERM_SQL} AS psi_term")
+    )

@@ -5035,6 +5035,52 @@ def q_html_text_extract(spark, sf_dir):
     return WEB.html_extract(WEB.with_html(spark.table("documents")))
 
 
+def _psi_sql() -> str:
+    from .operators import stats as ST
+
+    bexpr = ST.psi_bin_expr("o_totalprice", "25000.0", 20)
+    n = "20"
+    x = ST.PSI_X_SQL.format(n=n)
+    pmq = ST.PSI_PMQ_SQL.format(n=n)
+    return f"""
+WITH ha AS (
+    SELECT {bexpr} AS bin, CAST(COUNT(*) AS BIGINT) AS na
+    FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+),
+hb AS (
+    SELECT {bexpr} AS bin, CAST(COUNT(*) AS BIGINT) AS nb
+    FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+),
+j AS (
+    SELECT bin, coalesce(na, CAST(0 AS BIGINT)) AS na,
+           coalesce(nb, CAST(0 AS BIGINT)) AS nb
+    FROM ha FULL JOIN hb USING (bin)
+),
+tot AS (SELECT CAST(SUM(na) AS BIGINT) AS tot_a,
+               CAST(SUM(nb) AS BIGINT) AS tot_b FROM j),
+s1 AS (SELECT bin, na AS n_base, nb AS n_curr, {x} AS x, {pmq} AS pmq
+       FROM j, tot),
+s2 AS (SELECT bin, n_base, n_curr, pmq, {ST.PSI_S_SQL} AS s FROM s1),
+s3 AS (SELECT bin, n_base, n_curr, pmq, {ST.PSI_T_SQL} AS t FROM s2),
+s4 AS (SELECT bin, n_base, n_curr, pmq, {ST.PSI_LN9_SQL} AS ln9 FROM s3)
+SELECT bin, n_base, n_curr, {ST.PSI_TERM_SQL} AS psi_term FROM s4
+"""
+
+
+@query("orders_price_drift_psi", _psi_sql())
+def q_orders_price_drift_psi(spark, sf_dir):
+    from .operators.stats import psi_drift
+
+    orders = spark.table("orders")
+    return psi_drift(
+        orders.filter("year(o_orderdate) = 1995"),
+        orders.filter("year(o_orderdate) = 1996"),
+        "o_totalprice",
+        "25000.0",
+        20,
+    )
+
+
 @query(
     "customer_k_anonymity",
     """
@@ -5370,6 +5416,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "domain_mix",
     "html_text_extract",
     "customer_k_anonymity",
+    "orders_price_drift_psi",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",

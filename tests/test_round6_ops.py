@@ -862,3 +862,29 @@ def test_k_anonymity_flags_small_groups(spark):
 
     with _pytest.raises(ValueError):
         k_anonymity_report(df, [], k=3)
+
+
+def test_psi_drift_detects_shift_and_matches_python_model(spark):
+    import math
+
+    from etl_gamma_spark.operators.stats import psi_drift
+
+    # base ~ bins 0-3, curr shifted up — PSI must be clearly positive
+    base = spark.createDataFrame([(float(i % 4),) for i in range(200)], "v double")
+    curr = spark.createDataFrame([(float(i % 4 + 4),) for i in range(200)], "v double")
+    rows = psi_drift(base, curr, "v", "1.0", 10).collect()
+    total = float(sum(r.psi_term for r in rows))
+    assert total > 0.5, total
+    # identical distributions -> every term exactly 0
+    same = psi_drift(base, base, "v", "1.0", 10).collect()
+    assert all(float(r.psi_term) == 0.0 for r in same)
+    # python recomputation of one bin (true-ln model, loose tolerance —
+    # the portable log is within 1e-8 of math.log)
+    na = {r.bin: r.n_base for r in rows}
+    nb = {r.bin: r.n_curr for r in rows}
+    for b in na:
+        p = (na[b] + 1) / (sum(na.values()) + 10)
+        q = (nb[b] + 1) / (sum(nb.values()) + 10)
+        expect = (p - q) * math.log(p / q)
+        got = float(next(r.psi_term for r in rows if r.bin == b))
+        assert abs(got - expect) < 1e-6, (b, got, expect)
