@@ -79,3 +79,37 @@ def salted_join(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn(SALT, F.col(SALT).cast("long"))
     return big_salted.join(small_rep, [on, SALT], how).drop(SALT)
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Pre-join key-skew diagnostic: the measurement behind every
+    salting / AQE-skew-join decision. For the ``top_k`` hottest values of
+    ``key_col``: group size, HALF_UP permille share of all rows, and a
+    skew factor (how many times the average group size, as HALF_UP
+    percent — 100 = exactly average).
+
+    One map-side-combined histogram aggregate, a TakeOrdered top-k (never
+    a global sort), and a 1-row totals broadcast; integer arithmetic
+    throughout, so the report is engine-exact. Output:
+    (key, n, share_permille, skew_x_pct, rows_total, n_keys).
+    """
+    from .similarity import bcast_attach
+
+    h = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = h.agg(
+        F.sum("n").alias("rows_total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = h.orderBy(F.desc("n"), F.col("key")).limit(top_k)
+    return bcast_attach(top, tot, "key", "rows_total").selectExpr(
+        "key",
+        "n",
+        "CAST(((2000 * n + rows_total) DIV (2 * rows_total)) AS BIGINT)"
+        " AS share_permille",
+        "CAST(((200 * n * n_keys + rows_total) DIV (2 * rows_total)) AS BIGINT)"
+        " AS skew_x_pct",
+        "rows_total",
+        "n_keys",
+    )

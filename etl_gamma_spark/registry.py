@@ -5067,6 +5067,31 @@ SELECT bin, n_base, n_curr, {ST.PSI_TERM_SQL} AS psi_term FROM s4
 """
 
 
+@query(
+    "event_key_skew",
+    """
+WITH h AS (
+    SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS rows_total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys FROM h),
+top AS (SELECT key, n FROM h ORDER BY n DESC, key LIMIT 10)
+SELECT key, n,
+       CAST(((2000 * n + rows_total) // (2 * rows_total)) AS BIGINT)
+           AS share_permille,
+       CAST(((200 * n * n_keys + rows_total) // (2 * rows_total)) AS BIGINT)
+           AS skew_x_pct,
+       rows_total, n_keys
+FROM top, tot
+""",
+)
+def q_event_key_skew(spark, sf_dir):
+    from .operators.skew import key_skew_report
+
+    return key_skew_report(spark.table("events"), "event_type", top_k=10)
+
+
 @query("orders_price_drift_psi", _psi_sql())
 def q_orders_price_drift_psi(spark, sf_dir):
     from .operators.stats import psi_drift
@@ -5417,6 +5442,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "html_text_extract",
     "customer_k_anonymity",
     "orders_price_drift_psi",
+    "event_key_skew",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",

@@ -146,3 +146,21 @@ def test_cap_hot_keys_huge_hot_list_falls_back_to_shuffle(spark):
     assert cap_hot_keys(df, ["k"], limit=4).count() == 0
     kept = cap_hot_keys(df, ["k"], limit=5, max_broadcast_keys=100)
     assert kept.count() == 2_000
+
+
+def test_key_skew_report_integer_shares(spark):
+    from etl_gamma_spark.operators.skew import key_skew_report
+
+    df = spark.createDataFrame(
+        [("hot",)] * 70 + [("warm",)] * 20 + [("a",), ("b",), ("c",)]
+        + [("d",)] * 7,
+        "k string",
+    )
+    rows = {r.key: r for r in key_skew_report(df, "k", top_k=3).collect()}
+    assert set(rows) == {"hot", "warm", "d"}  # top-3 by count
+    hot = rows["hot"]
+    assert hot.rows_total == 100 and hot.n_keys == 6
+    assert hot.share_permille == 700
+    # 70 rows vs average 100/6: 70*6*100/100 = 420% of average
+    assert hot.skew_x_pct == 420
+    assert rows["warm"].share_permille == 200
