@@ -17,3 +17,14 @@ def test_quickstart_runs_clean():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "written to /tmp/quickstart_out" in proc.stdout
     assert "docs after exact dedup:" in proc.stdout
+
+
+def test_web_curation_example_runs_clean():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "web_curation.py")],
+        capture_output=True, text=True, timeout=420, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "canonical URLs:" in proc.stdout
+    assert "after near-dup prune:" in proc.stdout
