@@ -659,3 +659,47 @@ def hash_classifier_score(
         "margin_micro",
         "CASE WHEN margin_micro > 0 THEN 'keep' ELSE 'drop' END AS verdict",
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    budget: int,
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled sampling WEIGHTS from corpus statistics — the
+    multilingual/multi-source mixture rule (mT5/XLM-R style) at the
+    standard alpha = 0.5: a source's sampling probability is proportional
+    to sqrt(its document count), which upweights small sources relative
+    to raw proportions without letting any one dominate.
+
+    alpha is FIXED at 0.5 because sqrt is an IEEE correctly-rounded
+    operation — both engines compute the identical double from the
+    identical count — where a general pow() is libm-dependent (the same
+    reason the portable log exists). Each sqrt is quantized once per
+    SOURCE to DECIMAL(18,6); all shares then come from integer
+    micro-unit arithmetic (HALF_UP DIV), so the whole report is
+    engine-exact. Output: (source, n_docs, weight_ppm, target_n) where
+    target_n is the per-source allocation of ``budget`` documents.
+
+    Scale posture: one stratum-count aggregate (map-side combined), a
+    1-row decimal-sum broadcast, integer projection. The downstream
+    keep-filter is :func:`source_mix` with these weights.
+    """
+    h = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    sq = h.selectExpr(
+        stratum_col,
+        "n_docs",
+        # width 19 decimal forces hugeint multiply in DuckDB (the int64
+        # decimal-multiply overflow lesson); Spark widens identically
+        "CAST(CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(19,6))"
+        " * 1000000 AS BIGINT) AS __u",
+    )
+    tot = sq.agg(F.sum("__u").cast("long").alias("__tot"))
+    return bcast_attach(sq, tot, stratum_col, "__tot").selectExpr(
+        stratum_col,
+        "n_docs",
+        "CAST(((2 * 1000000 * __u + __tot) DIV (2 * __tot)) AS BIGINT)"
+        " AS weight_ppm",
+        f"CAST(((2 * {budget} * __u + __tot) DIV (2 * __tot)) AS BIGINT)"
+        " AS target_n",
+    )

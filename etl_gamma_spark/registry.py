@@ -5068,6 +5068,34 @@ SELECT bin, n_base, n_curr, {ST.PSI_TERM_SQL} AS psi_term FROM s4
 
 
 @query(
+    "temperature_source_mix",
+    """
+WITH h AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+),
+sq AS (
+    SELECT source, n_docs,
+           CAST(CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(19,6))
+                * 1000000 AS BIGINT) AS __u
+    FROM h
+),
+tot AS (SELECT CAST(SUM(__u) AS BIGINT) AS __tot FROM sq)
+SELECT source, n_docs,
+       CAST(((2 * 1000000 * __u + __tot) // (2 * __tot)) AS BIGINT)
+           AS weight_ppm,
+       CAST(((2 * 100000 * __u + __tot) // (2 * __tot)) AS BIGINT)
+           AS target_n
+FROM sq, tot
+""",
+)
+def q_temperature_source_mix(spark, sf_dir):
+    from .operators.quality import temperature_mix
+
+    return temperature_mix(spark.table("documents"), budget=100000)
+
+
+@query(
     "event_key_skew",
     """
 WITH h AS (
@@ -5443,6 +5471,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "customer_k_anonymity",
     "orders_price_drift_psi",
     "event_key_skew",
+    "temperature_source_mix",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",

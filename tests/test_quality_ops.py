@@ -362,3 +362,24 @@ def test_bm25_and_lm_nll_behavior(spark):
     p = (8 + 0.5) / (10 + 0.5 * vocab)
     expect = -math.log(p)
     assert abs(float(rows.avg_nll) - expect) < 1e-6, (rows, expect)
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    import math
+
+    from etl_gamma_spark.operators.quality import temperature_mix
+
+    df = spark.createDataFrame(
+        [("big", i) for i in range(900)] + [("small", i) for i in range(100)],
+        "source string, doc_id long",
+    )
+    rows = {r.source: r for r in temperature_mix(df, budget=1000).collect()}
+    # raw shares are 900/100; sqrt-temperature pulls toward 750/250
+    su = {s: round(math.sqrt(rows[s].n_docs), 6) for s in rows}
+    tot = sum(su.values())
+    for s in rows:
+        expect_ppm = int((2 * 1_000_000 * int(su[s] * 1e6) + int(tot * 1e6))
+                         // (2 * int(tot * 1e6)))
+        assert rows[s].weight_ppm == expect_ppm
+    assert rows["small"].weight_ppm * 4 > rows["big"].weight_ppm  # 250k vs 750k
+    assert abs(rows["big"].target_n + rows["small"].target_n - 1000) <= 1
