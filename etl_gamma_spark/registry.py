@@ -5067,6 +5067,26 @@ SELECT bin, n_base, n_curr, {ST.PSI_TERM_SQL} AS psi_term FROM s4
 """
 
 
+from .streaming.enrich import run_enriched_rollup  # noqa: E402
+
+
+@query(
+    "streaming_dim_enrich",
+    # stream-static hash join: the static dim re-plans per micro-batch,
+    # so the availableNow complete-mode rollup equals the batch join+agg
+    """
+SELECT c.c_mktsegment, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value, 6) AS DECIMAL(18,6))) AS DECIMAL(18,6))
+           AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def q_streaming_dim_enrich(spark, sf_dir):
+    return run_enriched_rollup(spark, sf_dir, query_name="dim_enriched_events")
+
+
 @query(
     "temperature_source_mix",
     """
@@ -5472,6 +5492,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "orders_price_drift_psi",
     "event_key_skew",
     "temperature_source_mix",
+    "streaming_dim_enrich",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",
