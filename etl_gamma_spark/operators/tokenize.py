@@ -1,0 +1,135 @@
+"""Distributed BPE (byte-pair encoding) vocabulary training — the
+tokenizer-construction step of an LLM data pipeline (Sennrich et al.
+2016), expressed Spark-first:
+
+  * the corpus collapses to a WORD HISTOGRAM first (one hash aggregate;
+    at 100 TB the histogram is orders of magnitude smaller than the
+    corpus and is the only thing the merge loop ever touches);
+  * each merge round is one explode→groupBy pair count (map-side
+    combined, weighted by word frequency) + a deterministic argmax
+    (count DESC, then pair text — a total order, so training is
+    reproducible on any partitioning) + one projection applying the
+    merge to every word's symbol array;
+  * the driver holds NO data — the winning pair attaches via a 1-row
+    broadcast join and the loop carries only the round counter;
+    per-round localCheckpoint truncates the iterative lineage.
+
+The merge application is a sequential left fold over the symbol array
+(``aggregate``): append the next symbol, or fuse it into the
+accumulator's tail when (tail, next) equals the winning pair. HOF
+lambdas are interpreted per element (CLAUDE.md), which is acceptable
+here by design: the fold runs over the WORD HISTOGRAM (vocabulary-sized,
+not corpus-sized) during offline index/vocab construction, not in any
+per-document hot path.
+
+No DuckDB oracle — the training loop is genuinely iterative (the driver
+records a rows-only check) — so correctness is pinned the stronger way:
+tests/test_round6_ops.py re-trains the same corpus with a pure-Python
+reference BPE and asserts the full merge table matches EXACTLY (integer
+counts + total-order tiebreaks make the result engine-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..io import spread
+from .similarity import bcast_attach
+
+S = T.SPARK
+
+END = "</w>"  # classic end-of-word marker: merges can't cross words
+
+
+def word_histogram(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, n): corpus word frequencies — the only corpus-sized pass."""
+    return (
+        spread(docs)
+        .selectExpr(f"explode({T.split_ws(f'lower({text_col})', S)}) AS word")
+        .filter("word != ''")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """Split each word into single-character symbols + the end marker."""
+    return words.selectExpr(
+        "word",
+        "n",
+        # split(word, '') may emit empty fragments at the edges — drop them
+        f"concat(filter(split(word, ''), x -> x != ''), array('{END}')) AS syms",
+    )
+
+
+_MERGE_FOLD = """
+aggregate(
+    syms,
+    CAST(array() AS ARRAY<STRING>),
+    (acc, x) -> CASE
+        WHEN size(acc) > 0
+             AND element_at(acc, -1) = __pa AND x = __pb
+        THEN concat(slice(acc, 1, size(acc) - 1), array(concat(__pa, __pb)))
+        ELSE concat(acc, array(x))
+    END
+)
+"""
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Output: (merge_rank, lhs, rhs, pair_count) — the ordered merge
+    table (the artifact a tokenizer ships). merge_rank starts at 1.
+    """
+    syms = _initial_symbols(word_histogram(docs, text_col)).localCheckpoint()
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            syms.selectExpr(
+                "n",
+                "posexplode(slice(syms, 1, size(syms) - 1)) AS (i, a)",
+                "syms",
+            )
+            .selectExpr("n", "a", "element_at(syms, i + 2) AS b")
+            .groupBy("a", "b")
+            .agg(F.sum("n").alias("pair_count"))
+        )
+        top = (
+            pairs.orderBy(F.desc("pair_count"), "a", "b")
+            .limit(1)
+            .selectExpr(
+                "a AS __pa", "b AS __pb", "pair_count AS __pc"
+            )
+        )
+        if top.isEmpty():  # degenerate corpus: nothing left to merge
+            break
+        syms = (
+            bcast_attach(syms, top, "word", "__pa")
+            .selectExpr("word", "n", f"{_MERGE_FOLD} AS syms", "__pa", "__pb", "__pc")
+            .localCheckpoint()
+        )
+        row = syms.select("__pa", "__pb", "__pc").limit(1)
+        merges.append(
+            row.selectExpr(
+                f"CAST({rank} AS INT) AS merge_rank",
+                "__pa AS lhs",
+                "__pb AS rhs",
+                "CAST(__pc AS BIGINT) AS pair_count",
+            )
+        )
+        syms = syms.select("word", "n", "syms")
+    if not merges:
+        raise ValueError("corpus produced no mergeable pairs")
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

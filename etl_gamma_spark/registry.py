@@ -5067,6 +5067,20 @@ SELECT bin, n_base, n_curr, {ST.PSI_TERM_SQL} AS psi_term FROM s4
 """
 
 
+# bpe_merges is the registry's one deliberately ORACLE-LESS entry (the
+# driver records a rows-only check): BPE training is genuinely iterative,
+# and the tempting string-replace restatement provably diverges from the
+# greedy left fold on symbol RUNS ('a a a a' merges to [aa,aa] under BPE
+# but [aa,a,a] under non-overlapping replace). Correctness is pinned the
+# stronger way — an exact-match pure-Python reference BPE in
+# tests/test_round6_ops.py.
+@query("bpe_merges")
+def q_bpe_merges(spark, sf_dir):
+    from .operators.tokenize import bpe_train
+
+    return bpe_train(spark.table("documents"), n_merges=8)
+
+
 from .streaming.enrich import run_enriched_rollup  # noqa: E402
 
 
@@ -5493,6 +5507,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "event_key_skew",
     "temperature_source_mix",
     "streaming_dim_enrich",
+    "bpe_merges",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",

@@ -888,3 +888,61 @@ def test_psi_drift_detects_shift_and_matches_python_model(spark):
         expect = (p - q) * math.log(p / q)
         got = float(next(r.psi_term for r in rows if r.bin == b))
         assert abs(got - expect) < 1e-6, (b, got, expect)
+
+
+# --- BPE training ----------------------------------------------------------
+
+
+def _py_bpe(word_counts, n_merges):
+    """Pure-Python reference BPE: greedy-left fold application, argmax by
+    (count DESC, lhs, rhs) — the exact contract of operators/tokenize.py."""
+    syms = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = {}
+        for w, c in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b, n))
+        for w in syms:
+            out = []
+            for x in syms[w]:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference_on_fixture(spark, docs):
+    from etl_gamma_spark.operators.tokenize import bpe_train, word_histogram
+
+    counts = {r.word: r.n for r in word_histogram(docs).collect()}
+    want = _py_bpe(counts, 8)
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_train(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert got == want
+
+
+def test_bpe_fold_handles_symbol_runs_greedily(spark):
+    # 'aaaaaa' must fold greedily to [aa, aa, aa] after merging (a, a) —
+    # a non-greedy / non-overlapping-replace application would leave
+    # stray 'a' symbols and round 2 would not see (aa, aa) dominate
+    from etl_gamma_spark.operators.tokenize import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaa aaaaaa")], "doc_id long, text string"
+    )
+    rows = bpe_train(df, n_merges=2).orderBy("merge_rank").collect()
+    # round 1: (a, a) appears 5x per word x2 words
+    assert (rows[0].lhs, rows[0].rhs, rows[0].pair_count) == ("a", "a", 10)
+    # greedy: each word is now [aa, aa, aa, </w>] -> (aa, aa) = 2x2 = 4,
+    # beating (aa, </w>) = 2; any non-greedy application breaks this
+    assert (rows[1].lhs, rows[1].rhs, rows[1].pair_count) == ("aa", "aa", 4)
