@@ -380,3 +380,103 @@ def png_header_stats(media: DataFrame) -> DataFrame:
             F.max("height").alias("max_height"),
         )
     )
+
+
+# JPEG SOF — the third codec sibling, and the structurally hard one: the
+# frame header (SOFn) sits at a VARIABLE offset behind a chain of
+# variable-length segments (APP0, COM, ...), so the parse is a bounded
+# MARKER WALK, not a fixed hex window. Each walk step is its own bound
+# projection (offsets reused across steps stay single-evaluated — the
+# same staged-column discipline as the BM25/PSI pipelines), and every
+# step is plain hex/substr arithmetic available in both engines.
+
+JPEG_SOI_HEX = "FFD8"
+JPEG_SOF_MARKERS = ("FFC0", "FFC2")  # baseline + progressive
+JPEG_WALK_STEPS = 4  # segments scanned before giving up (bounded walk)
+
+
+def be16_at_expr(hex_col: str, off_expr: str, d: str) -> str:
+    """Big-endian uint16 at a VARIABLE 0-based byte offset (column
+    expression). try-cast semantics: an out-of-range window yields NULL,
+    never an error — corpus scans must survive junk rows."""
+    win = f"substr({hex_col}, 2 * ({off_expr}) + 1, 4)"
+    if d == WAV_SPARK:
+        return f"CAST(conv({win}, 16, 10) AS BIGINT)"
+    return f"TRY_CAST(('0x' || {win}) AS BIGINT)"
+
+
+def marker_at_expr(hex_col: str, off_expr: str) -> str:
+    """The 2-byte marker at a variable offset, as 4 hex chars (dialect-
+    identical)."""
+    return f"substr({hex_col}, 2 * ({off_expr}) + 1, 4)"
+
+
+def jpeg_hex_expr(height: str, width: str, com_pad: str, d: str) -> str:
+    """Hex of a structurally valid JPEG header: SOI, a 16-byte APP0/JFIF
+    segment, a COM segment of VARIABLE length (``com_pad`` payload bytes
+    — this is what forces real marker walking), then SOF0 carrying the
+    geometry. Segment lengths are honest (len field includes itself)."""
+
+    def be(val: str, n: int) -> str:
+        return f"lpad(hex({val}), {2 * n}, '0')"
+
+    app0 = f"'FFE0', {be('16', 2)}, '4A46494600', repeat('00', 9)"
+    com = f"'FFFE', {be(f'2 + ({com_pad})', 2)}, repeat('41', {com_pad})"
+    sof0 = (
+        f"'FFC0', {be('17', 2)}, '08', {be(height, 2)}, {be(width, 2)}, "
+        f"'03', repeat('011100', 3)"
+    )
+    return f"concat('{JPEG_SOI_HEX}', {app0}, {com}, {sof0}, 'FFDA')"
+
+
+def synth_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Deterministic JPEG-header corpus from the documents fixture; the
+    COM padding varies per row so the SOF offset is data-dependent."""
+    from ..io import spread
+
+    h = jpeg_hex_expr(
+        "CAST(120 + doc_id % 600 AS BIGINT)",
+        "CAST(160 + n_chars % 800 AS BIGINT)",
+        "CAST(4 + n_chars % 13 AS INT)",
+        WAV_SPARK,
+    )
+    return spread(docs).selectExpr(
+        "doc_id AS media_id", f"unhex({h}) AS payload"
+    )
+
+
+def jpeg_dims(media: DataFrame) -> DataFrame:
+    """(media_id, width, height) parsed via the bounded marker walk.
+    Rows whose SOI is missing or whose SOF is not found within
+    JPEG_WALK_STEPS segments are dropped (junk tolerance)."""
+    d = WAV_SPARK
+    cur = media.selectExpr(
+        "media_id", "upper(hex(payload)) AS __h", "CAST(2 AS BIGINT) AS __o0"
+    )
+    sofs = ", ".join(f"'{m}'" for m in JPEG_SOF_MARKERS)
+    for i in range(JPEG_WALK_STEPS):
+        cur = cur.selectExpr(
+            "*",
+            f"{marker_at_expr('__h', f'__o{i}')} AS __m{i}",
+        ).selectExpr(
+            "*",
+            f"coalesce(__o{i} + 2 + {be16_at_expr('__h', f'__o{i} + 2', d)},"
+            f" __o{i}) AS __o{i + 1}",
+        )
+    first_sof = "CASE " + " ".join(
+        f"WHEN __m{i} IN ({sofs}) THEN __o{i}" for i in range(JPEG_WALK_STEPS)
+    ) + " ELSE NULL END"
+    return (
+        cur.selectExpr(
+            "media_id",
+            "__h",
+            f"substr(__h, 1, 4) = '{JPEG_SOI_HEX}' AS __soi",
+            f"{first_sof} AS __sof",
+        )
+        .filter("__soi AND __sof IS NOT NULL")
+        .selectExpr(
+            "media_id",
+            f"CAST({be16_at_expr('__h', '__sof + 7', d)} AS INT) AS width",
+            f"CAST({be16_at_expr('__h', '__sof + 5', d)} AS INT) AS height",
+        )
+    )

@@ -5067,6 +5067,51 @@ SELECT bin, n_base, n_curr, {ST.PSI_TERM_SQL} AS psi_term FROM s4
 """
 
 
+def _jpeg_dims_sql() -> str:
+    d = _D
+    synth = MM.jpeg_hex_expr(
+        "CAST(120 + doc_id % 600 AS BIGINT)",
+        "CAST(160 + n_chars % 800 AS BIGINT)",
+        "CAST(4 + n_chars % 13 AS INT)",
+        d,
+    )
+    steps = []
+    prev = "s0"
+    for i in range(MM.JPEG_WALK_STEPS):
+        steps.append(
+            f"s{i + 1} AS (SELECT *, {MM.marker_at_expr('__h', f'__o{i}')} AS __m{i}, "
+            f"coalesce(__o{i} + 2 + {MM.be16_at_expr('__h', f'__o{i} + 2', d)}, __o{i})"
+            f" AS __o{i + 1} FROM {prev})"
+        )
+        prev = f"s{i + 1}"
+    sofs = ", ".join(f"'{m}'" for m in MM.JPEG_SOF_MARKERS)
+    first_sof = "CASE " + " ".join(
+        f"WHEN __m{i} IN ({sofs}) THEN __o{i}"
+        for i in range(MM.JPEG_WALK_STEPS)
+    ) + " ELSE NULL END"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH m AS (SELECT doc_id AS media_id, {synth} AS __h FROM documents),
+s0 AS (SELECT media_id, __h, CAST(2 AS BIGINT) AS __o0 FROM m),
+{steps_sql},
+sel AS (
+    SELECT media_id, __h,
+           substr(__h, 1, 4) = '{MM.JPEG_SOI_HEX}' AS __soi,
+           {first_sof} AS __sof
+    FROM {prev}
+)
+SELECT media_id,
+       CAST({MM.be16_at_expr('__h', '__sof + 7', d)} AS INT) AS width,
+       CAST({MM.be16_at_expr('__h', '__sof + 5', d)} AS INT) AS height
+FROM sel WHERE __soi AND __sof IS NOT NULL
+"""
+
+
+@query("jpeg_header_dims", _jpeg_dims_sql())
+def q_jpeg_header_dims(spark, sf_dir):
+    return MM.jpeg_dims(MM.synth_jpeg_media(spark.table("documents")))
+
+
 # bpe_merges is the registry's one deliberately ORACLE-LESS entry (the
 # driver records a rows-only check): BPE training is genuinely iterative,
 # and the tempting string-replace restatement provably diverges from the
@@ -5508,6 +5553,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "temperature_source_mix",
     "streaming_dim_enrich",
     "bpe_merges",
+    "jpeg_header_dims",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",

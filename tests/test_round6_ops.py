@@ -946,3 +946,44 @@ def test_bpe_fold_handles_symbol_runs_greedily(spark):
     # greedy: each word is now [aa, aa, aa, </w>] -> (aa, aa) = 2x2 = 4,
     # beating (aa, </w>) = 2; any non-greedy application breaks this
     assert (rows[1].lhs, rows[1].rhs, rows[1].pair_count) == ("aa", "aa", 4)
+
+
+def test_jpeg_dims_match_python_walker_and_survive_junk(spark):
+    from etl_gamma_spark.operators.multimodal import jpeg_dims, synth_jpeg_media
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_chars=100 + 7 * i, text=f"t{i}") for i in range(12)]
+    )
+    media = synth_jpeg_media(docs)
+
+    def py_walk(b: bytes):
+        if b[:2] != b"\xff\xd8":
+            return None
+        off = 2
+        for _ in range(4):
+            marker = b[off:off + 2]
+            if marker in (b"\xff\xc0", b"\xff\xc2"):
+                return (
+                    int.from_bytes(b[off + 7:off + 9], "big"),   # width
+                    int.from_bytes(b[off + 5:off + 7], "big"),   # height
+                )
+            off = off + 2 + int.from_bytes(b[off + 2:off + 4], "big")
+        return None
+
+    raw = {r.media_id: bytes(r.payload) for r in media.collect()}
+    want = {mid: py_walk(p) for mid, p in raw.items()}
+    got = {r.media_id: (r.width, r.height) for r in jpeg_dims(media).collect()}
+    assert got == {k: v for k, v in want.items() if v is not None}
+    assert len(got) == 12
+    # the COM padding varies per row, so SOF offsets genuinely differ
+    assert len({len(p) for p in raw.values()}) > 1
+
+    # junk rows (not JPEG / truncated) are dropped, never fatal
+    junk = spark.createDataFrame(
+        [Row(media_id=100, payload=bytearray(b"not a jpeg")),
+         Row(media_id=101, payload=bytearray(b"\xff\xd8\xff\xe0\x00"))],
+    )
+    both = media.unionByName(junk)
+    out = jpeg_dims(both).collect()
+    assert {r.media_id for r in out} == set(range(12))
