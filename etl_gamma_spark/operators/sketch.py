@@ -306,3 +306,51 @@ def hdr_percentiles(
         lo.replace("__idx", f"__i{q}") + f" AS p{q}" for q in quantiles
     ]
     return agg.selectExpr(*group_cols, "n_values", *outs)
+
+
+def cms_join_size(
+    a: DataFrame, key_a: str, b: DataFrame, key_b: str
+) -> DataFrame:
+    """Pre-execution JOIN CARDINALITY estimate from two Count-Min
+    sketches (the Cormode & Muthukrishnan inner-product estimator, the
+    sketch a planner consults before picking a join strategy): for each
+    hash row d, sum over buckets of counter_a * counter_b; the estimate
+    is the MIN over rows, and it can only OVERestimate the true
+    |a ⋈ b| = Σ_k n_a(k)·n_b(k) (collisions add, never subtract —
+    pinned by the unit test).
+
+    Both sketches are the fixed 4x256 integer arrays (mergeable,
+    engine-exact); the estimator is a 1024-cell join — constant cost no
+    matter the corpus. The exact size rides along for calibration.
+    Output: one row (est_join_rows, exact_join_rows).
+    """
+    from .similarity import bcast_attach
+
+    ca = cms_build(a, key_a).withColumnRenamed("counter", "ca")
+    cb = cms_build(b, key_b).withColumnRenamed("counter", "cb")
+    per_d = (
+        ca.join(cb, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.expr("ca * cb")).alias("est_d"))
+    )
+    # a depth whose buckets never collide across sides estimates 0 —
+    # re-attach the full depth domain before taking the min
+    ds = a.sparkSession.range(CMS_DEPTH).selectExpr("CAST(id AS INT) AS d")
+    est = (
+        ds.join(per_d, "d", "left")
+        .selectExpr("coalesce(est_d, CAST(0 AS BIGINT)) AS est_d")
+        .agg(F.min("est_d").cast("long").alias("est_join_rows"))
+    )
+    na = a.groupBy(F.col(key_a).alias("__k")).agg(F.count(F.lit(1)).alias("na"))
+    nb = b.groupBy(F.col(key_b).alias("__k")).agg(F.count(F.lit(1)).alias("nb"))
+    exact = (
+        na.join(nb, "__k")
+        .agg(
+            F.coalesce(F.sum(F.expr("na * nb")), F.lit(0))
+            .cast("long")
+            .alias("exact_join_rows")
+        )
+    )
+    return bcast_attach(est, exact, "est_join_rows", "exact_join_rows").select(
+        "est_join_rows", "exact_join_rows"
+    )

@@ -5067,6 +5067,45 @@ SELECT bin, n_base, n_curr, {ST.PSI_TERM_SQL} AS psi_term FROM s4
 """
 
 
+@query(
+    "orders_events_join_size",
+    """
+WITH ds AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+ha AS (SELECT md5(CAST(o_custkey AS VARCHAR)) AS hh FROM orders),
+ca AS (
+    SELECT d, CAST(('0x' || substr(hh, 8 * d + 1, 8)) AS BIGINT) % 256 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS ca
+    FROM ha, ds GROUP BY 1, 2
+),
+hb AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hh FROM events),
+cb AS (
+    SELECT d, CAST(('0x' || substr(hh, 8 * d + 1, 8)) AS BIGINT) % 256 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cb
+    FROM hb, ds GROUP BY 1, 2
+),
+perd AS (
+    SELECT d, CAST(SUM(ca * cb) AS BIGINT) AS est_d
+    FROM ca JOIN cb USING (d, bucket) GROUP BY 1
+),
+alld AS (SELECT ds.d, coalesce(est_d, 0) AS est_d FROM ds LEFT JOIN perd USING (d)),
+est AS (SELECT CAST(MIN(est_d) AS BIGINT) AS est_join_rows FROM alld),
+na AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+nb AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+ex AS (
+    SELECT CAST(coalesce(SUM(na.n * nb.n), 0) AS BIGINT) AS exact_join_rows
+    FROM na JOIN nb USING (k)
+)
+SELECT est_join_rows, exact_join_rows FROM est, ex
+""",
+)
+def q_orders_events_join_size(spark, sf_dir):
+    from .operators.sketch import cms_join_size
+
+    return cms_join_size(
+        spark.table("orders"), "o_custkey", spark.table("events"), "user_id"
+    )
+
+
 def _jpeg_dims_sql() -> str:
     d = _D
     synth = MM.jpeg_hex_expr(
@@ -5554,6 +5593,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "streaming_dim_enrich",
     "bpe_merges",
     "jpeg_header_dims",
+    "orders_events_join_size",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",

@@ -598,3 +598,27 @@ def test_cap_per_group_partition_order_independent(spark):
         for r in cap_per_group(df.repartition(17), "source", 50, "doc_id").collect()
     )
     assert a == b and len(a) == 50
+
+
+def test_cms_join_size_overestimates_and_tracks_exact(spark):
+    from etl_gamma_spark.operators.sketch import cms_join_size
+
+    a = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3, 7]], "k long"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in [1, 2, 2, 2, 4]], "k long"
+    )
+    row = cms_join_size(a, "k", b, "k").collect()[0]
+    # exact |a join b| = 3*1 + 2*3 = 9
+    assert row.exact_join_rows == 9
+    # CMS inner product can only overestimate
+    assert row.est_join_rows >= row.exact_join_rows
+    # with 7 distinct keys in 256 buckets collisions are unlikely: the
+    # estimate should be exact here (deterministic md5 buckets)
+    assert row.est_join_rows == 9
+    # disjoint sides -> exact 0 and estimate >= 0
+    c = spark.createDataFrame([(100,), (101,)], "k long")
+    row2 = cms_join_size(a, "k", c, "k").collect()[0]
+    assert row2.exact_join_rows == 0
+    assert row2.est_join_rows >= 0
