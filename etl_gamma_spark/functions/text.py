@@ -102,6 +102,17 @@ def hexwin(s: str, start: int, length: int, d: str) -> str:
     return f"CAST(('0x' || substr(md5({s}), {start}, {length})) AS BIGINT)"
 
 
+def wint(x: str, d: str) -> str:
+    """Widen an integral expression past 64 bits, dialect-paired: Spark
+    DECIMAL(38,0) vs DuckDB HUGEINT. Both are exact 128-bit-class integer
+    arithmetic; use before multiplying BIGINT sums by 10^scale so the
+    scaled HALF_UP division never overflows. Keep these values internal —
+    the driver boundary only carries the final narrow casts."""
+    return (
+        f"CAST({x} AS DECIMAL(38,0))" if d == SPARK else f"CAST({x} AS HUGEINT)"
+    )
+
+
 def tostr(x: str, d: str) -> str:
     """Integer → string cast, dialect-paired (Spark STRING, DuckDB VARCHAR)."""
     return f"CAST({x} AS STRING)" if d == SPARK else f"CAST({x} AS VARCHAR)"

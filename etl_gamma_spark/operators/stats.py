@@ -261,3 +261,126 @@ def psi_drift(
         .selectExpr("bin", "n_base", "n_curr", "pmq", f"{PSI_LN9_SQL} AS ln9")
         .selectExpr("bin", "n_base", "n_curr", f"{PSI_TERM_SQL} AS psi_term")
     )
+
+
+# --- exact per-group OLS trend ---------------------------------------------
+#
+# slope/intercept of the least-squares line y = a + b*x per group, in
+# EXACT integer arithmetic end-to-end: y is pre-scaled to cents (BIGINT),
+# x is centered on the group minimum (keeps every cross-product narrow),
+# and the two divisions use the tie-proof HALF_UP integer form
+# (2|a| + b) DIV (2b) on 10^scale-scaled numerators — a double division
+# here would hit exact .5 ties (the numerators are rationals over small
+# denominators) which Spark and DuckDB round differently. The sign is
+# split out first because Spark DIV truncates toward zero while DuckDB
+# // floors: they agree only on non-negative operands.
+
+
+def trend_steps(d: str, scale: int = 6) -> list[list[str]]:
+    """The staged SELECT expressions (dialect-paired, shared-verbatim
+    with the oracle) that turn the integer sums frame
+    (n, sx, sy2, sxx, sxy2 — y in cents, x centered per group) into
+    (n_points BIGINT, slope DECIMAL(18,scale), intercept
+    DECIMAL(18,scale)). Groups with a single distinct x have a zero
+    variance denominator and emit NULL slope/intercept."""
+    from ..functions import text as T
+
+    p = 10**scale
+    unit = f"{10**-scale:.{scale}f}"
+    wide_num = T.wint("__num2", d)
+    # slope = num2 * 10^scale / (100 * den), HALF_UP on the |.|
+    q = T.idiv(
+        f"(2 * abs({wide_num} * {p}) + (100 * __den))",
+        f"nullif((200 * __den), 0)",
+        d,
+    )
+    a2 = f"({T.wint('sy2', d)} * {p // 100} - {T.wint('__q', d)} * sx)"
+    qi = T.idiv("(2 * abs(__a2) + n)", "(2 * n)", d)
+    dec = f"CAST({unit} AS DECIMAL(10,{scale}))"
+    return [
+        [
+            "n",
+            "sx",
+            "sy2",
+            "(n * sxx - sx * sx) AS __den",
+            "(n * sxy2 - sx * sy2) AS __num2",
+        ],
+        [
+            "n",
+            "sx",
+            "sy2",
+            "((CASE WHEN __num2 < 0 THEN -1 ELSE 1 END)"
+            f" * CAST({q} AS BIGINT)) AS __q",
+        ],
+        [
+            "n",
+            f"CAST(CAST(__q AS DECIMAL(18,0)) * {dec}"
+            f" AS DECIMAL(18,{scale})) AS slope",
+            f"{a2} AS __a2",
+        ],
+        [
+            "CAST(n AS BIGINT) AS n_points",
+            "slope",
+            "CAST(CAST((CASE WHEN __a2 < 0 THEN -1 ELSE 1 END)"
+            f" * CAST({qi} AS BIGINT) AS DECIMAL(18,0)) * {dec}"
+            f" AS DECIMAL(18,{scale})) AS intercept",
+        ],
+    ]
+
+
+def group_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group exact OLS trend line: slope and intercept of the
+    least-squares fit of ``y_col`` (money-like, scale <= 2) against the
+    integral ``x_col`` (a month index, day number, version...), both
+    HALF_UP-quantized to DECIMAL(18,scale). The intercept is the fitted
+    value at the GROUP'S OWN first x (x is centered on the per-group
+    minimum so no cross-product leaves int64/int128 range regardless of
+    the epoch the caller numbered x from).
+
+    Beyond the reference (SURVEY §2.5 — no regression surface); the
+    standard trend/seasonality triage over the monthly rollups the
+    reference materializes.
+
+    Scale posture: one tiny per-group MIN aggregate joined back (two
+    scans of the input — callers feeding a derived frame should
+    materialize it first, same rule as cap_hot_keys), then ONE hash
+    aggregate with map-side combine carrying five integer sums; the
+    closed-form division work is per-GROUP, not per-row. No windows, so
+    a hot group never serializes into one task.
+    """
+    from ..functions.text import SPARK
+
+    base = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(x_col).cast("long").alias("__x"),
+        F.expr(
+            f"CAST(CAST({y_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("__y2"),
+    )
+    x0 = base.groupBy(*group_cols).agg(F.min("__x").alias("__x0"))
+    sums = (
+        base.join(x0, group_cols)
+        .select(
+            *group_cols,
+            (F.col("__x") - F.col("__x0")).alias("__xc"),
+            "__y2",
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__xc").alias("sx"),
+            F.sum("__y2").alias("sy2"),
+            F.sum(F.expr("__xc * __xc")).alias("sxx"),
+            F.sum(F.expr("__xc * __y2")).alias("sxy2"),
+        )
+    )
+    out = sums
+    for step in trend_steps(SPARK, scale):
+        out = out.selectExpr(*group_cols, *step)
+    return out

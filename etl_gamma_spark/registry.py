@@ -5252,6 +5252,64 @@ def q_orders_price_drift_psi(spark, sf_dir):
     )
 
 
+def _trend_sql(d: str) -> str:
+    # staged CTEs shared-verbatim with the engine's selectExpr chain
+    # (operators/stats.trend_steps): if the HALF_UP integer-division form
+    # is ever retuned, both sides move together.
+    from .operators.stats import trend_steps
+
+    s1, s2, s3, s4 = (", ".join(step) for step in trend_steps(d))
+    return f"""
+WITH monthly AS (
+    SELECT o_orderpriority AS priority,
+           (CAST(year(o_orderdate) AS BIGINT) * 12
+            + CAST(month(o_orderdate) AS BIGINT)) AS xm,
+           CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS rev
+    FROM orders GROUP BY 1, 2
+),
+base AS (
+    SELECT priority, CAST(xm AS BIGINT) AS __x,
+           CAST(CAST(rev AS DECIMAL(18,2)) * 100 AS BIGINT) AS __y2
+    FROM monthly
+),
+x0 AS (SELECT priority, MIN(__x) AS __x0 FROM base GROUP BY 1),
+cent AS (
+    SELECT priority, __x - __x0 AS __xc, __y2
+    FROM base JOIN x0 USING (priority)
+),
+sums AS (
+    SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(__xc) AS BIGINT) AS sx,
+           CAST(SUM(__y2) AS BIGINT) AS sy2,
+           CAST(SUM(__xc * __xc) AS BIGINT) AS sxx,
+           CAST(SUM(__xc * __y2) AS BIGINT) AS sxy2
+    FROM cent GROUP BY 1
+),
+t1 AS (SELECT priority, {s1} FROM sums),
+t2 AS (SELECT priority, {s2} FROM t1),
+t3 AS (SELECT priority, {s3} FROM t2)
+SELECT priority, {s4} FROM t3
+"""
+
+
+@query("revenue_trend_by_priority", _trend_sql(_D))
+def q_revenue_trend_by_priority(spark, sf_dir):
+    from .operators.stats import group_trend
+
+    monthly = (
+        spark.table("orders")
+        .selectExpr(
+            "o_orderpriority AS priority",
+            "(CAST(year(o_orderdate) AS BIGINT) * 12"
+            " + CAST(month(o_orderdate) AS BIGINT)) AS xm",
+            "o_totalprice",
+        )
+        .groupBy("priority", "xm")
+        .agg(F.expr("CAST(SUM(o_totalprice) AS DECIMAL(18,2))").alias("rev"))
+    )
+    return group_trend(monthly, ["priority"], "xm", "rev", scale=6)
+
+
 @query(
     "customer_k_anonymity",
     """
@@ -5594,6 +5652,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "bpe_merges",
     "jpeg_header_dims",
     "orders_events_join_size",
+    "revenue_trend_by_priority",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",

@@ -622,3 +622,39 @@ def test_cms_join_size_overestimates_and_tracks_exact(spark):
     row2 = cms_join_size(a, "k", c, "k").collect()[0]
     assert row2.exact_join_rows == 0
     assert row2.est_join_rows >= 0
+
+
+def test_group_trend_exact_ols(spark):
+    from decimal import Decimal
+
+    from etl_gamma_spark.operators.stats import group_trend
+
+    df = spark.createDataFrame(
+        [
+            # hand-computed: slope -45/600 = -0.075 exactly; intercept
+            # (2.75 + 0.075*3)/3 = 0.99166... -> HALF_UP 0.991667
+            ("a", 0, "1.00"),
+            ("a", 1, "0.90"),
+            ("a", 2, "0.85"),
+            # single point: zero x-variance -> NULL slope/intercept
+            ("b", 7, "5.00"),
+            # far-from-zero x: centering keeps the arithmetic narrow and
+            # the intercept is the fitted value at the group's FIRST x
+            ("c", 1000, "1.00"),
+            ("c", 1001, "2.00"),
+            ("c", 1002, "3.00"),
+            # negative values exercise the sign-split on both divisions
+            ("d", 0, "-1.00"),
+            ("d", 1, "-2.00"),
+        ],
+        "g string, x long, y string",
+    ).selectExpr("g", "x", "CAST(y AS DECIMAL(18,2)) AS y")
+    rows = {r.g: r for r in group_trend(df, ["g"], "x", "y").collect()}
+    assert rows["a"].slope == Decimal("-0.075000")
+    assert rows["a"].intercept == Decimal("0.991667")
+    assert rows["a"].n_points == 3
+    assert rows["b"].slope is None and rows["b"].intercept is None
+    assert rows["c"].slope == Decimal("1.000000")
+    assert rows["c"].intercept == Decimal("1.000000")
+    assert rows["d"].slope == Decimal("-1.000000")
+    assert rows["d"].intercept == Decimal("-1.000000")
