@@ -137,3 +137,75 @@ def bpe_train(
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bpe_segment_words(words: DataFrame, merges: DataFrame) -> DataFrame:
+    """Apply a TRAINED merge table to a word histogram — the encode side
+    of BPE (what a tokenizer does at corpus-processing time): per word,
+    repeatedly fuse the applicable pair with the LOWEST merge rank
+    (all leftmost-nonoverlapping occurrences at once, the same greedy
+    fold as training) until no adjacent pair is in the table.
+
+    Spark shape: the loop runs over the VOCABULARY (word histogram),
+    never the corpus; each round is one pair explode + one broadcast
+    hash join against the (tiny) merge table + one reducible
+    min(struct(rank)) per word. Words with no applicable pair LEAVE the
+    active frame each round (anti-join against the checkpointed next
+    frame), so the working set shrinks monotonically; rounds are bounded
+    by the merge-table size. Output: (word, n, syms ARRAY<STRING>).
+    """
+    mt = merges.selectExpr(
+        "lhs AS __la", "rhs AS __lb", "CAST(merge_rank AS INT) AS __lr"
+    )
+    syms = (
+        words if "syms" in words.columns else _initial_symbols(words)
+    ).localCheckpoint()
+    done = []
+    while True:
+        pairs = (
+            syms.selectExpr(
+                "word",
+                "posexplode(slice(syms, 1, size(syms) - 1)) AS (i, a)",
+                "syms",
+            )
+            .selectExpr("word", "a", "element_at(syms, i + 2) AS b")
+        )
+        choice = (
+            pairs.join(
+                F.broadcast(mt),
+                (F.col("a") == F.col("__la")) & (F.col("b") == F.col("__lb")),
+            )
+            .groupBy("word")
+            .agg(F.min(F.struct("__lr", "__la", "__lb")).alias("__m"))
+            .selectExpr("word", "__m.__la AS __pa", "__m.__lb AS __pb")
+        )
+        nxt = (
+            syms.join(choice, "word")
+            .selectExpr("word", "n", f"{_MERGE_FOLD} AS syms")
+            .localCheckpoint()
+        )
+        # finished words: probe the CHECKPOINTED next frame, so the final
+        # union never re-runs any round's pair aggregate
+        done.append(syms.join(nxt.select("word"), "word", "left_anti"))
+        if nxt.isEmpty():
+            break
+        syms = nxt
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def bpe_encode(
+    docs: DataFrame, merges: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus token histogram under a trained BPE vocabulary:
+    (token, n_tokens), n_tokens weighted by word frequency. One
+    corpus-sized histogram pass; everything after runs at vocabulary
+    scale (see bpe_segment_words)."""
+    seg = bpe_segment_words(word_histogram(docs, text_col), merges)
+    return (
+        seg.selectExpr("n", "explode(syms) AS token")
+        .groupBy("token")
+        .agg(F.sum("n").cast("bigint").alias("n_tokens"))
+    )

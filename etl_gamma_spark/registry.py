@@ -5165,6 +5165,17 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_train(spark.table("documents"), n_merges=8)
 
 
+@query("bpe_token_histogram")
+def q_bpe_token_histogram(spark, sf_dir):
+    # rows-only BY DESIGN, like bpe_merges: train-then-encode is doubly
+    # iterative; correctness is pinned by the pure-Python reference
+    # encoder exact-match test (tests/test_round6_ops.py)
+    from .operators.tokenize import bpe_encode, bpe_train
+
+    docs = spark.table("documents")
+    return bpe_encode(docs, bpe_train(docs, n_merges=8))
+
+
 from .streaming.enrich import run_enriched_rollup  # noqa: E402
 
 
@@ -5653,6 +5664,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "jpeg_header_dims",
     "orders_events_join_size",
     "revenue_trend_by_priority",
+    "bpe_token_histogram",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",

@@ -987,3 +987,63 @@ def test_jpeg_dims_match_python_walker_and_survive_junk(spark):
     both = media.unionByName(junk)
     out = jpeg_dims(both).collect()
     assert {r.media_id for r in out} == set(range(12))
+
+
+def _py_bpe_encode(word_counts, merges):
+    """Reference BPE encoder: re-scan for the MIN-RANK applicable pair
+    after every application (a single pass in rank order is wrong — a
+    later merge can create an earlier pair), greedy-left fusion."""
+    ranks = {(a, b): r for r, a, b, _n in merges}
+    toks = {}
+    for w, c in word_counts.items():
+        s = list(w) + ["</w>"]
+        while True:
+            best = None
+            for i in range(len(s) - 1):
+                r = ranks.get((s[i], s[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, s[i], s[i + 1])
+            if best is None:
+                break
+            _, a, b = best
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            s = out
+        for t in s:
+            toks[t] = toks.get(t, 0) + c
+    return toks
+
+
+def test_bpe_encode_matches_python_reference_on_fixture(spark, docs):
+    from etl_gamma_spark.operators.tokenize import (
+        bpe_encode,
+        bpe_train,
+        word_histogram,
+    )
+
+    counts = {r.word: r.n for r in word_histogram(docs).collect()}
+    want = _py_bpe_encode(counts, _py_bpe(counts, 8))
+    got = {
+        r.token: r.n_tokens
+        for r in bpe_encode(docs, bpe_train(docs, n_merges=8)).collect()
+    }
+    assert got == want
+
+
+def test_bpe_encode_rescans_for_newly_formed_lower_rank(spark):
+    # merges: rank 1 = (a, bc), rank 2 = (b, c). Encoding "abc" must
+    # apply rank 2 FIRST (rank 1 is not yet present), then re-scan and
+    # apply rank 1 on the newly-formed adjacency -> one "abc" token.
+    # A single pass in rank order stops at [a, bc] — the classic bug.
+    from etl_gamma_spark.operators.tokenize import bpe_encode
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    merges = spark.createDataFrame(
+        [(1, "a", "bc"), (2, "b", "c")], "merge_rank int, lhs string, rhs string"
+    )
+    got = {r.token: r.n_tokens for r in bpe_encode(docs, merges).collect()}
+    assert got == {"abc": 1, "</w>": 1}
