@@ -57,13 +57,21 @@ def test_responsibility_filter_uses_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_minhash_signatures_shuffle_free(spark):
-    # signature computation is a pure projection: no key-based exchange.
-    # A RoundRobin exchange is allowed — io.spread deliberately widens
-    # 1-partition local reads so the projection parallelizes.
+def test_minhash_signatures_one_combined_exchange(spark):
+    # explode + aggregate shape (the per-row lambda form was 16
+    # interpreted transform() passes — the dominant term of the LSH
+    # query): exactly ONE key exchange, on doc_id, and it must carry
+    # map-side-combined partials (partial+final HashAggregate pair), so
+    # only |docs| x K longs per partition cross the wire. No range sort,
+    # no interpreted higher-order functions anywhere in the plan.
     plan = _explain(QUERIES["minhash_signatures"](spark, SF_CORRECT))
-    assert "hashpartitioning" not in plan
+    assert plan.count("hashpartitioning") == 1
     assert "rangepartitioning" not in plan
+    assert plan.count("HashAggregate") == 2 * 2  # partial+final, tree+details
+    # the old form's marker: 16 array_min(transform(...)) lambdas. The one
+    # remaining transform( is the shingle builder (once per word array).
+    assert "array_min" not in plan
+    assert plan.count("transform(") <= 2
 
 
 def test_fechamento_all_dim_joins_broadcast(spark):
