@@ -328,6 +328,56 @@ def trend_steps(d: str, scale: int = 6) -> list[list[str]]:
     ]
 
 
+def fd_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Functional-dependency discovery over a column list — the schema
+    profiling step before choosing warehouse keys, partition columns, or
+    normalizing a denormalized feed: for every ordered pair (lhs, rhs),
+    does lhs determine rhs on this data?
+
+    Per pair: one DISTINCT projection (NULL is a value — GROUP BY
+    semantics, identical in both engines, sidestepping the cross-engine
+    COUNT(DISTINCT a,b) null-tuple trap), then a per-lhs fanout count and
+    a 3-number reduction. ``fd_holds`` = every lhs value maps to exactly
+    one rhs value (max_fanout = 1). Like profile_table, the per-pair
+    branches are independent pruned two-column scans unioned — columnar
+    pruning makes N narrow passes the same bytes as one wide pass, and
+    the branches run as parallel stages on a cluster.
+
+    Output: (lhs, rhs, n_lhs BIGINT, n_pairs BIGINT, max_fanout BIGINT,
+    fd_holds INT), one row per ordered pair.
+    """
+    if len(cols) < 2:
+        raise ValueError("fd_report: at least two columns required")
+    parts = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            d = df.select(F.col(a).alias("__l"), F.col(b).alias("__r")).distinct()
+            g = d.groupBy("__l").agg(F.count(F.lit(1)).alias("__fan"))
+            parts.append(
+                g.agg(
+                    F.lit(a).alias("lhs"),
+                    F.lit(b).alias("rhs"),
+                    F.count(F.lit(1)).cast("long").alias("n_lhs"),
+                    F.sum("__fan").cast("long").alias("n_pairs"),
+                    F.max("__fan").cast("long").alias("max_fanout"),
+                ).selectExpr(
+                    "lhs",
+                    "rhs",
+                    "n_lhs",
+                    "n_pairs",
+                    "max_fanout",
+                    "CAST(CASE WHEN max_fanout = 1 THEN 1 ELSE 0 END AS INT)"
+                    " AS fd_holds",
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def group_trend(
     df: DataFrame,
     group_cols: list[str],

@@ -5321,6 +5321,38 @@ def q_revenue_trend_by_priority(spark, sf_dir):
     return group_trend(monthly, ["priority"], "xm", "rev", scale=6)
 
 
+def _fd_sql(cols: list[str]) -> str:
+    parts = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            parts.append(f"""
+SELECT '{a}' AS lhs, '{b}' AS rhs, n_lhs, n_pairs, max_fanout,
+       CAST(CASE WHEN max_fanout = 1 THEN 1 ELSE 0 END AS INT) AS fd_holds
+FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(__fan) AS BIGINT) AS n_pairs,
+           CAST(MAX(__fan) AS BIGINT) AS max_fanout
+    FROM (
+        SELECT __l, COUNT(*) AS __fan
+        FROM (SELECT DISTINCT {a} AS __l, {b} AS __r FROM customer)
+        GROUP BY __l
+    )
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+_FD_COLS = ["c_custkey", "c_nationkey", "c_mktsegment"]
+
+
+@query("customer_fd_report", _fd_sql(_FD_COLS))
+def q_customer_fd_report(spark, sf_dir):
+    from .operators.stats import fd_report
+
+    return fd_report(spark.table("customer"), _FD_COLS)
+
+
 @query(
     "customer_k_anonymity",
     """
@@ -5665,6 +5697,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "orders_events_join_size",
     "revenue_trend_by_priority",
     "bpe_token_histogram",
+    "customer_fd_report",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",

@@ -658,3 +658,34 @@ def test_group_trend_exact_ols(spark):
     assert rows["c"].intercept == Decimal("1.000000")
     assert rows["d"].slope == Decimal("-1.000000")
     assert rows["d"].intercept == Decimal("-1.000000")
+
+
+def test_fd_report_semantics(spark):
+    from etl_gamma_spark.operators.stats import fd_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (2, "a", "x"),
+            (3, "b", "y"),
+            (4, None, "y"),  # NULL lhs is a value (its own group)
+            (5, "b", None),  # NULL rhs breaks b -> rhs determinism
+        ],
+        "id long, u string, v string",
+    )
+    rows = {(r.lhs, r.rhs): r for r in fd_report(df, ["id", "u", "v"]).collect()}
+    assert len(rows) == 6
+    # id is unique -> determines everything
+    assert rows[("id", "u")].fd_holds == 1 and rows[("id", "v")].fd_holds == 1
+    assert rows[("id", "u")].max_fanout == 1
+    # u -> v fails: u='b' maps to both 'y' and NULL
+    r = rows[("u", "v")]
+    assert (r.n_lhs, r.n_pairs, r.max_fanout, r.fd_holds) == (3, 4, 2, 0)
+    # v -> u fails too: v='y' maps to 'b' and NULL
+    assert rows[("v", "u")].fd_holds == 0
+    # u -> id fails (fanout 2 on 'a' and 'b')
+    assert rows[("u", "id")].max_fanout == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fd_report(df, ["id"])
