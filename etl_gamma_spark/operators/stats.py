@@ -328,6 +328,40 @@ def trend_steps(d: str, scale: int = 6) -> list[list[str]]:
     ]
 
 
+def mode_per_group(df: DataFrame, group: str, value_col: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent value, ties broken
+    by the smallest value — as a REDUCIBLE two-aggregate plan, never a
+    window. Both engines ship a mode() aggregate, but neither specifies
+    tie-breaking, so a cross-engine pipeline cannot use them; and the
+    window formulation (row_number over count DESC) serializes a hot
+    group into one task (the round-5 keep-first lesson). Here
+    min(struct(-n, value)) carries one candidate per partition through
+    map-side combine, so a group with a billion rows still reduces
+    through partials. NULL values count as a value (GROUP BY keeps
+    them), but a NULL can never win min(struct) — callers wanting
+    NULL-mode semantics should coalesce to a sentinel first; the oracle
+    pairs with the ROW_NUMBER spelling, which drops NULL last the same
+    way only under that convention, so mode_per_group EXCLUDES NULL
+    values explicitly (documented contract).
+
+    Output: (group, mode_value, mode_n BIGINT).
+    """
+    c = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group), F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        c.groupBy(group)
+        .agg(F.min(F.struct((-F.col("__n")).alias("__negn"), F.col("__v"))).alias("__m"))
+        .selectExpr(
+            group,
+            "__m.__v AS mode_value",
+            "CAST(-__m.__negn AS BIGINT) AS mode_n",
+        )
+    )
+
+
 def fd_report(df: DataFrame, cols: list[str]) -> DataFrame:
     """Functional-dependency discovery over a column list — the schema
     profiling step before choosing warehouse keys, partition columns, or

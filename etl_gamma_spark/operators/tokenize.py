@@ -84,13 +84,18 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus.
 
     Output: (merge_rank, lhs, rhs, pair_count) — the ordered merge
     table (the artifact a tokenizer ships). merge_rank starts at 1.
+    ``words`` lets a caller that also encodes share ONE materialized
+    word histogram (the only corpus-sized pass) across both stages.
     """
-    syms = _initial_symbols(word_histogram(docs, text_col)).localCheckpoint()
+    if words is None:
+        words = word_histogram(docs, text_col)
+    syms = _initial_symbols(words).localCheckpoint()
     merges = []
     for rank in range(1, n_merges + 1):
         pairs = (
@@ -197,13 +202,18 @@ def bpe_segment_words(words: DataFrame, merges: DataFrame) -> DataFrame:
 
 
 def bpe_encode(
-    docs: DataFrame, merges: DataFrame, text_col: str = "text"
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus token histogram under a trained BPE vocabulary:
     (token, n_tokens), n_tokens weighted by word frequency. One
-    corpus-sized histogram pass; everything after runs at vocabulary
-    scale (see bpe_segment_words)."""
-    seg = bpe_segment_words(word_histogram(docs, text_col), merges)
+    corpus-sized histogram pass (shareable via ``words``); everything
+    after runs at vocabulary scale (see bpe_segment_words)."""
+    if words is None:
+        words = word_histogram(docs, text_col)
+    seg = bpe_segment_words(words, merges)
     return (
         seg.selectExpr("n", "explode(syms) AS token")
         .groupBy("token")

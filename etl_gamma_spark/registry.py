@@ -5170,10 +5170,13 @@ def q_bpe_token_histogram(spark, sf_dir):
     # rows-only BY DESIGN, like bpe_merges: train-then-encode is doubly
     # iterative; correctness is pinned by the pure-Python reference
     # encoder exact-match test (tests/test_round6_ops.py)
-    from .operators.tokenize import bpe_encode, bpe_train
+    from .operators.tokenize import bpe_encode, bpe_train, word_histogram
 
     docs = spark.table("documents")
-    return bpe_encode(docs, bpe_train(docs, n_merges=8))
+    # ONE materialized corpus pass feeds both train and encode
+    hist = word_histogram(docs).localCheckpoint()
+    merges = bpe_train(docs, n_merges=8, words=hist)
+    return bpe_encode(docs, merges, words=hist)
 
 
 from .streaming.enrich import run_enriched_rollup  # noqa: E402
@@ -5319,6 +5322,31 @@ def q_revenue_trend_by_priority(spark, sf_dir):
         .agg(F.expr("CAST(SUM(o_totalprice) AS DECIMAL(18,2))").alias("rev"))
     )
     return group_trend(monthly, ["priority"], "xm", "rev", scale=6)
+
+
+@query(
+    "user_mode_event_type",
+    """
+WITH c AS (
+    SELECT user_id, event_type AS v, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT user_id, v, n,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, v) AS rn
+    FROM c
+)
+SELECT user_id, v AS mode_value, n AS mode_n FROM r WHERE rn = 1
+""",
+)
+def q_user_mode_event_type(spark, sf_dir):
+    # engine side is the reducible min(struct(-n, v)) form (no window, a
+    # hot user never serializes); the windowed oracle spelling is the
+    # proven keep-first pairing (chunk_dedup, cluster_prune)
+    from .operators.stats import mode_per_group
+
+    return mode_per_group(spark.table("events"), "user_id", "event_type")
 
 
 def _fd_sql(cols: list[str]) -> str:
@@ -5698,6 +5726,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "revenue_trend_by_priority",
     "bpe_token_histogram",
     "customer_fd_report",
+    "user_mode_event_type",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",

@@ -689,3 +689,23 @@ def test_fd_report_semantics(spark):
 
     with _pytest.raises(ValueError):
         fd_report(df, ["id"])
+
+
+def test_mode_per_group_deterministic_ties_and_nulls(spark):
+    from etl_gamma_spark.operators.stats import mode_per_group
+
+    df = spark.createDataFrame(
+        [
+            ("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "a"), ("g1", "c"),
+            ("g2", None), ("g2", None), ("g2", "z"),
+            ("g3", None),
+        ],
+        "g string, v string",
+    )
+    rows = {r.g: r for r in mode_per_group(df, "g", "v").collect()}
+    # tie between a(2) and b(2) -> smallest value wins
+    assert (rows["g1"].mode_value, rows["g1"].mode_n) == ("a", 2)
+    # NULLs are excluded by contract: z wins despite NULL being more frequent
+    assert (rows["g2"].mode_value, rows["g2"].mode_n) == ("z", 1)
+    # all-NULL group disappears entirely
+    assert "g3" not in rows
