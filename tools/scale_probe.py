@@ -84,6 +84,17 @@ PROBE_QUERIES = [
     "embedding_sq8_topk",
     "url_dedup",
     "domain_mix",
+    # round-6 fourth batch (minhash_lsh_pairs above already covers the
+    # rewritten explode+agg MinHash path): the CMS join-size estimator
+    # (two corpus scans into fixed 1024-cell sketches + the exact
+    # calibration aggregate), mode (two reducible aggs over replicated
+    # events), the OLS trend (two tiny aggs over a monthly rollup), and
+    # the shared-histogram BPE train+encode (vocabulary-sized loop; the
+    # corpus pass is the only part that should scale).
+    "orders_events_join_size",
+    "user_mode_event_type",
+    "revenue_trend_by_priority",
+    "bpe_token_histogram",
 ]
 
 
