@@ -514,3 +514,22 @@ def test_sq8_topk_reads_materialized_codes(spark):
     plan = _explain(QUERIES["embedding_sq8_topk"](spark, SF_CORRECT))
     assert "floor(" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mode_per_group_reducible_no_window(spark):
+    # keep-first discipline: mode must reduce through partial aggregates
+    # (the struct-min final is a SortAggregate — still partial+final, so
+    # a hot user combines map-side), never a row_number window
+    plan = _explain(QUERIES["user_mode_event_type"](spark, SF_CORRECT))
+    assert "Window" not in plan
+    assert plan.count("hashpartitioning") == 2
+    assert "rangepartitioning" not in plan
+
+
+def test_group_trend_two_agg_passes_no_window(spark):
+    # centering min + sums + closed-form division: aggregates and a
+    # broadcast join back — no window partitions, no sorts
+    plan = _explain(QUERIES["revenue_trend_by_priority"](spark, SF_CORRECT))
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
