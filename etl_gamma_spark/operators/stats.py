@@ -25,20 +25,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def iqr_outliers(
-    df: DataFrame,
-    group: str,
-    value_col: str,
-    tiebreak: str,
-) -> DataFrame:
-    """Per-group Tukey fences: q1/q3 by exact linear interpolation
-    (the numpy/DuckDB 'linear' method), fences at q1 - 1.5*IQR and
-    q3 + 1.5*IQR, and per-group outlier counts + a decimal outlier sum.
-
-    Every double operation (p*(n-1), frac interpolation, fence
-    arithmetic) is written in the same order as the oracle SQL so the
-    results are bit-identical.
-    """
+def _tukey_vals_fences(
+    df: DataFrame, group: str, value_col: str, tiebreak: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of iqr_outliers / winsorized_mean: the NULL-free
+    (grp, x, tb) values frame and the per-group Tukey fence frame
+    (grp, q1, q3, lo_fence, hi_fence) — exact interpolated quartiles,
+    every double op in the oracle's order."""
     # NULL values are excluded explicitly: the two engines would otherwise
     # rank them on opposite ends (Spark sorts nulls first ascending,
     # DuckDB last), silently shifting every quantile index
@@ -91,6 +84,24 @@ def iqr_outliers(
             (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
         )
     )
+    return vals, fences
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Per-group Tukey fences: q1/q3 by exact linear interpolation
+    (the numpy/DuckDB 'linear' method), fences at q1 - 1.5*IQR and
+    q3 + 1.5*IQR, and per-group outlier counts + a decimal outlier sum.
+
+    Every double operation (p*(n-1), frac interpolation, fence
+    arithmetic) is written in the same order as the oracle SQL so the
+    results are bit-identical.
+    """
+    vals, fences = _tukey_vals_fences(df, group, value_col, tiebreak)
     out = (F.col("x") < F.col("lo_fence")) | (F.col("x") > F.col("hi_fence"))
     return (
         vals.join(F.broadcast(fences), "grp")
@@ -109,6 +120,67 @@ def iqr_outliers(
             F.sum(F.when(out, F.round(F.col("x"), 2).cast("decimal(18,2)")))
             .cast("decimal(18,2)")
             .alias("outlier_sum"),
+        )
+        .withColumnRenamed("grp", group)
+    )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Per-group winsorized mean: values clamped to the Tukey fences
+    (same exact-quartile construction as iqr_outliers) before averaging
+    — the robust location estimate a metric pipeline uses when a few
+    fat-finger rows would otherwise swing a mean.
+
+    Parity mechanics: the clamp (least/greatest over the fence doubles)
+    is text-pinned in the oracle's op order; each clamped value is
+    quantized to DECIMAL(18,2) so the SUM is order-independent, and the
+    final mean divides by n with the sign-split HALF_UP integer form at
+    scale 6 (a double division ties at exact .5e-6 and the engines round
+    ties differently). Output: (group, n BIGINT, lo_fence, hi_fence,
+    wins_mean DECIMAL(18,6)).
+    """
+    vals, fences = _tukey_vals_fences(df, group, value_col, tiebreak)
+    agg = (
+        vals.join(F.broadcast(fences), "grp")
+        .selectExpr(
+            "grp",
+            "lo_fence",
+            "hi_fence",
+            "CAST(ROUND(least(greatest(x, lo_fence), hi_fence), 2)"
+            " AS DECIMAL(18,2)) AS w2",
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("CAST(SUM(w2) AS DECIMAL(18,2))").alias("wsum"),
+            F.max("lo_fence").alias("lo_fence"),
+            F.max("hi_fence").alias("hi_fence"),
+        )
+    )
+    return (
+        agg.selectExpr(
+            "grp",
+            "n",
+            "lo_fence",
+            "hi_fence",
+            # *10^6 is integer-valued (wsum has scale 2); width 19 forces
+            # hugeint on the DuckDB side (int64 decimal multiply overflows)
+            "CAST(CAST(wsum AS DECIMAL(19,2)) * 1000000 AS BIGINT) AS __u",
+        )
+        .selectExpr(
+            "grp",
+            "n",
+            "lo_fence",
+            "hi_fence",
+            "CAST(CAST((CASE WHEN __u < 0 THEN -1 ELSE 1 END)"
+            " * CAST((2 * abs(__u) + n) DIV (2 * n) AS BIGINT)"
+            " AS DECIMAL(18,0)) * CAST(0.000001 AS DECIMAL(10,6))"
+            " AS DECIMAL(18,6)) AS wins_mean",
         )
         .withColumnRenamed("grp", group)
     )

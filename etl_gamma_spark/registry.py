@@ -3328,6 +3328,75 @@ def q_iqr_outliers(spark, sf_dir):
     return iqr_outliers(spark.table("events"), "event_type", "value", "event_id")
 
 
+@query(
+    "winsorized_event_values",
+    # same rank/interpolate/fence CTE chain as iqr_outliers, then the
+    # text-pinned clamp and the sign-split HALF_UP integer mean
+    """
+WITH vals AS (
+    SELECT event_type AS grp, CAST(value AS DOUBLE) AS x, event_id AS tb
+    FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+    SELECT grp, x,
+           ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x, tb) - 1 AS rn,
+           COUNT(*) OVER (PARTITION BY grp) AS n
+    FROM vals
+),
+groups AS (SELECT DISTINCT grp, n FROM ranked),
+params AS (SELECT p FROM (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.75 AS DOUBLE))) t(p)),
+bounds AS (
+    SELECT g.grp, g.n, pr.p,
+           CAST(FLOOR(pr.p * (g.n - 1)) AS BIGINT) AS lo,
+           pr.p * (g.n - 1) - FLOOR(pr.p * (g.n - 1)) AS frac
+    FROM groups g CROSS JOIN params pr
+),
+interp AS (
+    SELECT b.grp, b.p, vlo.x + b.frac * (vhi.x - vlo.x) AS q
+    FROM bounds b
+    JOIN ranked vlo ON vlo.grp = b.grp AND vlo.rn = b.lo
+    JOIN ranked vhi ON vhi.grp = b.grp AND vhi.rn = LEAST(b.lo + 1, b.n - 1)
+),
+fences AS (
+    SELECT grp,
+           MAX(CASE WHEN p = 0.25 THEN q END) AS q1,
+           MAX(CASE WHEN p = 0.75 THEN q END) AS q3
+    FROM interp GROUP BY grp
+),
+f2 AS (
+    SELECT grp, q1, q3,
+           q1 - 1.5 * (q3 - q1) AS lo_fence,
+           q3 + 1.5 * (q3 - q1) AS hi_fence
+    FROM fences
+),
+agg AS (
+    SELECT v.grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(f.lo_fence) AS lo_fence, MAX(f.hi_fence) AS hi_fence,
+           CAST(SUM(CAST(ROUND(LEAST(GREATEST(v.x, f.lo_fence), f.hi_fence), 2)
+                         AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS wsum
+    FROM vals v JOIN f2 f ON v.grp = f.grp
+    GROUP BY 1
+),
+scaled AS (
+    SELECT grp, n, lo_fence, hi_fence,
+           CAST(CAST(wsum AS DECIMAL(19,2)) * 1000000 AS BIGINT) AS u
+    FROM agg
+)
+SELECT grp AS event_type, n, lo_fence, hi_fence,
+       CAST(CAST((CASE WHEN u < 0 THEN -1 ELSE 1 END)
+                 * CAST((2 * ABS(u) + n) // (2 * n) AS BIGINT)
+            AS DECIMAL(18,0)) * CAST(0.000001 AS DECIMAL(10,6))
+            AS DECIMAL(18,6)) AS wins_mean
+FROM scaled
+""",
+)
+def q_winsorized_event_values(spark, sf_dir):
+    from .operators.stats import winsorized_mean
+
+    return winsorized_mean(spark.table("events"), "event_type", "value", "event_id")
+
+
 def _hll_sql() -> str:
     from .operators.sketch import pow2neg_values_sql
 
@@ -5727,6 +5796,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "bpe_token_histogram",
     "customer_fd_report",
     "user_mode_event_type",
+    "winsorized_event_values",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",

@@ -709,3 +709,20 @@ def test_mode_per_group_deterministic_ties_and_nulls(spark):
     assert (rows["g2"].mode_value, rows["g2"].mode_n) == ("z", 1)
     # all-NULL group disappears entirely
     assert "g3" not in rows
+
+
+def test_winsorized_mean_hand_computed(spark):
+    from decimal import Decimal
+
+    from etl_gamma_spark.operators.stats import winsorized_mean
+
+    rows = [("g", float(v), i) for i, v in enumerate([0, 1, 2, 3, 1000])]
+    rows += [("h", float(v), i) for i, v in enumerate([-1000, -3, -2, -1, 0])]
+    df = spark.createDataFrame(rows, "grp string, value double, tb long")
+    got = {r.grp: r for r in winsorized_mean(df, "grp", "value", "tb").collect()}
+    # g: q1=1, q3=3 -> fences [-2, 6]; clamped [0,1,2,3,6] -> mean 2.4
+    assert got["g"].wins_mean == Decimal("2.400000")
+    assert (got["g"].lo_fence, got["g"].hi_fence) == (-2.0, 6.0)
+    # h: mirror image exercises the sign-split division
+    assert got["h"].wins_mean == Decimal("-2.400000")
+    assert got["g"].n == 5 and got["h"].n == 5
