@@ -25,7 +25,7 @@ point lives in exactly one bin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BIN = "__bin"
@@ -148,3 +148,61 @@ def interval_overlap_join(
         )
     )
     return lb.join(rb, cond, "inner").drop(BIN)
+
+
+def interval_coalesce(
+    df: DataFrame,
+    key: str,
+    start_col: str,
+    end_col: str,
+    tiebreaks: list[str],
+) -> DataFrame:
+    """Merge overlapping/touching CLOSED intervals per key (the classic
+    gaps-and-islands coalesce) and report per-key coverage:
+    (key, n_intervals BIGINT, n_islands BIGINT, covered_days BIGINT).
+
+    An interval opens a new island when its start lies strictly after
+    the running maximum end of everything before it in (start, end,
+    *tiebreaks) order — a total order, so island ids are deterministic
+    and engine-identical. Touching intervals ([1,5],[5,9]) merge
+    (closed-interval semantics, like responsibility periods' day grain).
+    Inverted rows (end < start) are dropped.
+
+    Scale posture: one window partition per key (the same
+    bounded-cardinality contract as iqr_outliers — suppliers, farmers,
+    event types; not user-ids on a social graph), then two reducible
+    aggregates. Date arithmetic only — integers end-to-end, nothing to
+    quantize.
+    """
+    order = [F.col(start_col), F.col(end_col)] + [F.col(t) for t in tiebreaks]
+    w = Window.partitionBy(key).orderBy(*order)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = (
+        df.where(F.col(end_col) >= F.col(start_col))
+        .withColumn(
+            "__new",
+            F.when(
+                prev_max_end.isNull()
+                | (F.col(start_col) > prev_max_end),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    islands = marked.groupBy(key, "__island").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(start_col).alias("__s"),
+        F.max(end_col).alias("__e"),
+    )
+    return islands.groupBy(key).agg(
+        F.sum("__n").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.datediff(F.col("__e"), F.col("__s")) + 1)
+        .cast("long")
+        .alias("covered_days"),
+    )

@@ -3397,6 +3397,63 @@ def q_winsorized_event_values(spark, sf_dir):
     return winsorized_mean(spark.table("events"), "event_type", "value", "event_id")
 
 
+@query(
+    "supplier_shipping_coverage",
+    # gaps-and-islands interval coalesce: same total order (s, e, ok, ln)
+    # in both engines, running-max-end island detection, closed-interval
+    # day coverage — integer/date arithmetic end-to-end
+    """
+WITH iv AS (
+    -- the fixture lineitem carries no receipt date: derive a
+    -- deterministic span (7 days per line number) for the coverage demo
+    SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS s,
+           CAST(l_shipdate AS DATE) + (l_linenumber * 7) AS e,
+           l_orderkey AS ok, l_linenumber AS ln
+    FROM lineitem
+),
+p AS (
+    SELECT k, s, e, ok, ln,
+           MAX(e) OVER (PARTITION BY k ORDER BY s, e, ok, ln
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+    FROM iv
+),
+n AS (
+    SELECT k, s, e, ok, ln,
+           CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS nw
+    FROM p
+),
+i AS (
+    SELECT k, s, e,
+           SUM(nw) OVER (PARTITION BY k ORDER BY s, e, ok, ln
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+    FROM n
+),
+g AS (
+    SELECT k, isl, COUNT(*) AS nn, MIN(s) AS gs, MAX(e) AS ge
+    FROM i GROUP BY 1, 2
+)
+SELECT k AS l_suppkey,
+       CAST(SUM(nn) AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(date_diff('day', gs, ge) + 1) AS BIGINT) AS covered_days
+FROM g GROUP BY 1
+""",
+)
+def q_supplier_shipping_coverage(spark, sf_dir):
+    from .operators.ranges import interval_coalesce
+
+    iv = spark.table("lineitem").selectExpr(
+        "l_suppkey",
+        "CAST(l_shipdate AS DATE) AS s",
+        "date_add(CAST(l_shipdate AS DATE), CAST(l_linenumber AS INT) * 7) AS e",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return interval_coalesce(
+        iv, "l_suppkey", "s", "e", ["l_orderkey", "l_linenumber"]
+    )
+
+
 def _hll_sql() -> str:
     from .operators.sketch import pow2neg_values_sql
 
@@ -5797,6 +5854,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "customer_fd_report",
     "user_mode_event_type",
     "winsorized_event_values",
+    "supplier_shipping_coverage",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",

@@ -726,3 +726,25 @@ def test_winsorized_mean_hand_computed(spark):
     # h: mirror image exercises the sign-split division
     assert got["h"].wins_mean == Decimal("-2.400000")
     assert got["g"].n == 5 and got["h"].n == 5
+
+
+def test_interval_coalesce_islands_touch_and_gap(spark):
+    import datetime as dt
+
+    from etl_gamma_spark.operators.ranges import interval_coalesce
+
+    d = dt.date
+    rows = [
+        # k1: [1,5] + [5,9] touch -> one island of 9 days; [20,21] gaps
+        ("k1", d(2020, 1, 1), d(2020, 1, 5), 1),
+        ("k1", d(2020, 1, 5), d(2020, 1, 9), 2),
+        ("k1", d(2020, 1, 20), d(2020, 1, 21), 3),
+        # k2: nested interval merges; inverted row dropped
+        ("k2", d(2020, 2, 1), d(2020, 2, 28), 1),
+        ("k2", d(2020, 2, 10), d(2020, 2, 12), 2),
+        ("k2", d(2020, 2, 5), d(2020, 2, 1), 3),
+    ]
+    df = spark.createDataFrame(rows, "k string, s date, e date, tb long")
+    got = {r.k: r for r in interval_coalesce(df, "k", "s", "e", ["tb"]).collect()}
+    assert (got["k1"].n_intervals, got["k1"].n_islands, got["k1"].covered_days) == (3, 2, 11)
+    assert (got["k2"].n_intervals, got["k2"].n_islands, got["k2"].covered_days) == (2, 1, 28)
