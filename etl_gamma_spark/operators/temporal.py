@@ -572,3 +572,53 @@ def twap_buckets(
             " AS DECIMAL(18,6))"
         ).alias("twap"),
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    entity: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity ordered
+    event streams: for each (prev_type -> event_type) step, the global
+    count and the transition probability — the standard behavioral
+    input to next-action models and anomaly monitors (an unseen or
+    suddenly-frequent transition is the signal).
+
+    The per-entity LAG orders by (ts, tiebreak) — a total order, so the
+    step set is deterministic and engine-identical. Probability =
+    count / total(prev_type) in the sign-free HALF_UP integer form at
+    scale 6 (counts are non-negative, so no sign split needed; a double
+    division ties at exact .5e-6 and the engines round ties apart).
+
+    One window pass per entity partition (bounded by any real user's
+    event count) and two hash aggregates. Output:
+    (prev_type, next_type, n_trans BIGINT, p_next DECIMAL(18,6)).
+    """
+    w = Window.partitionBy(entity).orderBy(ts_col, tiebreak)
+    steps = (
+        df.select(
+            F.col(type_col).alias("next_type"),
+            F.lag(type_col).over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    totals = counts.groupBy("prev_type").agg(
+        F.sum("n_trans").alias("__tot")
+    )
+    return (
+        counts.join(totals, "prev_type")
+        .selectExpr(
+            "prev_type",
+            "next_type",
+            "CAST(n_trans AS BIGINT) AS n_trans",
+            "CAST(CAST((2 * n_trans * 1000000 + __tot) DIV (2 * __tot)"
+            " AS DECIMAL(18,0)) * CAST(0.000001 AS DECIMAL(10,6))"
+            " AS DECIMAL(18,6)) AS p_next",
+        )
+    )

@@ -3398,6 +3398,36 @@ def q_winsorized_event_values(spark, sf_dir):
 
 
 @query(
+    "event_type_transitions",
+    """
+WITH steps AS (
+    SELECT event_type AS next_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+),
+c AS (
+    SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+    FROM steps WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+),
+t AS (SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.prev_type, c.next_type, c.n_trans,
+       CAST(CAST((2 * c.n_trans * 1000000 + t.tot) // (2 * t.tot)
+            AS DECIMAL(18,0)) * CAST(0.000001 AS DECIMAL(10,6))
+            AS DECIMAL(18,6)) AS p_next
+FROM c JOIN t USING (prev_type)
+""",
+)
+def q_event_type_transitions(spark, sf_dir):
+    from .operators.temporal import event_transitions
+
+    return event_transitions(
+        spark.table("events"), "user_id", "ts", "event_type", "event_id"
+    )
+
+
+@query(
     "supplier_shipping_coverage",
     # gaps-and-islands interval coalesce: same total order (s, e, ok, ln)
     # in both engines, running-max-end island detection, closed-interval
@@ -5855,6 +5885,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "user_mode_event_type",
     "winsorized_event_values",
     "supplier_shipping_coverage",
+    "event_type_transitions",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",

@@ -748,3 +748,32 @@ def test_interval_coalesce_islands_touch_and_gap(spark):
     got = {r.k: r for r in interval_coalesce(df, "k", "s", "e", ["tb"]).collect()}
     assert (got["k1"].n_intervals, got["k1"].n_islands, got["k1"].covered_days) == (3, 2, 11)
     assert (got["k2"].n_intervals, got["k2"].n_islands, got["k2"].covered_days) == (2, 1, 28)
+
+
+def test_event_transitions_counts_and_probability(spark):
+    import datetime as dt
+    from decimal import Decimal
+
+    from etl_gamma_spark.operators.temporal import event_transitions
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [
+        # user 1: a -> b -> a -> c ; user 2: a -> b (streams never mix)
+        (1, t0, "a", 1), (1, t0.replace(hour=1), "b", 2),
+        (1, t0.replace(hour=2), "a", 3), (1, t0.replace(hour=3), "c", 4),
+        (2, t0, "a", 5), (2, t0.replace(hour=1), "b", 6),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string, eid long")
+    got = {
+        (r.prev_type, r.next_type): r
+        for r in event_transitions(df, "u", "ts", "et", "eid").collect()
+    }
+    # from 'a': 2x ->b, 1x ->c (total 3); from 'b': 1x ->a
+    assert got[("a", "b")].n_trans == 2
+    assert got[("a", "c")].n_trans == 1
+    assert got[("b", "a")].n_trans == 1
+    # 2/3 at scale 6 HALF_UP = 0.666667 (the tie-proof integer form)
+    assert got[("a", "b")].p_next == Decimal("0.666667")
+    assert got[("a", "c")].p_next == Decimal("0.333333")
+    assert got[("b", "a")].p_next == Decimal("1.000000")
+    assert ("c", "a") not in got  # streams don't cross users
