@@ -622,3 +622,31 @@ def event_transitions(
             " AS DECIMAL(18,6)) AS p_next",
         )
     )
+
+
+def new_entities_daily(df: DataFrame, entity: str, ts_col: str) -> DataFrame:
+    """First-touch growth curve: per calendar day, how many entities
+    appeared for the FIRST time, and the running total — the
+    new-users/DAU-growth report every events warehouse serves.
+
+    Two reducible aggregates (min-date per entity — map-side combined,
+    so an entity with a billion events still reduces through partials —
+    then a per-day count), and a running sum over the DAY series. That
+    final window is deliberately unpartitioned: its input is one row
+    per calendar day (bounded by the calendar, not the corpus), the
+    same bounded-frame justification as the percentile carriers.
+    Integer counts end-to-end. Output: (day, n_new BIGINT,
+    cum_new BIGINT).
+    """
+    first = df.groupBy(entity).agg(
+        F.min(F.to_date(F.col(ts_col))).alias("first_day")
+    )
+    daily = first.groupBy("first_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("first_day").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_new"),
+    )

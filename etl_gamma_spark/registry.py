@@ -3398,6 +3398,28 @@ def q_winsorized_event_values(spark, sf_dir):
 
 
 @query(
+    "new_users_daily",
+    """
+WITH f AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+),
+d AS (
+    SELECT first_day, CAST(COUNT(*) AS BIGINT) AS n_new FROM f GROUP BY 1
+)
+SELECT first_day AS day, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY first_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_new
+FROM d
+""",
+)
+def q_new_users_daily(spark, sf_dir):
+    from .operators.temporal import new_entities_daily
+
+    return new_entities_daily(spark.table("events"), "user_id", "ts")
+
+
+@query(
     "event_type_transitions",
     """
 WITH steps AS (
@@ -5886,6 +5908,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "winsorized_event_values",
     "supplier_shipping_coverage",
     "event_type_transitions",
+    "new_users_daily",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",
