@@ -2422,6 +2422,127 @@ def q_winnow_overlap_pairs(spark, sf_dir):
     return DD.winnow_overlap_pairs(spark.table("documents"))
 
 
+_Q1_DP = (
+    "CAST(CAST(price2 AS DECIMAL(19,2))"
+    " * (CAST(1 AS DECIMAL(7,6)) - d6) AS DECIMAL(24,8))"
+)
+
+
+def _q1_row_exprs() -> tuple[list[str], list[str]]:
+    # Only the RAW inputs are rounded from double (values sit far from
+    # .5 boundaries there — they are stored 2-/6-decimal quantities);
+    # every PRODUCT is exact DECIMAL arithmetic with a decimal HALF_UP
+    # round, which is bit-identical across engines. Rounding the double
+    # products instead was measured to tie at the last cent on a few
+    # hundred of 60k rows (the ROUND(double, n) divergence class).
+    # Widths: price2 is cast to 19 digits first (DuckDB multiplies
+    # width<=18 decimals in int64 storage and OVERFLOWS — the pinned
+    # lesson; 19 forces hugeint), and the first product is narrowed to
+    # (24,8) (exact — values < 1e16) so the second stays at (34,14) in
+    # both engines: no precision-38 cap, no silent scale reduction.
+    stage1 = [
+        "l_returnflag",
+        "l_linestatus",
+        "CAST(ROUND(l_quantity, 2) AS DECIMAL(18,2)) AS qty2",
+        "CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2)) AS price2",
+        "CAST(ROUND(l_discount, 6) AS DECIMAL(8,6)) AS d6",
+        "CAST(ROUND(l_tax, 6) AS DECIMAL(8,6)) AS t6",
+    ]
+    stage2 = [
+        "l_returnflag",
+        "l_linestatus",
+        "qty2",
+        "price2",
+        "CAST(d6 AS DECIMAL(18,6)) AS disc6",
+        "CAST(ROUND(" + _Q1_DP + ", 2) AS DECIMAL(18,2)) AS dp2",
+        "CAST(ROUND(" + _Q1_DP + " * (CAST(1 AS DECIMAL(7,6)) + t6), 2)"
+        " AS DECIMAL(18,2)) AS ch2",
+    ]
+    return stage1, stage2
+
+
+def _q1_avg_expr(sum_col: str, scale_in: int, d: str) -> str:
+    # avg = sum / n at scale 6, non-negative HALF_UP integer form; the
+    # *1000000 multiplies the decimal VALUE (integral since
+    # scale_in <= 6), width 19 forces hugeint in DuckDB
+    u = f"CAST(CAST({sum_col} AS DECIMAL(19,{scale_in})) * 1000000 AS BIGINT)"
+    q = T.idiv(f"(2 * {u} + count_order)", "(2 * count_order)", d)
+    return (
+        f"CAST(CAST({q} AS DECIMAL(18,0))"
+        f" * CAST(0.000001 AS DECIMAL(10,6)) AS DECIMAL(18,6))"
+    )
+
+
+def _q1_sql(d: str) -> str:
+    s1, s2 = _q1_row_exprs()
+    r1 = ",\n           ".join(s1)
+    r2 = ",\n           ".join(s2)
+    return f"""
+WITH rows1 AS (
+    SELECT {r1}
+    FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1996-09-02'
+),
+rows0 AS (
+    SELECT {r2} FROM rows1
+),
+agg AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(qty2) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(price2) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(SUM(dp2) AS DECIMAL(18,2)) AS sum_disc_price,
+           CAST(SUM(ch2) AS DECIMAL(18,2)) AS sum_charge,
+           CAST(SUM(disc6) AS DECIMAL(18,6)) AS sum_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM rows0 GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+       sum_disc_price, sum_charge,
+       {_q1_avg_expr('sum_qty', 2, d)} AS avg_qty,
+       {_q1_avg_expr('sum_base_price', 2, d)} AS avg_price,
+       {_q1_avg_expr('sum_disc', 6, d)} AS avg_disc,
+       count_order
+FROM agg
+"""
+
+
+@query("tpch_q1_pricing_summary", _q1_sql(_D))
+def q_tpch_q1_pricing_summary(spark, sf_dir):
+    """The canonical TPC-H Q1 pricing summary over the fixture lineitem
+    (reference has nothing like it — the showcase that this is a general
+    analytics engine, not only the gammadata pipelines). One pruned scan
+    with the shipdate predicate pushed down, one partial+final hash
+    aggregate; averages in the tie-proof HALF_UP integer form."""
+    from .functions.text import SPARK
+
+    s1, s2 = _q1_row_exprs()
+    rows0 = (
+        spark.table("lineitem")
+        .where("CAST(l_shipdate AS DATE) <= DATE '1996-09-02'")
+        .selectExpr(*s1)
+        .selectExpr(*s2)
+    )
+    agg = rows0.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("CAST(SUM(qty2) AS DECIMAL(18,2))").alias("sum_qty"),
+        F.expr("CAST(SUM(price2) AS DECIMAL(18,2))").alias("sum_base_price"),
+        F.expr("CAST(SUM(dp2) AS DECIMAL(18,2))").alias("sum_disc_price"),
+        F.expr("CAST(SUM(ch2) AS DECIMAL(18,2))").alias("sum_charge"),
+        F.expr("CAST(SUM(disc6) AS DECIMAL(18,6))").alias("sum_disc"),
+        F.count(F.lit(1)).cast("long").alias("count_order"),
+    )
+    return agg.selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        f"{_q1_avg_expr('sum_qty', 2, SPARK)} AS avg_qty",
+        f"{_q1_avg_expr('sum_base_price', 2, SPARK)} AS avg_price",
+        f"{_q1_avg_expr('sum_disc', 6, SPARK)} AS avg_disc",
+        "count_order",
+    )
+
+
 @query(
     "salted_skew_agg",
     """
@@ -5909,6 +6030,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "supplier_shipping_coverage",
     "event_type_transitions",
     "new_users_daily",
+    "tpch_q1_pricing_summary",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",

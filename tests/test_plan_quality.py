@@ -533,3 +533,16 @@ def test_group_trend_two_agg_passes_no_window(spark):
     assert "Window" not in plan
     assert "rangepartitioning" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q1_pushdown_single_exchange(spark):
+    # the canonical pricing summary: CAST(shipdate AS DATE) <= d must
+    # still reach the scan (Catalyst rewrites it to a timestamp range),
+    # the scan reads only the 7 referenced columns, and the whole query
+    # is one partial+final hash aggregate — a single exchange
+    plan = _explain(QUERIES["tpch_q1_pricing_summary"](spark, SF_CORRECT))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "LessThan(l_shipdate" in pushed[0], pushed
+    assert "l_orderkey" not in plan  # column pruning held
+    assert plan.count("hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 4  # partial+final, tree+details
