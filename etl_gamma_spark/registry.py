@@ -2543,6 +2543,81 @@ def q_tpch_q1_pricing_summary(spark, sf_dir):
     )
 
 
+_Q3_CUT = "DATE '1997-06-01'"
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    f"""
+WITH li AS (
+    SELECT l_orderkey,
+           CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2)) AS price2,
+           CAST(ROUND(l_discount, 6) AS DECIMAL(8,6)) AS d6
+    FROM lineitem WHERE CAST(l_shipdate AS DATE) > {_Q3_CUT}
+),
+rev AS (
+    SELECT l_orderkey,
+           CAST(ROUND({_Q1_DP}, 2) AS DECIMAL(18,2)) AS rev2
+    FROM li
+),
+o AS (
+    SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_orderpriority
+    FROM orders WHERE CAST(o_orderdate AS DATE) < {_Q3_CUT}
+),
+c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT r.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(SUM(r.rev2) AS DECIMAL(18,2)) AS revenue
+FROM rev r JOIN o ON r.l_orderkey = o.o_orderkey
+           JOIN c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q_tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shaped on the fixture schema (o_orderpriority stands in
+    for the missing o_shippriority): selective dim filter broadcast into
+    a fact-fact equi-join, cents-exact revenue, and a top-10 that plans
+    as TakeOrderedAndProject (no global sort exchange). The ordering
+    carries the l_orderkey tiebreak — revenue ties must not make the
+    cut nondeterministic (repo total-order invariant)."""
+    li = (
+        spark.table("lineitem")
+        .where(f"CAST(l_shipdate AS DATE) > {_Q3_CUT}")
+        .selectExpr(
+            "l_orderkey",
+            "CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2)) AS price2",
+            "CAST(ROUND(l_discount, 6) AS DECIMAL(8,6)) AS d6",
+        )
+        .selectExpr(
+            "l_orderkey",
+            f"CAST(ROUND({_Q1_DP}, 2) AS DECIMAL(18,2)) AS rev2",
+        )
+    )
+    o = (
+        spark.table("orders")
+        .where(f"CAST(o_orderdate AS DATE) < {_Q3_CUT}")
+        .selectExpr(
+            "o_orderkey",
+            "o_custkey",
+            "CAST(o_orderdate AS DATE) AS o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    c = spark.table("customer").where("c_mktsegment = 'BUILDING'").select(
+        "c_custkey"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr("CAST(SUM(rev2) AS DECIMAL(18,2))").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
 @query(
     "salted_skew_agg",
     """
@@ -6031,6 +6106,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "event_type_transitions",
     "new_users_daily",
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",

@@ -546,3 +546,14 @@ def test_tpch_q1_pushdown_single_exchange(spark):
     assert "l_orderkey" not in plan  # column pruning held
     assert plan.count("hashpartitioning") == 1
     assert plan.count("HashAggregate") == 4  # partial+final, tree+details
+
+
+def test_tpch_q3_takeordered_no_global_sort(spark):
+    # top-10 must plan as TakeOrderedAndProject (bounded per-partition
+    # heaps + one driver merge), never a full range-partitioned sort;
+    # the selective BUILDING customer list broadcasts
+    plan = _explain(QUERIES["tpch_q3_shipping_priority"](spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
