@@ -357,6 +357,10 @@ def trend_steps(d: str, scale: int = 6) -> list[list[str]]:
     variance denominator and emit NULL slope/intercept."""
     from ..functions import text as T
 
+    if scale < 2:
+        # the intercept path rescales the cents sum by 10^(scale-2);
+        # below 2 that floors to 0 and silently zeroes the sy2 term
+        raise ValueError("trend_steps: scale must be >= 2")
     p = 10**scale
     unit = f"{10**-scale:.{scale}f}"
     wide_num = T.wint("__num2", d)

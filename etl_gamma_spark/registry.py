@@ -3651,7 +3651,7 @@ def q_event_type_transitions(spark, sf_dir):
     # in both engines, running-max-end island detection, closed-interval
     # day coverage — integer/date arithmetic end-to-end
     """
-WITH iv AS (
+WITH iv0 AS (
     -- the fixture lineitem carries no receipt date: derive a
     -- deterministic span (7 days per line number) for the coverage demo
     SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS s,
@@ -3659,6 +3659,11 @@ WITH iv AS (
            l_orderkey AS ok, l_linenumber AS ln
     FROM lineitem
 ),
+-- mirror the engine's inverted/NULL-interval drop LITERALLY (round-5
+-- rule): without it a NULL shipdate row would survive here, be ordered
+-- NULLS-LAST by DuckDB vs NULLS-FIRST by Spark, and break parity
+-- exactly where the fixture has no coverage
+iv AS (SELECT * FROM iv0 WHERE e >= s),
 p AS (
     SELECT k, s, e, ok, ln,
            MAX(e) OVER (PARTITION BY k ORDER BY s, e, ok, ln
@@ -5649,10 +5654,13 @@ def _trend_sql(d: str) -> str:
     s1, s2, s3, s4 = (", ".join(step) for step in trend_steps(d))
     return f"""
 WITH monthly AS (
+    -- money invariant: round the raw double per row, cast decimal, THEN
+    -- sum — SUM(double) is combine-order dependent and flips cents
     SELECT o_orderpriority AS priority,
            (CAST(year(o_orderdate) AS BIGINT) * 12
             + CAST(month(o_orderdate) AS BIGINT)) AS xm,
-           CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS rev
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS rev
     FROM orders GROUP BY 1, 2
 ),
 base AS (
@@ -5693,7 +5701,15 @@ def q_revenue_trend_by_priority(spark, sf_dir):
             "o_totalprice",
         )
         .groupBy("priority", "xm")
-        .agg(F.expr("CAST(SUM(o_totalprice) AS DECIMAL(18,2))").alias("rev"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))"
+                " AS DECIMAL(18,2))"
+            ).alias("rev")
+        )
+        # group_trend scans its input twice (min pass + join-back) —
+        # materialize the rollup once, the cap_hot_keys caller rule
+        .localCheckpoint()
     )
     return group_trend(monthly, ["priority"], "xm", "rev", scale=6)
 

@@ -777,3 +777,13 @@ def test_event_transitions_counts_and_probability(spark):
     assert got[("a", "c")].p_next == Decimal("0.333333")
     assert got[("b", "a")].p_next == Decimal("1.000000")
     assert ("c", "a") not in got  # streams don't cross users
+
+
+def test_group_trend_rejects_sub_cent_scale(spark):
+    import pytest as _pytest
+
+    from etl_gamma_spark.operators.stats import group_trend
+
+    df = spark.createDataFrame([("a", 0, 1.0)], "g string, x long, y double")
+    with _pytest.raises(ValueError):
+        group_trend(df, ["g"], "x", "y", scale=1).collect()
