@@ -95,6 +95,14 @@ PROBE_QUERIES = [
     "user_mode_event_type",
     "revenue_trend_by_priority",
     "bpe_token_histogram",
+    # batch-5: interval coalesce (per-supplier islands over 10x rows),
+    # transition matrix (per-user LAG over longer streams), and the two
+    # canonical TPC-H showcases (scan-bound aggregate; selective-join
+    # top-k whose output is fixed at 10 rows)
+    "supplier_shipping_coverage",
+    "event_type_transitions",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
 ]
 
 
