@@ -2619,6 +2619,98 @@ def q_tpch_q3_shipping_priority(spark, sf_dir):
 
 
 @query(
+    "tpch_q5_local_supplier_volume",
+    f"""
+WITH li AS (
+    SELECT l_orderkey, l_suppkey,
+           CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2)) AS price2,
+           CAST(ROUND(l_discount, 6) AS DECIMAL(8,6)) AS d6
+    FROM lineitem
+),
+rev AS (
+    SELECT l_orderkey, l_suppkey,
+           CAST(ROUND({_Q1_DP}, 2) AS DECIMAL(18,2)) AS rev2
+    FROM li
+),
+o AS (
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+),
+c AS (SELECT c_custkey, c_nationkey FROM customer),
+s AS (SELECT s_suppkey, s_nationkey FROM supplier),
+n AS (
+    SELECT n_nationkey, n_name FROM nation
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+)
+SELECT n.n_name,
+       CAST(SUM(r.rev2) AS DECIMAL(18,2)) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM rev r
+JOIN o ON r.l_orderkey = o.o_orderkey
+JOIN c ON o.o_custkey = c.c_custkey
+JOIN s ON r.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+)
+def q_tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5: revenue by nation where the CUSTOMER'S nation equals
+    the SUPPLIER'S nation (the cross-dimension equality that makes Q5
+    the join-reordering benchmark), restricted to one region and one
+    order year. Every dimension broadcasts; the fact tables meet in one
+    hash join on orderkey; cents-exact revenue via the shared decimal
+    product pipeline."""
+    rev = (
+        spark.table("lineitem")
+        .selectExpr(
+            "l_orderkey",
+            "l_suppkey",
+            "CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2)) AS price2",
+            "CAST(ROUND(l_discount, 6) AS DECIMAL(8,6)) AS d6",
+        )
+        .selectExpr(
+            "l_orderkey",
+            "l_suppkey",
+            f"CAST(ROUND({_Q1_DP}, 2) AS DECIMAL(18,2)) AS rev2",
+        )
+    )
+    o = (
+        spark.table("orders")
+        .where(
+            "CAST(o_orderdate AS DATE) >= DATE '1996-01-01'"
+            " AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'"
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = spark.table("customer").select("c_custkey", "c_nationkey")
+    s = spark.table("supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        spark.table("nation")
+        .join(
+            F.broadcast(spark.table("region").where("r_name = 'ASIA'")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    j = (
+        rev.join(o, rev.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (rev.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.expr("CAST(SUM(rev2) AS DECIMAL(18,2))").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@query(
     "salted_skew_agg",
     """
 SELECT l_returnflag, l_linestatus,
@@ -6123,6 +6215,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "new_users_daily",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     "user_state_history",
     "png_header_stats",
     "simhash_neardup_pairs",
