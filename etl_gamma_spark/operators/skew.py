@@ -108,8 +108,11 @@ def key_skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         "n",
         "CAST(((2000 * n + rows_total) DIV (2 * rows_total)) AS BIGINT)"
         " AS share_permille",
-        "CAST(((200 * n * n_keys + rows_total) DIV (2 * rows_total)) AS BIGINT)"
-        " AS skew_x_pct",
+        # n * n_keys can pass int64 in the large-corpus regime this
+        # diagnostic targets (1e10 rows over 1e7 keys) — widen through the
+        # 128-bit pair (DECIMAL(38,0) / HUGEINT) before the DIV
+        "CAST(((200 * CAST(n AS DECIMAL(38,0)) * n_keys + rows_total)"
+        " DIV (2 * rows_total)) AS BIGINT) AS skew_x_pct",
         "rows_total",
         "n_keys",
     )

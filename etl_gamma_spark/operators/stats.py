@@ -169,8 +169,11 @@ def winsorized_mean(
             "lo_fence",
             "hi_fence",
             # *10^6 is integer-valued (wsum has scale 2); width 19 forces
-            # hugeint on the DuckDB side (int64 decimal multiply overflows)
-            "CAST(CAST(wsum AS DECIMAL(19,2)) * 1000000 AS BIGINT) AS __u",
+            # hugeint on the DuckDB side (int64 decimal multiply overflows).
+            # The numerator stays DECIMAL(38,0) (128-bit pair with DuckDB
+            # HUGEINT): a BIGINT cast would cap group sums at ~9.2e12 units.
+            "CAST(CAST(wsum AS DECIMAL(19,2)) * 1000000 AS DECIMAL(38,0))"
+            " AS __u",
         )
         .selectExpr(
             "grp",

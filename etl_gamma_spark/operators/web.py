@@ -190,8 +190,15 @@ def html_to_text_expr(html: str, d: str) -> str:
 
     Non-greedy ``.*?`` and the character-class-only patterns behave
     identically in Java regex and RE2; no backslash escapes anywhere.
+    One pattern PER tag name, so an opening <nav> can only be closed by
+    </nav> (a combined alternation lets <nav>...</style> over-delete
+    content between mismatched tags), and the ``(?s)`` dotall flag —
+    supported by both Java regex and RE2 — makes ``.`` cross newlines so
+    multi-line script/style blocks are removed too.
     """
-    t0 = T.regex_strip(html, "<(nav|script|style)[^>]*>.*?</(nav|script|style)>", d)
+    t0 = html
+    for tag in ("nav", "script", "style"):
+        t0 = T.regex_strip(t0, f"(?s)<{tag}[^>]*>.*?</{tag}>", d)
     # tags become SPACES (not ''): block boundaries must separate words —
     # '</title><h1>' gluing adjacent text is the classic extractor bug
     if d == S:

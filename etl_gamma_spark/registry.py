@@ -2464,8 +2464,11 @@ def _q1_row_exprs() -> tuple[list[str], list[str]]:
 def _q1_avg_expr(sum_col: str, scale_in: int, d: str) -> str:
     # avg = sum / n at scale 6, non-negative HALF_UP integer form; the
     # *1000000 multiplies the decimal VALUE (integral since
-    # scale_in <= 6), width 19 forces hugeint in DuckDB
-    u = f"CAST(CAST({sum_col} AS DECIMAL(19,{scale_in})) * 1000000 AS BIGINT)"
+    # scale_in <= 6), width 19 forces hugeint in DuckDB. The scaled
+    # numerator stays in the 128-bit integer pair (Spark DECIMAL(38,0) /
+    # DuckDB HUGEINT): a BIGINT cast caps per-group sums at ~9.2e12
+    # units, which TPC-H sum_base_price exceeds around sf100.
+    u = T.wint(f"CAST({sum_col} AS DECIMAL(19,{scale_in})) * 1000000", d)
     q = T.idiv(f"(2 * {u} + count_order)", "(2 * count_order)", d)
     return (
         f"CAST(CAST({q} AS DECIMAL(18,0))"
@@ -3668,7 +3671,7 @@ agg AS (
 ),
 scaled AS (
     SELECT grp, n, lo_fence, hi_fence,
-           CAST(CAST(wsum AS DECIMAL(19,2)) * 1000000 AS BIGINT) AS u
+           CAST(CAST(wsum AS DECIMAL(19,2)) * 1000000 AS HUGEINT) AS u
     FROM agg
 )
 SELECT grp AS event_type, n, lo_fence, hi_fence,
@@ -5711,7 +5714,8 @@ top AS (SELECT key, n FROM h ORDER BY n DESC, key LIMIT 10)
 SELECT key, n,
        CAST(((2000 * n + rows_total) // (2 * rows_total)) AS BIGINT)
            AS share_permille,
-       CAST(((200 * n * n_keys + rows_total) // (2 * rows_total)) AS BIGINT)
+       CAST(((200 * CAST(n AS HUGEINT) * n_keys + rows_total)
+             // (2 * rows_total)) AS BIGINT)
            AS skew_x_pct,
        rows_total, n_keys
 FROM top, tot

@@ -34,6 +34,10 @@ SIDE_EFFECTFUL = {
     "export_shards",
     "schema_evolution",
     "jdbc_roundtrip_agg",
+    # runs a streaming job (checkpoint dir + micro-batches) and returns
+    # only the memory-sink table scan — the batch-equivalent plan is
+    # linted in test_plan_quality.py::test_enriched_rollup_batch_plan
+    "streaming_dim_enrich",
 }
 
 # TakeOrderedAndProject / per-group bounded sorts are fine; a full

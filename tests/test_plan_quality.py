@@ -557,3 +557,24 @@ def test_tpch_q3_takeordered_no_global_sort(spark):
     assert "rangepartitioning" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_enriched_rollup_batch_plan(spark):
+    # streaming_dim_enrich's transformation, linted on static tables (the
+    # streaming carrier is excluded from the global lint because running
+    # it executes the micro-batch job): the dim must broadcast — the
+    # stream side never shuffles for the join — and the rollup is one
+    # partial+final hash aggregate over bounded (segment, type) keys
+    from etl_gamma_spark.io import load_table
+    from etl_gamma_spark.streaming.enrich import enriched_segment_rollup
+
+    df = enriched_segment_rollup(
+        load_table(spark, SF_CORRECT, "events"),
+        load_table(spark, SF_CORRECT, "customer"),
+    )
+    plan = _explain(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("hashpartitioning") == 1
+    assert "rangepartitioning" not in plan

@@ -846,6 +846,38 @@ def test_html_extract_strips_boilerplate_and_unescapes(spark, docs):
         assert "  " not in r.clean_text
 
 
+def test_html_extract_multiline_blocks_and_mismatched_tags(spark):
+    """Per-tag strip patterns: a multi-line <script> block dies ((?s)
+    dotall), and an open <nav> cannot be 'closed' by </style> — the old
+    combined alternation over-deleted the KEEP content between them."""
+    from etl_gamma_spark.functions.text import SPARK
+    from etl_gamma_spark.operators.web import html_to_text_expr
+
+    html = (
+        "<html><body>"
+        "<script>\nvar x = 1;\nalert(x);\n</script>"
+        "<nav>menu</nav> <p>KEEP-A</p> <style>.c {}</style>"
+        " <p>KEEP-B</p></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    got = df.selectExpr(f"{html_to_text_expr('html', SPARK)} AS t").first().t
+    assert got == "KEEP-A KEEP-B"
+    # mismatched pairing must not delete content between <nav> and </style>
+    html2 = "<body><nav>m</nav> <p>SURVIVES</p> <style>x</style> end</body>"
+    df2 = spark.createDataFrame([(html2,)], "html string")
+    got2 = df2.selectExpr(f"{html_to_text_expr('html', SPARK)} AS t").first().t
+    assert got2 == "SURVIVES end"
+    # and the DuckDB twin renders the same values
+    import duckdb
+
+    from etl_gamma_spark.functions.text import DUCK as DUCKDB
+
+    con = duckdb.connect()
+    for h, want in ((html, "KEEP-A KEEP-B"), (html2, "SURVIVES end")):
+        sql = f"SELECT {html_to_text_expr('h', DUCKDB)} AS t FROM (SELECT ? AS h)"
+        assert con.execute(sql, [h]).fetchone()[0] == want
+
+
 def test_k_anonymity_flags_small_groups(spark):
     from etl_gamma_spark.operators.stats import k_anonymity_report
 
