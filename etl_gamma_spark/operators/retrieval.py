@@ -247,3 +247,63 @@ def lm_bigram_nll(
         "CAST(CAST((2 * __u + n_bigrams) DIV (2 * n_bigrams) AS DECIMAL(18,0))"
         " * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(18,9)) AS avg_nll",
     )
+
+
+def rrf_fuse(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_id: int = 0,
+    n_each: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
+    and semantic (exact-cosine) rankings — the standard two-tower corpus
+    mining step (Cormack/Clarke RRF: fused(d) = sum over lists of
+    1/(rrf_k + rank_d)).
+
+    Engine parity: both input rankings already hash identically (BM25
+    scores are DECIMAL(18,9); cosine doubles come from the sequential
+    fold that is bit-identical with DuckDB's list_dot_product), so the
+    ranks are identical; the reciprocal is taken in EXACT integer form,
+    1e9 DIV (rrf_k + rank) — truncating division on non-negative
+    operands is engine-equal — giving a BIGINT score with no float
+    divergence to chase. Ties (e.g. symmetric ranks in both lists)
+    break by doc_id.
+
+    Scale posture: each input list is already top-``n_each`` (bounded),
+    so the rank windows, the full-outer fusion join and the final
+    ordering all run on at most 2 * n_each rows; the heavy lifting is
+    inside bm25_topk / brute_force_topk, which keep their own
+    documented one-shuffle shapes. The rank windows partition on a
+    constant (hash exchange of <= n_each rows to one task — bounded by
+    construction), never a range sort.
+
+    Output: (doc_id, lex_rank, sem_rank, rrf_ppb BIGINT) top-``k`` by
+    fused score; absent-in-one-list ranks are NULL and contribute 0.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import brute_force_topk
+
+    lex = bm25_topk(docs, query_terms, k=n_each)
+    sem = brute_force_topk(embeddings, query_id, k=n_each).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    wl = Window.partitionBy(F.lit(0)).orderBy(F.col("bm25").desc(), "doc_id")
+    ws = Window.partitionBy(F.lit(0)).orderBy(F.col("cosine").desc(), "doc_id")
+    lr = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+    sr = sem.select(
+        "doc_id", F.row_number().over(ws).cast("long").alias("sem_rank")
+    )
+    fused = lr.join(sr, "doc_id", "full_outer").selectExpr(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        f"coalesce(1000000000 DIV ({rrf_k} + lex_rank), 0)"
+        f" + coalesce(1000000000 DIV ({rrf_k} + sem_rank), 0) AS rrf_ppb",
+    )
+    return fused.orderBy(F.col("rrf_ppb").desc(), "doc_id").limit(k)

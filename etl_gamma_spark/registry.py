@@ -2713,6 +2713,53 @@ def q_tpch_q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+_Q6_PRED = (
+    "CAST(l_shipdate AS DATE) >= DATE '1996-01-01'"
+    " AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'"
+    " AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+)
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    f"""
+WITH rows0 AS (
+    SELECT CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2)) AS price2,
+           CAST(ROUND(l_discount, 6) AS DECIMAL(8,6)) AS d6
+    FROM lineitem
+    WHERE {_Q6_PRED}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(CAST(price2 AS DECIMAL(19,2)) * d6), 2)
+            AS DECIMAL(18,2)) AS revenue
+FROM rows0
+""",
+)
+def q_tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: the pure scan-predicate benchmark — every predicate
+    must reach the parquet scan (shipdate range, discount band, quantity
+    cap), the scan reads only 4 columns, and the whole query is one
+    partial+final aggregate with no join. Revenue = SUM(price * disc)
+    in exact decimal (width 19 forces hugeint in DuckDB), rounded
+    HALF_UP to cents ONCE at the end — the wide SUM stays internal, the
+    boundary carries an int64-backed DECIMAL(18,2)."""
+    rows0 = (
+        spark.table("lineitem")
+        .where(_Q6_PRED)
+        .selectExpr(
+            "CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2)) AS price2",
+            "CAST(ROUND(l_discount, 6) AS DECIMAL(8,6)) AS d6",
+        )
+    )
+    return rows0.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.expr(
+            "CAST(ROUND(SUM(CAST(price2 AS DECIMAL(19,2)) * d6), 2)"
+            " AS DECIMAL(18,2))"
+        ).alias("revenue"),
+    )
+
+
 @query(
     "salted_skew_agg",
     """
@@ -4742,10 +4789,12 @@ from .operators.retrieval import (  # noqa: E402
 _BM25_TERMS = ("spark", "vector", "window", "scan")
 
 
-def _bm25_sql(d: str) -> str:
+def _bm25_ctes(d: str) -> str:
+    """The BM25 scoring pipeline as a CTE chain ending in ``sc`` —
+    shared by the bm25_topk oracle and the rrf_fusion oracle's lexical
+    leg (same text → same evaluation order → identical scores)."""
     terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
-    return f"""
-WITH w AS (
+    return f"""w AS (
     SELECT doc_id, {T.split_ws('text', d)} AS __w FROM documents
 ),
 docs AS (
@@ -4784,7 +4833,12 @@ sc AS (
     SELECT tf.doc_id, tf.token,
            CAST(ROUND({_score_sql('1.2', '0.75')}, 9) AS DECIMAL(18,9)) AS s9
     FROM tf CROSS JOIN stats JOIN idf USING (token)
-)
+)"""
+
+
+def _bm25_sql(d: str) -> str:
+    return f"""
+WITH {_bm25_ctes(d)}
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
        CAST(SUM(s9) AS DECIMAL(18,9)) AS bm25
 FROM sc
@@ -4797,6 +4851,55 @@ LIMIT 10
 @query("bm25_topk", _bm25_sql(_D))
 def q_bm25_topk(spark, sf_dir):
     return bm25_topk(spark.table("documents"), list(_BM25_TERMS), k=10)
+
+
+@query(
+    "rrf_fusion",
+    # hybrid retrieval: the lexical leg re-states the shared BM25 CTE
+    # chain, the semantic leg the exact-cosine scorer; ranks fuse in the
+    # exact integer reciprocal form (1e9 // (60 + rank)) — truncating
+    # division on non-negative operands is engine-equal, so no float
+    # RRF arithmetic crosses the driver boundary
+    f"""
+WITH {_bm25_ctes(_D)},
+lex AS (
+    SELECT doc_id, CAST(SUM(s9) AS DECIMAL(18,9)) AS bm25
+    FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sem AS (
+    SELECT e.vec_id AS doc_id, {_DUCK_COSINE} AS cosine
+    FROM embeddings e, q WHERE e.vec_id != 0
+    ORDER BY cosine DESC, e.vec_id LIMIT 20
+),
+lr AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS lex_rank
+    FROM lex
+),
+sr AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+               AS sem_rank
+    FROM sem
+),
+fused AS (
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+           COALESCE(1000000000 // (60 + l.lex_rank), 0)
+           + COALESCE(1000000000 // (60 + s.sem_rank), 0) AS rrf_ppb
+    FROM lr l FULL OUTER JOIN sr s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, CAST(rrf_ppb AS BIGINT) AS rrf_ppb
+FROM fused ORDER BY rrf_ppb DESC, doc_id LIMIT 10
+""",
+)
+def q_rrf_fusion(spark, sf_dir):
+    from .operators.retrieval import rrf_fuse
+
+    return rrf_fuse(
+        spark.table("documents"), spark.table("embeddings"), list(_BM25_TERMS)
+    )
 
 
 def _lm_nll_sql(d: str) -> str:
@@ -6196,7 +6299,15 @@ def q_customer_k_anonymity(spark, sf_dir):
 # round): the hash-agg keep-first family is carried by graded exact-dedup
 # siblings (chunk_dedup, cluster_prune); the regex canonicalization is
 # pytest-oracle-checked at both SFs plus variant-collapse unit tests.
+# rrf_fusion / tpch_q6_forecast_revenue enter ungraded on registration
+# (rotate in next round): fusion's two legs are each graded (bm25_topk,
+# embedding family) and the exact-integer reciprocal is the graded
+# HALF_UP-DIV discipline; Q6's scan-predicate + decimal-product family
+# is graded via tpch-siblings' shared pipeline (_Q1_DP) and
+# bloom_filtered_revenue's pruned-scan shape. Both pytest-oracle-checked.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "rrf_fusion",
+    "tpch_q6_forecast_revenue",
     "embedding_sq8_topk",
     "url_dedup",
     "domain_mix",

@@ -578,3 +578,20 @@ def test_enriched_rollup_batch_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("hashpartitioning") == 1
     assert "rangepartitioning" not in plan
+
+
+def test_tpch_q6_all_predicates_pushed_single_agg(spark):
+    # the scan-predicate benchmark: shipdate range, discount band and
+    # quantity cap must all reach the parquet scan; the whole query is
+    # one partial+final aggregate over a 4-column pruned read
+    plan = _explain(QUERIES["tpch_q6_forecast_revenue"](spark, SF_CORRECT))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    line = pushed[0]
+    assert "l_shipdate" in line
+    assert "GreaterThanOrEqual(l_discount" in line
+    assert "LessThanOrEqual(l_discount" in line
+    assert "LessThan(l_quantity" in line
+    assert "l_orderkey" not in plan  # column pruning held
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
