@@ -105,7 +105,15 @@ def cooccurrence_edges(
         .localCheckpoint()
     )
     kept = cap_hot_keys(base, ["i"], max_df)
-    a = kept.select("i", F.col("e").alias("x"))
+    # the self-join broadcasts the build side, so the PROBE side's
+    # partition count is the parallelism of the whole pair-generation +
+    # partial-aggregate stage; the checkpointed distinct comes back
+    # AQE-coalesced to a handful of partitions at local fixture sizes
+    # (measured: the 17M-pair probe ran on 5 of 32 cores). spread() is a
+    # no-op at cluster scale where the frame is already wide.
+    from ..io import spread
+
+    a = spread(kept).select("i", F.col("e").alias("x"))
     b = kept.select("i", F.col("e").alias("y"))
     return (
         a.join(b, "i")
@@ -129,6 +137,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     uses has no such bound). Each triangle is found exactly once.
 
     Returns (node, n_triangles) for nodes in at least one triangle.
+
+    The degree aggregate and the oriented ranking both scan ``edges``;
+    the doubled upstream is recovered by Spark's ReusedExchange (the
+    subplans are identical — measured: an explicit localCheckpoint here
+    changed nothing at sf0.1), so no materialization is forced on the
+    caller's plan.
     """
     deg = (
         edges.select(F.col("x").alias("node"))
