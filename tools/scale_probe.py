@@ -103,6 +103,11 @@ PROBE_QUERIES = [
     "event_type_transitions",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    # round-7: the pure scan-predicate aggregate (expect ~linear in the
+    # lineitem scan) and the RRF fusion (both legs' corpus passes scale;
+    # the fusion itself runs on two bounded top-20 lists)
+    "tpch_q6_forecast_revenue",
+    "rrf_fusion",
 ]
 
 
@@ -208,7 +213,13 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of PROBE_QUERIES to time",
+    )
     args = ap.parse_args()
+    names = args.queries.split(",") if args.queries else PROBE_QUERIES
 
     from etl_gamma_spark.session import get_spark
 
@@ -218,13 +229,13 @@ def main() -> None:
         replicate(spark, args.out, args.copies)
 
     print("load", os.getloadavg(), flush=True)
-    base = time_queries(spark, BASE, args.reps)
+    base = time_queries(spark, BASE, args.reps, names)
     print("load", os.getloadavg(), flush=True)
-    scaled = time_queries(spark, args.out, args.reps)
+    scaled = time_queries(spark, args.out, args.reps, names)
     print("load", os.getloadavg(), flush=True)
 
     print(f"\n{'query':32s} {'1x':>7s} {args.copies:>5d}x  ratio")
-    for name in PROBE_QUERIES:
+    for name in names:
         r = scaled[name] / base[name] if base[name] else float("nan")
         print(f"{name:32s} {base[name]:7.2f} {scaled[name]:6.2f}  {r:4.1f}x")
     spark.stop()
