@@ -703,3 +703,134 @@ def temperature_mix(
         f"CAST(((2 * {budget} * __u + __tot) DIV (2 * __tot)) AS BIGINT)"
         " AS target_n",
     )
+
+
+# DSIR's portable-ln pipeline, parameterized by COLUMN NAME so the same
+# generators emit both the Spark projections and the oracle CTEs
+# (shared-verbatim text → identical IEEE evaluation order → bit-identical
+# doubles; semantics identical to retrieval.py's IDF_*/LN_FROM_T
+# constants, which are pinned to the single column name 't'):
+def DSIR_P_SQL(c: str, n: str, n_buckets: int) -> str:
+    """Add-1-smoothed bucket probability from exact integer counts."""
+    return (
+        f"((CAST({c} AS DOUBLE) + 1.0)"
+        f" / (CAST({n} AS DOUBLE) + CAST({n_buckets} AS DOUBLE)))"
+    )
+
+
+def SQRT20(x: str) -> str:
+    return "sqrt(" * 20 + x + ")" * 20
+
+
+def ATANH_ARG(s: str) -> str:
+    return f"(({s} - 1.0) / ({s} + 1.0))"
+
+
+def LN_FROM(t: str) -> str:
+    return f"(2097152.0 * ({t} + ((({t} * {t}) * {t}) / 3.0)))"
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: str,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, public: Data Selection
+    via Importance Resampling): score every document by how much more
+    likely its hashed-bigram features are under a TARGET domain model
+    than under the raw-corpus model,
+
+        w(doc) = avg over feature occurrences of
+                 ln p_target(f) - ln p_raw(f),
+
+    with both models add-1-smoothed multinomials over ``n_buckets``
+    hashed bigram buckets and the target set selected by ``target_pred``
+    (a boolean SQL expression over the document columns, e.g. a curated
+    source list). High-weight documents look like the target domain —
+    the standard pre-training data-selection signal.
+
+    Engine parity: feature hashing is the md5-based ``hexint`` modulo
+    ``n_buckets`` (non-negative operands, so ``%`` agrees across
+    engines); both probabilities are text-pinned IEEE double expressions
+    over exact integer counts; each log goes through the portable
+    sqrt-chain expansion (operators/retrieval.py contract) once per
+    DISTINCT bucket, is quantized to DECIMAL(18,9), and the log-ratio is
+    exact decimal subtraction — per-occurrence sums are then
+    order-independent decimal sums, and the average uses the sign-split
+    HALF_UP integer division (weights can be negative).
+
+    Scale posture: one explode over the corpus feeds ONE combined
+    (bucket, total/target) count aggregate — map-side combine collapses
+    to at most ``n_buckets`` rows per task before the exchange; the
+    per-bucket log-ratio table is bounded by ``n_buckets`` and
+    broadcasts back onto the occurrence stream; one final per-doc hash
+    aggregate. No per-occurrence transcendentals anywhere.
+
+    Output: (doc_id, n_feats BIGINT, w_sum DECIMAL(18,9),
+    avg_w DECIMAL(18,9)) for documents with at least one bigram.
+    """
+    words = spread(docs).selectExpr(
+        id_col,
+        f"({target_pred}) AS __is_t",
+        f"{T.split_ws(text_col, S)} AS __w",
+    )
+    occ = words.selectExpr(
+        id_col, "__is_t", f"explode({T.word_ngrams('__w', S, 2)}) AS bg"
+    ).selectExpr(id_col, "__is_t", f"({T.hexint('bg', S)} % {n_buckets}) AS feat")
+    fc = occ.groupBy("feat").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("c_r"),
+        F.expr(
+            "CAST(SUM(CASE WHEN __is_t THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("c_t"),
+    )
+    tot = occ.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_r"),
+        F.expr(
+            "CAST(SUM(CASE WHEN __is_t THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_t"),
+    )
+    lr = (
+        bcast_attach(fc, tot, "feat", "n_r")
+        .selectExpr(
+            "feat",
+            f"{DSIR_P_SQL('c_t', 'n_t', n_buckets)} AS pt",
+            f"{DSIR_P_SQL('c_r', 'n_r', n_buckets)} AS pr",
+        )
+        .selectExpr("feat", f"{SQRT20('pt')} AS st", f"{SQRT20('pr')} AS sr")
+        .selectExpr(
+            "feat", f"{ATANH_ARG('st')} AS tt", f"{ATANH_ARG('sr')} AS tr"
+        )
+        .selectExpr(
+            "feat",
+            f"CAST(ROUND({LN_FROM('tt')}, 9) AS DECIMAL(18,9)) AS lt9",
+            f"CAST(ROUND({LN_FROM('tr')}, 9) AS DECIMAL(18,9)) AS lr9",
+        )
+        .selectExpr("feat", "CAST(lt9 - lr9 AS DECIMAL(18,9)) AS lrd")
+    )
+    per_doc = (
+        occ.join(F.broadcast(lr), "feat")
+        .groupBy(id_col)
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_feats"),
+            F.expr("CAST(SUM(lrd) AS DECIMAL(18,9))").alias("w_sum"),
+        )
+    )
+    return per_doc.selectExpr(
+        id_col,
+        "n_feats",
+        "w_sum",
+        # sign-split HALF_UP at scale 9; width 19 forces hugeint, the
+        # numerator stays in the 128-bit pair (advisor rule, round 7)
+        "CAST(CAST(w_sum AS DECIMAL(19,9)) * 1000000000 AS DECIMAL(38,0))"
+        " AS __u",
+    ).selectExpr(
+        id_col,
+        "n_feats",
+        "w_sum",
+        "CAST(CAST((CASE WHEN __u < 0 THEN -1 ELSE 1 END)"
+        " * CAST((2 * abs(__u) + n_feats) DIV (2 * n_feats) AS BIGINT)"
+        " AS DECIMAL(18,0)) * CAST(0.000000001 AS DECIMAL(10,9))"
+        " AS DECIMAL(18,9)) AS avg_w",
+    )

@@ -6299,15 +6299,88 @@ def q_customer_k_anonymity(spark, sf_dir):
 # round): the hash-agg keep-first family is carried by graded exact-dedup
 # siblings (chunk_dedup, cluster_prune); the regex canonicalization is
 # pytest-oracle-checked at both SFs plus variant-collapse unit tests.
+_DSIR_TARGET = "source IN ('src1', 'src2', 'src3')"
+
+
+def _dsir_sql(d: str) -> str:
+    from .operators.quality import ATANH_ARG, DSIR_P_SQL, LN_FROM, SQRT20
+
+    B = 4096
+    return f"""
+WITH w AS (
+    SELECT doc_id, ({_DSIR_TARGET}) AS is_t,
+           {T.split_ws('text', d)} AS __w
+    FROM documents
+),
+occ AS (
+    SELECT doc_id, is_t, unnest({T.word_ngrams('__w', d, 2)}) AS bg FROM w
+),
+feats AS (
+    SELECT doc_id, is_t, ({T.hexint('bg', d)} % {B}) AS feat FROM occ
+),
+fc AS (
+    SELECT feat, CAST(COUNT(*) AS BIGINT) AS c_r,
+           CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+    FROM feats GROUP BY 1
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_r,
+           CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+    FROM feats
+),
+p AS (
+    SELECT feat, {DSIR_P_SQL('c_t', 'n_t', B)} AS pt,
+           {DSIR_P_SQL('c_r', 'n_r', B)} AS pr
+    FROM fc CROSS JOIN tot
+),
+sq AS (SELECT feat, {SQRT20('pt')} AS st, {SQRT20('pr')} AS sr FROM p),
+ta AS (SELECT feat, {ATANH_ARG('st')} AS tt, {ATANH_ARG('sr')} AS tr FROM sq),
+ln AS (
+    SELECT feat,
+           CAST(ROUND({LN_FROM('tt')}, 9) AS DECIMAL(18,9)) AS lt9,
+           CAST(ROUND({LN_FROM('tr')}, 9) AS DECIMAL(18,9)) AS lr9
+    FROM ta
+),
+lrd AS (SELECT feat, CAST(lt9 - lr9 AS DECIMAL(18,9)) AS lrd FROM ln),
+pd AS (
+    SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(l.lrd) AS DECIMAL(18,9)) AS w_sum
+    FROM feats f JOIN lrd l USING (feat) GROUP BY 1
+),
+sc AS (
+    SELECT doc_id, n_feats, w_sum,
+           CAST(CAST(w_sum AS DECIMAL(19,9)) * 1000000000 AS HUGEINT) AS u
+    FROM pd
+)
+SELECT doc_id, n_feats, w_sum,
+       CAST(CAST((CASE WHEN u < 0 THEN -1 ELSE 1 END)
+                 * CAST((2 * ABS(u) + n_feats) // (2 * n_feats) AS BIGINT)
+            AS DECIMAL(18,0)) * CAST(0.000000001 AS DECIMAL(10,9))
+            AS DECIMAL(18,9)) AS avg_w
+FROM sc
+"""
+
+
+@query("dsir_weights", _dsir_sql(_D))
+def q_dsir_weights(spark, sf_dir):
+    from .operators.quality import dsir_weights
+
+    return dsir_weights(spark.table("documents"), _DSIR_TARGET)
+
+
 # rrf_fusion / tpch_q6_forecast_revenue enter ungraded on registration
 # (rotate in next round): fusion's two legs are each graded (bm25_topk,
 # embedding family) and the exact-integer reciprocal is the graded
 # HALF_UP-DIV discipline; Q6's scan-predicate + decimal-product family
 # is graded via tpch-siblings' shared pipeline (_Q1_DP) and
 # bloom_filtered_revenue's pruned-scan shape. Both pytest-oracle-checked.
+# dsir_weights enters ungraded the same way: its portable-ln, hashed-
+# feature and sign-split-average disciplines are each carried by graded
+# lm_bigram_nll / quality_classifier_score / winsorized_event_values.
 UNGRADED_QUERIES: tuple[str, ...] = (
     "rrf_fusion",
     "tpch_q6_forecast_revenue",
+    "dsir_weights",
     "embedding_sq8_topk",
     "url_dedup",
     "domain_mix",

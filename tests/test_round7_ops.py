@@ -76,3 +76,60 @@ def test_tpch_q6_revenue_matches_decimal_python(spark):
     got = QUERIES["tpch_q6_forecast_revenue"](spark, SF_SMOKE).first()
     assert got.n_items == len(rows)
     assert Decimal(str(got.revenue)) == want
+
+
+def test_dsir_weights_behavior_and_float_recount(spark):
+    """DSIR semantics (parity is covered by the oracle suite): documents
+    sharing the target domain's bigrams must score higher than
+    out-of-domain ones, and a pure-Python recount with true math.log
+    must agree to ~1e-6 (the portable-ln contract)."""
+    import hashlib
+    import math
+
+    from etl_gamma_spark.operators.quality import dsir_weights
+
+    rows = [
+        (1, "alpha beta alpha beta alpha", "tgt"),
+        (2, "alpha beta alpha", "tgt"),
+        (3, "alpha beta gamma", "raw"),
+        (4, "zeta eta theta iota", "raw"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: r
+        for r in dsir_weights(docs, "source = 'tgt'", n_buckets=4096).collect()
+    }
+    # ranking: the target docs themselves score highest, the target-like
+    # doc 3 ("alpha beta ...") beats out-of-domain doc 4. (Absolute sign
+    # is not meaningful at toy scale: with add-1 smoothing over B=4096
+    # buckets the weight ~ ln((c_t+1)/(c_r+1)) <= 0 whenever the target
+    # is a subset of the corpus — only the ordering matters.)
+    assert float(got[1].avg_w) > float(got[3].avg_w) > float(got[4].avg_w)
+
+    B = 4096
+
+    def feats(text):
+        ws = text.split(" ")
+        return [
+            int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:15], 16) % B
+            for a, b in zip(ws, ws[1:])
+        ]
+
+    c_r, c_t = {}, {}
+    n_r = n_t = 0
+    for _, text, src in rows:
+        for f in feats(text):
+            c_r[f] = c_r.get(f, 0) + 1
+            n_r += 1
+            if src == "tgt":
+                c_t[f] = c_t.get(f, 0) + 1
+                n_t += 1
+    for doc_id, text, _ in rows:
+        fs = feats(text)
+        w = sum(
+            math.log((c_t.get(f, 0) + 1) / (n_t + B))
+            - math.log((c_r[f] + 1) / (n_r + B))
+            for f in fs
+        ) / len(fs)
+        assert abs(float(got[doc_id].avg_w) - w) < 1e-6, (doc_id, w)
+        assert got[doc_id].n_feats == len(fs)
