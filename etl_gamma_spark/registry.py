@@ -6368,19 +6368,28 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(spark.table("documents"), _DSIR_TARGET)
 
 
-# rrf_fusion / tpch_q6_forecast_revenue enter ungraded on registration
-# (rotate in next round): fusion's two legs are each graded (bm25_topk,
-# embedding family) and the exact-integer reciprocal is the graded
-# HALF_UP-DIV discipline; Q6's scan-predicate + decimal-product family
-# is graded via tpch-siblings' shared pipeline (_Q1_DP) and
-# bloom_filtered_revenue's pruned-scan shape. Both pytest-oracle-checked.
-# dsir_weights enters ungraded the same way: its portable-ln, hashed-
-# feature and sign-split-average disciplines are each carried by graded
-# lm_bigram_nll / quality_classifier_score / winsorized_event_values.
+# Round-7 rotation: the three round-7 operator families move INTO the
+# graded window (rrf_fusion — hybrid retrieval fusion;
+# tpch_q6_forecast_revenue — the pure scan-predicate showcase;
+# dsir_weights — DSIR target-domain data selection), all green in the
+# round-7 driver_sim at sf0.01 AND sf0.1 before rotating. Displaced,
+# each with a banked green driver-graded round (r5/r6 artifacts) and
+# transitive family coverage:
+#   cms_topk                  sketch mergeability family stays graded via
+#                             hll_distinct + hdr_value_percentiles; the
+#                             CMS arithmetic is pytest-oracle-checked and
+#                             the inner-product sibling
+#                             (orders_events_join_size) unit-recounted
+#   receita_rolling_3m        RANGE-frame rolling windows carried by
+#                             graded user_sessions (ordered windows) and
+#                             the revenue aggregate family; pytest-oracle
+#   supplier_window_overlaps  interval-overlap joins carried by graded
+#                             range_tier_join (binned range join) and
+#                             asof_join_purchases; pytest-oracle-checked
 UNGRADED_QUERIES: tuple[str, ...] = (
-    "rrf_fusion",
-    "tpch_q6_forecast_revenue",
-    "dsir_weights",
+    "cms_topk",
+    "receita_rolling_3m",
+    "supplier_window_overlaps",
     "embedding_sq8_topk",
     "url_dedup",
     "domain_mix",
