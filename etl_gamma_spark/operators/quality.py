@@ -705,29 +705,23 @@ def temperature_mix(
     )
 
 
-# DSIR's portable-ln pipeline, parameterized by COLUMN NAME so the same
-# generators emit both the Spark projections and the oracle CTEs
+# DSIR's probability expression, parameterized by COLUMN NAME so the
+# same generator emits both the Spark projections and the oracle CTEs
 # (shared-verbatim text → identical IEEE evaluation order → bit-identical
-# doubles; semantics identical to retrieval.py's IDF_*/LN_FROM_T
-# constants, which are pinned to the single column name 't'):
+# doubles). The portable-ln pipeline itself comes from retrieval.py's
+# single-source generators (SQRT_CHAIN/ATANH_ARG/LN_FROM) so the
+# bit-parity contract has exactly one definition.
+from .retrieval import ATANH_ARG, LN_FROM, SQRT_CHAIN  # noqa: E402
+
+SQRT20 = SQRT_CHAIN
+
+
 def DSIR_P_SQL(c: str, n: str, n_buckets: int) -> str:
     """Add-1-smoothed bucket probability from exact integer counts."""
     return (
         f"((CAST({c} AS DOUBLE) + 1.0)"
         f" / (CAST({n} AS DOUBLE) + CAST({n_buckets} AS DOUBLE)))"
     )
-
-
-def SQRT20(x: str) -> str:
-    return "sqrt(" * 20 + x + ")" * 20
-
-
-def ATANH_ARG(s: str) -> str:
-    return f"(({s} - 1.0) / ({s} + 1.0))"
-
-
-def LN_FROM(t: str) -> str:
-    return f"(2097152.0 * ({t} + ((({t} * {t}) * {t}) / 3.0)))"
 
 
 def dsir_weights(
@@ -761,12 +755,14 @@ def dsir_weights(
     order-independent decimal sums, and the average uses the sign-split
     HALF_UP integer division (weights can be negative).
 
-    Scale posture: one explode over the corpus feeds ONE combined
-    (bucket, total/target) count aggregate — map-side combine collapses
-    to at most ``n_buckets`` rows per task before the exchange; the
-    per-bucket log-ratio table is bounded by ``n_buckets`` and
-    broadcasts back onto the occurrence stream; one final per-doc hash
-    aggregate. No per-occurrence transcendentals anywhere.
+    Scale posture: two corpus passes total. The first explode feeds ONE
+    combined (bucket, total/target) count aggregate — map-side combine
+    collapses to at most ``n_buckets`` rows per task before the
+    exchange — which is materialized so the totals and the log-ratio
+    table derive from it without re-scanning; the bounded
+    (<= ``n_buckets``) log-ratio table then broadcasts onto the
+    re-derived occurrence stream for one final per-doc hash aggregate.
+    No per-occurrence transcendentals anywhere.
 
     Output: (doc_id, n_feats BIGINT, w_sum DECIMAL(18,9),
     avg_w DECIMAL(18,9)) for documents with at least one bigram.
@@ -779,17 +775,27 @@ def dsir_weights(
     occ = words.selectExpr(
         id_col, "__is_t", f"explode({T.word_ngrams('__w', S, 2)}) AS bg"
     ).selectExpr(id_col, "__is_t", f"({T.hexint('bg', S)} % {n_buckets}) AS feat")
-    fc = occ.groupBy("feat").agg(
-        F.expr("CAST(COUNT(*) AS BIGINT)").alias("c_r"),
-        F.expr(
-            "CAST(SUM(CASE WHEN __is_t THEN 1 ELSE 0 END) AS BIGINT)"
-        ).alias("c_t"),
+    # ONE corpus-scan count aggregate feeds both models; it is
+    # materialized (<= n_buckets rows) because the totals derive from it
+    # and the log-ratio table reads it again — without the checkpoint the
+    # explode pipeline would run once per consumer (the cap_hot_keys
+    # caller rule). The occurrence stream itself is re-derived for the
+    # final probe join (second and last corpus pass — same shape as
+    # lm_bigram_nll; checkpointing per-occurrence rows would cost more
+    # than the recompute at corpus scale).
+    fc = (
+        occ.groupBy("feat")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("c_r"),
+            F.expr(
+                "CAST(SUM(CASE WHEN __is_t THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("c_t"),
+        )
+        .localCheckpoint()
     )
-    tot = occ.agg(
-        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_r"),
-        F.expr(
-            "CAST(SUM(CASE WHEN __is_t THEN 1 ELSE 0 END) AS BIGINT)"
-        ).alias("n_t"),
+    tot = fc.agg(
+        F.expr("CAST(SUM(c_r) AS BIGINT)").alias("n_r"),
+        F.expr("CAST(SUM(c_t) AS BIGINT)").alias("n_t"),
     )
     lr = (
         bcast_attach(fc, tot, "feat", "n_r")

@@ -82,11 +82,30 @@ IDF_X_SQL = (
     "(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)"
     " / (CAST(df AS DOUBLE) + 0.5) + 1.0)"
 )
-IDF_S_SQL = "sqrt(" * 20 + "x" + ")" * 20
-IDF_T_SQL = "((s - 1.0) / (s + 1.0))"
-# generic portable ln from the atanh argument t (see module docstring):
-# 2^21 * (t + t^3/3); negate/quantize at the call sites
-LN_FROM_T_SQL = "(2097152.0 * (t + (((t * t) * t) / 3.0)))"
+# Column-parameterized generators for the portable-ln pipeline — the
+# SINGLE source of the bit-parity-critical expansion (sqrt depth, series
+# terms). The pinned one-column constants below and quality.dsir_weights'
+# two-column stages all derive from these; retune here and every consumer
+# moves together.
+
+
+def SQRT_CHAIN(x: str, depth: int = 20) -> str:
+    return "sqrt(" * depth + x + ")" * depth
+
+
+def ATANH_ARG(s: str) -> str:
+    return f"(({s} - 1.0) / ({s} + 1.0))"
+
+
+def LN_FROM(t: str) -> str:
+    """Generic portable ln from the atanh argument: 2^21 * (t + t^3/3);
+    negate/quantize at the call sites."""
+    return f"(2097152.0 * ({t} + ((({t} * {t}) * {t}) / 3.0)))"
+
+
+IDF_S_SQL = SQRT_CHAIN("x")
+IDF_T_SQL = ATANH_ARG("s")
+LN_FROM_T_SQL = LN_FROM("t")
 IDF9_FROM_T_SQL = f"CAST(ROUND({LN_FROM_T_SQL}, 9) AS DECIMAL(18,9))"
 
 

@@ -198,7 +198,10 @@ def html_to_text_expr(html: str, d: str) -> str:
     """
     t0 = html
     for tag in ("nav", "script", "style"):
-        t0 = T.regex_strip(t0, f"(?s)<{tag}[^>]*>.*?</{tag}>", d)
+        # tag-boundary form <tag( attrs)?>: plain <{tag}[^>]*> would
+        # prefix-match a LONGER tag name (<nav-bar>, <style-guide>) and
+        # open a deletion span through the next real closing tag
+        t0 = T.regex_strip(t0, f"(?s)<{tag}( [^>]*)?>.*?</{tag}>", d)
     # tags become SPACES (not ''): block boundaries must separate words —
     # '</title><h1>' gluing adjacent text is the classic extractor bug
     if d == S:

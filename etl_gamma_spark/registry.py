@@ -6324,9 +6324,9 @@ fc AS (
     FROM feats GROUP BY 1
 ),
 tot AS (
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_r,
-           CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t
-    FROM feats
+    SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+           CAST(SUM(c_t) AS BIGINT) AS n_t
+    FROM fc
 ),
 p AS (
     SELECT feat, {DSIR_P_SQL('c_t', 'n_t', B)} AS pt,

@@ -867,13 +867,26 @@ def test_html_extract_multiline_blocks_and_mismatched_tags(spark):
     df2 = spark.createDataFrame([(html2,)], "html string")
     got2 = df2.selectExpr(f"{html_to_text_expr('html', SPARK)} AS t").first().t
     assert got2 == "SURVIVES end"
+    # a LONGER tag sharing the prefix (<nav-bar>) must not open a nav
+    # deletion span — its tags strip like any other element, content kept
+    html3 = (
+        "<body><nav-bar>menu text</nav-bar> <p>KEEP</p>"
+        ' <nav class="m">real nav</nav> tail</body>'
+    )
+    df3 = spark.createDataFrame([(html3,)], "html string")
+    got3 = df3.selectExpr(f"{html_to_text_expr('html', SPARK)} AS t").first().t
+    assert got3 == "menu text KEEP tail"
     # and the DuckDB twin renders the same values
     import duckdb
 
     from etl_gamma_spark.functions.text import DUCK as DUCKDB
 
     con = duckdb.connect()
-    for h, want in ((html, "KEEP-A KEEP-B"), (html2, "SURVIVES end")):
+    for h, want in (
+        (html, "KEEP-A KEEP-B"),
+        (html2, "SURVIVES end"),
+        (html3, "menu text KEEP tail"),
+    ):
         sql = f"SELECT {html_to_text_expr('h', DUCKDB)} AS t FROM (SELECT ? AS h)"
         assert con.execute(sql, [h]).fetchone()[0] == want
 

@@ -220,6 +220,11 @@ def main() -> None:
     )
     args = ap.parse_args()
     names = args.queries.split(",") if args.queries else PROBE_QUERIES
+    from etl_gamma_spark.registry import QUERIES as _ALL
+
+    unknown = sorted(set(names) - set(_ALL))
+    if unknown:  # fail fast, BEFORE the expensive replica build
+        ap.error(f"unknown queries: {', '.join(unknown)}")
 
     from etl_gamma_spark.session import get_spark
 
