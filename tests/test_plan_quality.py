@@ -595,3 +595,15 @@ def test_tpch_q6_all_predicates_pushed_single_agg(spark):
     assert "l_orderkey" not in plan  # column pruning held
     assert "rangepartitioning" not in plan
     assert "Join" not in plan
+
+
+def test_dsir_single_probe_scan_and_broadcast(spark):
+    # two-pass contract: the count aggregate is checkpointed at build
+    # time, so the FINAL plan reads the corpus exactly once (the probe
+    # explode) plus the materialized RDD; the bounded log-ratio table
+    # must broadcast onto the occurrence stream
+    plan = _explain(QUERIES["dsir_weights"](spark, SF_CORRECT))
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
