@@ -29,12 +29,15 @@ _FAST_DIR = os.environ.get(
 # instance pays a fixed WAL + commit + snapshot cost per micro-batch —
 # with the session's 32 shuffle partitions that fixed cost dominates the
 # demo aggregates (measured at sf0.1: windowed 14.7→3.1 s, sessions
-# 4.2→1.9 s, rollup 2.9→1.7 s going 32→4). On a real cluster this knob is
-# sized to state VOLUME (keys × state size / executor memory), not to the
-# batch default — hence env-overridable, and safe to vary per run because
-# every run here starts from a fresh checkpoint (the partition count is
-# pinned into checkpoint metadata on the first batch).
-STREAM_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+# 4.2→1.9 s, rollup 2.9→1.7 s going 32→4; round 7 re-measured the floor:
+# interval join 6.1→3.5 s and watermark dedup 3.6→2.0 s going 4→2, while
+# 1 serializes the join work and regresses — 2 is the local sweet spot).
+# On a real cluster this knob is sized to state VOLUME (keys × state
+# size / executor memory), not to the batch default — hence
+# env-overridable, and safe to vary per run because every run here
+# starts from a fresh checkpoint (the partition count is pinned into
+# checkpoint metadata on the first batch).
+STREAM_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "2")
 
 
 @contextlib.contextmanager
