@@ -41,19 +41,31 @@ STREAM_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "2")
 
 
 @contextlib.contextmanager
-def stream_shuffle_partitions(spark: SparkSession):
+def stream_shuffle_partitions(spark: SparkSession, n: str | int | None = None):
     """Temporarily size ``spark.sql.shuffle.partitions`` for a stateful
-    streaming run (see STREAM_SHUFFLE_PARTITIONS); restores the session
-    value afterwards so batch plans are unaffected."""
+    streaming run (see STREAM_SHUFFLE_PARTITIONS; ``n`` overrides for a
+    query whose STATE VOLUME warrants more stores — e.g. a full-history
+    dedup keeps one state row per key, so its work scales with
+    parallelism, while a windowed aggregate's state is tiny and pays
+    only the per-store fixed cost). Restores the session value
+    afterwards so batch plans are unaffected."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(n if n is not None else STREAM_SHUFFLE_PARTITIONS),
+    )
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-def run_to_memory(df: DataFrame, query_name: str, output_mode: str) -> DataFrame:
+def run_to_memory(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) through a
     memory sink and return the materialized table. A fresh per-run
     checkpoint dir (never reused — a stale one would replay committed
@@ -61,7 +73,7 @@ def run_to_memory(df: DataFrame, query_name: str, output_mode: str) -> DataFrame
     spark = df.sparkSession
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_", dir=_FAST_DIR)
     try:
-        with stream_shuffle_partitions(spark):
+        with stream_shuffle_partitions(spark, state_partitions):
             q = (
                 df.writeStream.outputMode(output_mode)
                 .format("memory")

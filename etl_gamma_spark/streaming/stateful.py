@@ -73,7 +73,11 @@ def streaming_dedup_events(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return run_to_memory(deduped, query_name, "append")
+    # full-history dedup: one state row per key and a Python (Arrow)
+    # kernel per partition — its WORK scales with parallelism, unlike
+    # the tiny-state aggregates (measured at sf0.1: 5.7 s at 2 stores,
+    # 2.9 s at 8)
+    return run_to_memory(deduped, query_name, "append", state_partitions=8)
 
 
 def streaming_dedup_within_watermark(
