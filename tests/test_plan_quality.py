@@ -607,3 +607,17 @@ def test_dsir_single_probe_scan_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_tpch_q18_reduces_before_joining(spark):
+    # the HAVING aggregate must run BEFORE the joins (partial+final on
+    # l_orderkey, then the selective frame probes orders/customer as
+    # hash joins) and the top-100 must be a TakeOrdered, never a global
+    # range sort
+    plan = _explain(QUERIES["tpch_q18_large_volume"](spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # lineitem scan reads exactly the two aggregate columns
+    pruned = [l for l in plan.splitlines() if "ReadSchema" in l and "l_orderkey" in l]
+    assert pruned and "l_quantity" in pruned[0] and "l_extendedprice" not in pruned[0]
