@@ -108,6 +108,11 @@ PROBE_QUERIES = [
     # the fusion itself runs on two bounded top-20 lists)
     "tpch_q6_forecast_revenue",
     "rrf_fusion",
+    # the Q18 pre-join reduction (per-order sums before any join; output
+    # pinned at 100 rows) and the DSIR two-pass count/probe pipeline
+    # (bounded 4096-bucket model state regardless of corpus size)
+    "tpch_q18_large_volume",
+    "dsir_weights",
 ]
 
 
