@@ -1,10 +1,18 @@
 #!/usr/bin/env python3
 """Benchmark harness: runs the engine's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints the result JSON:
 
-    {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"<name>": sec, ...}, "sf": <sf>}
+    {"queries": {"<name>": sec, ...}, ..., "metric": "...",
+     "value": <total_sec>, "unit": "sec", "sf": <sf>}
+
+followed by ONE compact summary line (same metric/value/unit/sf plus the
+slowest queries). The driver records only the LAST ~2000 bytes of stdout,
+truncated at the FRONT — every prior round's artifact had "parsed": null
+because the single full line overflowed that window (VERDICT r7 item 4).
+The full line now leads with the per-query map (so its surviving tail
+holds the summary fields for regex recovery) and the final compact line
+fits the window whole, so the driver's parse succeeds.
 
 Each query is materialized with the noop writer (full execution, no
 driver-side collect). A small warmup query first absorbs session/JIT
@@ -103,6 +111,29 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def count_nontest_loc() -> int:
+    """Non-test source LoC by the judge's prescribed count (``find`` over
+    *.py excluding tests/, piped to wc -l) — emitted into the round
+    artifact so round-over-round comparisons stop re-deriving it
+    (VERDICT r7 item 7)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    total = 0
+    for root, dirs, files in os.walk(here):
+        dirs[:] = [
+            d for d in dirs
+            if d not in ("tests", ".git", "spark-warehouse", "__pycache__")
+        ]
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            try:
+                with open(os.path.join(root, fn), "rb") as f:
+                    total += sum(1 for _ in f)
+            except OSError:
+                continue
+    return total
+
+
 def main() -> None:
     wait_for_quiet_host()
     # ambient load AFTER the gate, BEFORE we generate any ourselves: this
@@ -173,24 +204,46 @@ def main() -> None:
         retimed.append(name)
 
     total = sum(per_query.values())
+    # per-query map FIRST, summary fields LAST: the driver keeps only the
+    # tail of stdout, so whatever prints last is what survives truncation
     result = {
-        "metric": "etl_gamma_spark headline queries wall-clock",
-        "value": round(total, 3),
-        "unit": "sec",
         "queries": per_query,
-        "sf": sf,
         "runs_per_query": BENCH_RUNS,
         # shared-host noise context: the AMBIENT load when timing began
         # (post-gate, pre-run) — the artifact's trust signal — plus the
         # end-of-run value for completeness (dominated by our own work)
         "loadavg": load_at_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "metric": "etl_gamma_spark headline queries wall-clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
     }
     if retimed:
         result["retimed"] = retimed
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
+    # final compact line (< 2000 bytes): complete within the driver's
+    # front-truncated tail capture, so json-parsing the last line works.
+    # Slowest-10 map only — the full per-query map is the line above.
+    slowest = dict(
+        sorted(per_query.items(), key=lambda kv: -kv[1])[:10]
+    )
+    summary = {
+        "metric": "etl_gamma_spark headline queries wall-clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(per_query),
+        "n_errors": len(errors),
+        "runs_per_query": BENCH_RUNS,
+        "loadavg": load_at_start,
+        "loc_nontest": count_nontest_loc(),
+        "queries": slowest,
+        "note": "summary line (slowest 10); full per-query map precedes",
+    }
+    print(json.dumps(summary))
     try:
         spark.stop()
     except Exception:  # pragma: no cover - never let teardown eat the line
