@@ -198,10 +198,14 @@ def html_to_text_expr(html: str, d: str) -> str:
     """
     t0 = html
     for tag in ("nav", "script", "style"):
-        # tag-boundary form <tag( attrs)?>: plain <{tag}[^>]*> would
-        # prefix-match a LONGER tag name (<nav-bar>, <style-guide>) and
-        # open a deletion span through the next real closing tag
-        t0 = T.regex_strip(t0, f"(?s)<{tag}( [^>]*)?>.*?</{tag}>", d)
+        # tag-boundary form <tag(<non-name-char> attrs)?>: plain
+        # <{tag}[^>]*> would prefix-match a LONGER tag name (<nav-bar>,
+        # <style-guide>) and open a deletion span through the next real
+        # closing tag. The boundary class accepts ANY non-name character
+        # (space, tab, newline, CR, '/'), not just a literal space — HTML
+        # permits <script\ntype="..."> and a space-only boundary let such
+        # multi-line opening tags' blocks survive extraction (ADVICE r7).
+        t0 = T.regex_strip(t0, f"(?s)<{tag}([^>a-zA-Z0-9-][^>]*)?>.*?</{tag}>", d)
     # tags become SPACES (not ''): block boundaries must separate words —
     # '</title><h1>' gluing adjacent text is the classic extractor bug
     if d == S:

@@ -876,6 +876,16 @@ def test_html_extract_multiline_blocks_and_mismatched_tags(spark):
     df3 = spark.createDataFrame([(html3,)], "html string")
     got3 = df3.selectExpr(f"{html_to_text_expr('html', SPARK)} AS t").first().t
     assert got3 == "menu text KEEP tail"
+    # HTML allows any whitespace between tag name and attributes — a
+    # newline-separated attribute must still open the strip span
+    # (ADVICE r7: the space-only boundary let these blocks survive)
+    html4 = (
+        '<body><script\ntype="text/javascript">\nvar y = 2;\n</script>'
+        " <p>KEPT</p> <style\n media=\"print\">.x{}</style> tail</body>"
+    )
+    df4 = spark.createDataFrame([(html4,)], "html string")
+    got4 = df4.selectExpr(f"{html_to_text_expr('html', SPARK)} AS t").first().t
+    assert got4 == "KEPT tail"
     # and the DuckDB twin renders the same values
     import duckdb
 
@@ -886,6 +896,7 @@ def test_html_extract_multiline_blocks_and_mismatched_tags(spark):
         (html, "KEEP-A KEEP-B"),
         (html2, "SURVIVES end"),
         (html3, "menu text KEEP tail"),
+        (html4, "KEPT tail"),
     ):
         sql = f"SELECT {html_to_text_expr('h', DUCKDB)} AS t FROM (SELECT ? AS h)"
         assert con.execute(sql, [h]).fetchone()[0] == want
