@@ -558,6 +558,146 @@ def chunk_dedup(
     )
 
 
+def kgram_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """(doc_id, pos, gh): every positional k-token gram of every document,
+    keyed by its md5 (0-based ``pos`` = start token index). The posting
+    list behind :func:`substring_dup_spans` — one narrow projection per
+    row, the word split bound in its own projection first (Spark does not
+    CSE a split() repeated inside transform lambdas).
+
+    md5, not xxhash64: there is no downstream exact verification to
+    reject hash-collision candidates here (a colliding gram would REPORT
+    a false duplicated span), so the join key must be collision-free in
+    practice; the 32-hex key is engine-parity-pinned."""
+    base = spread(docs).selectExpr(id_col, f"{T.split_ws(text_col, S)} AS __w")
+    return base.selectExpr(
+        id_col, f"posexplode({T.word_ngrams('__w', S, k)}) AS (pos, gram)"
+    ).selectExpr(id_col, "pos", "md5(gram) AS gh")
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_df: int = 50,
+) -> DataFrame:
+    """Cross-document EXACT duplicated token spans of >= ``k`` tokens
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — the exact-substring complement to MinHash: licensing
+    blurbs, quoted boilerplate, memorized passages), re-expressed as an
+    anchored k-gram posting-list join instead of a suffix array: a span
+    of ``L >= k`` shared tokens is exactly a run of ``L - k + 1``
+    consecutive shared k-grams, so matching k-gram anchors and merging
+    consecutive matches reconstructs every maximal span.
+
+    Plan: positional k-grams -> md5 posting list -> df-cap (grams with
+    more than ``max_df`` occurrences corpus-wide are dropped — the
+    stop-gram guard; a hot gram's pair fan-out is quadratic in its df,
+    so per-gram join work is bounded at ``max_df²``) -> same-hash
+    cross-document pair join -> per (doc_a, doc_b, diagonal) run merge
+    (gaps-and-islands; the window partition is bounded by the SHORTER
+    document's token count, never by corpus size, so no hot-key
+    serialization risk) -> one span row per maximal run.
+
+    Output: (doc_a, doc_b, a_start, b_start, n_tokens), 1-based token
+    positions, ``doc_a < doc_b``. A span whose interior crosses a capped
+    stop-gram splits into two reported spans (both engines mirror the
+    cap, and the split is conservative for dedup).
+
+    Scale posture: the only corpus-wide shuffles are the gram-keyed df
+    count (map-side combined) and the posting-list join on the 32-byte
+    hash; the posting frame is localCheckpointed so the cap's two passes
+    (count + anti-join probe) don't re-run the split/gram derivation.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError(
+            f"substring spans need k >= 2 tokens (got {k}); at k=1 every "
+            "shared vocabulary word is a 'span' and the posting list is "
+            "the corpus itself"
+        )
+    grams = kgram_postings(docs, text_col, id_col, k).localCheckpoint()
+    capped = cap_hot_keys(grams, ["gh"], max_df)
+    a = capped.selectExpr(f"{id_col} AS doc_a", "pos AS pa", "gh")
+    b = capped.selectExpr(f"{id_col} AS doc_b", "pos AS pb", "gh")
+    pairs = (
+        a.join(b, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .selectExpr("doc_a", "doc_b", "pa", "pa - pb AS diag")
+    )
+    win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = pairs.withColumn("island", F.col("pa") - F.row_number().over(win))
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.min("pa").alias("__pa0"), F.count(F.lit(1)).alias("__n"))
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(__pa0 + 1 AS BIGINT) AS a_start",
+            "CAST(__pa0 + 1 - diag AS BIGINT) AS b_start",
+            f"CAST(__n + {k} - 1 AS BIGINT) AS n_tokens",
+        )
+    )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_df: int = 50,
+) -> DataFrame:
+    """Keep-first exact-substring pruner over :func:`substring_dup_spans`:
+    every token covered by a span duplicating an EARLIER document (the
+    ``doc_b`` side of a span — ids order keepers, as everywhere in this
+    package) is removed, and the surviving tokens are reassembled in
+    order. The first occurrence of every duplicated passage survives
+    corpus-wide; later occurrences lose exactly the duplicated tokens.
+
+    Output: (doc_id, n_tokens, n_kept, text_clean) — one row per input
+    document (``n_kept = n_tokens`` and untouched text for documents
+    with no duplicated span).
+
+    Scale posture: covered positions explode to at most the corpus's
+    duplicated-token mass (the mass this operator removes); the rebuild
+    is the chunk_dedup reassembly shape — doc-keyed aggregate carrying
+    (pos, word) structs, bounded by document size.
+    """
+    spans = substring_dup_spans(docs, text_col, id_col, k, max_df)
+    covered = spans.selectExpr(
+        f"doc_b AS {id_col}",
+        "explode(sequence(b_start, b_start + n_tokens - 1)) AS wpos1",
+    ).distinct()
+    base = spread(docs).selectExpr(id_col, f"{T.split_ws(text_col, S)} AS __w")
+    words = base.selectExpr(id_col, "posexplode(__w) AS (wpos, word)")
+    kept = words.join(
+        covered.withColumn("wpos", F.col("wpos1") - 1).drop("wpos1"),
+        [id_col, "wpos"],
+        "left_anti",
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(wpos, word)))"
+            ", x -> x.word), ' ')"
+        ).alias("text_clean"),
+    )
+    totals = base.select(id_col, F.size("__w").cast("bigint").alias("n_tokens"))
+    return totals.join(agg, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
 def novelty_score(
     docs: DataFrame,
     text_col: str = "text",

@@ -3200,6 +3200,100 @@ def q_chunk_dedup(spark, sf_dir):
     return DD.chunk_dedup(spark.table("documents"))
 
 
+def _substring_spans_ctes(d: str, k: int, max_df: int) -> str:
+    """Shared CTE chain ending in ``spans`` — the oracle restatement of
+    operators/dedup.py::substring_dup_spans (anchored k-gram posting
+    lists, df-capped, diagonal run merge). Reused verbatim by the
+    substring_dedup oracle so the two stay one semantics."""
+    return f"""w AS (
+    SELECT doc_id, {T.split_ws('text', d)} AS __w FROM documents
+),
+gr AS (
+    SELECT doc_id, {T.word_ngrams('__w', d, k)} AS __g FROM w
+),
+g0 AS (
+    SELECT doc_id, unnest(range(0, len(__g))) AS pos, unnest(__g) AS gram
+    FROM gr
+),
+g AS (
+    SELECT doc_id, pos, md5(gram) AS gh FROM g0
+),
+gram_ok AS (
+    SELECT gh FROM g GROUP BY gh HAVING COUNT(*) <= {max_df}
+),
+gk AS (
+    SELECT g.doc_id, g.pos, g.gh FROM g JOIN gram_ok USING (gh)
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+           a.pos - b.pos AS diag
+    FROM gk a JOIN gk b ON a.gh = b.gh AND a.doc_id < b.doc_id
+),
+isl AS (
+    SELECT doc_a, doc_b, diag, pa,
+           pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+    FROM pairs
+),
+spans AS (
+    SELECT doc_a, doc_b,
+           CAST(MIN(pa) + 1 AS BIGINT) AS a_start,
+           CAST(MIN(pa) + 1 - diag AS BIGINT) AS b_start,
+           CAST(COUNT(*) + {k} - 1 AS BIGINT) AS n_tokens
+    FROM isl GROUP BY doc_a, doc_b, diag, island
+)"""
+
+
+def _substring_spans_sql(d: str, k: int = 8, max_df: int = 50) -> str:
+    return f"""
+WITH {_substring_spans_ctes(d, k, max_df)}
+SELECT doc_a, doc_b, a_start, b_start, n_tokens FROM spans
+"""
+
+
+@query("substring_dup_spans", _substring_spans_sql(_D))
+def q_substring_dup_spans(spark, sf_dir):
+    return DD.substring_dup_spans(spark.table("documents"))
+
+
+def _substring_dedup_sql(d: str, k: int = 8, max_df: int = 50) -> str:
+    return f"""
+WITH {_substring_spans_ctes(d, k, max_df)},
+cov AS (
+    SELECT DISTINCT doc_id, wpos1 FROM (
+        SELECT doc_b AS doc_id,
+               unnest(range(b_start, b_start + n_tokens)) AS wpos1
+        FROM spans
+    )
+),
+wp AS (
+    SELECT doc_id, unnest(range(0, len(__w))) AS wpos, unnest(__w) AS word
+    FROM w
+),
+kept AS (
+    SELECT wp.doc_id, wp.wpos, wp.word FROM wp
+    WHERE NOT EXISTS (
+        SELECT 1 FROM cov c
+        WHERE c.doc_id = wp.doc_id AND c.wpos1 = wp.wpos + 1
+    )
+),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(word, ' ' ORDER BY wpos) AS text_clean
+    FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(len(__w) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(text_clean, '') AS text_clean
+FROM w LEFT JOIN agg USING (doc_id)
+"""
+
+
+@query("substring_dedup", _substring_dedup_sql(_D))
+def q_substring_dedup(spark, sf_dir):
+    return DD.substring_dedup(spark.table("documents"))
+
+
 def _novelty_sql(d: str) -> str:
     return f"""
 WITH words AS (
@@ -6455,7 +6549,15 @@ def q_dsir_weights(spark, sf_dir):
 # round): the HAVING-filtered aggregate + dim joins + TakeOrdered are
 # each carried by graded tpch_q3/tpch_q6 and the decimal-sum discipline
 # by every graded revenue aggregate; pytest-oracle-checked at both SFs.
+# substring_dup_spans / substring_dedup enter ungraded on registration
+# (rotate in per protocol after driver_sim green at sf0.01 AND sf0.1):
+# the posting-list join + df-cap family is carried by graded
+# minhash_lsh_pairs / ngram_jaccard siblings and the reassembly aggregate
+# by graded chunk_dedup; the diagonal run-merge is pytest-oracle-checked
+# at both SFs plus hand-built span unit tests.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "substring_dup_spans",
+    "substring_dedup",
     "tpch_q18_large_volume",
     "cms_topk",
     "receita_rolling_3m",
