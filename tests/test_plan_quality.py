@@ -621,3 +621,24 @@ def test_tpch_q18_reduces_before_joining(spark):
     # lineitem scan reads exactly the two aggregate columns
     pruned = [l for l in plan.splitlines() if "ReadSchema" in l and "l_orderkey" in l]
     assert pruned and "l_quantity" in pruned[0] and "l_extendedprice" not in pruned[0]
+
+
+def test_substring_spans_plan_shape(spark):
+    # posting list is checkpointed (the df-cap's two passes must not
+    # re-run the split/gram derivation): the FINAL plan reads no parquet
+    # at all (both sides scan the materialized RDD); the pair join is a
+    # shuffle hash/sort join on the hash key (never a broadcast of the
+    # O(corpus) posting frame), and the run-merge window sorts within
+    # hash partitions only — no global range sort
+    plan = _explain(QUERIES["substring_dup_spans"](spark, SF_CORRECT))
+    assert plan.count("Location: InMemoryFileIndex") == 0, plan
+    assert "Scan ExistingRDD" in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    from etl_gamma_spark.operators.dedup import substring_dup_spans
+    from etl_gamma_spark.io import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    analyzed = substring_dup_spans(docs)._jdf.queryExecution().analyzed().toString()
+    assert not _non_cap_broadcast_hints(analyzed)

@@ -113,6 +113,14 @@ PROBE_QUERIES = [
     # (bounded 4096-bucket model state regardless of corpus size)
     "tpch_q18_large_volume",
     "dsir_weights",
+    # round-8: exact substring dedup. The replicated corpus is the
+    # adversarial case — every document gains ~copies near-copies whose
+    # shared spans all exceed k, so reported span rows grow ~copies² per
+    # base doc (output growth, not plan growth; the df-cap bounds any
+    # single gram's fan-out). substring_dedup adds the covered-position
+    # explode + reassembly on top.
+    "substring_dup_spans",
+    "substring_dedup",
 ]
 
 
