@@ -56,6 +56,9 @@ PIPELINES = {
     # corpus; cdc_merge a keyed snapshot — neither is month/farmer-scoped,
     # so both refresh whole-table (partition_by None)
     "chunk_dedup": ("chunk_dedup", None),
+    # round-8: exact-substring keep-first dedup (Lee et al. class) — the
+    # stricter sub-document sibling, same doc-grain whole-table refresh
+    "substring_dedup": ("substring_dedup", None),
     "cdc_merge": ("cdc_merge", None),
     # data-ops utilities: column profile and the expectation report are
     # the natural pre-load CLI steps (small whole-table outputs)

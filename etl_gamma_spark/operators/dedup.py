@@ -615,14 +615,7 @@ def substring_dup_spans(
     hash; the posting frame is localCheckpointed so the cap's two passes
     (count + anti-join probe) don't re-run the split/gram derivation.
     """
-    from pyspark.sql.window import Window
-
-    if k < 2:
-        raise ValueError(
-            f"substring spans need k >= 2 tokens (got {k}); at k=1 every "
-            "shared vocabulary word is a 'span' and the posting list is "
-            "the corpus itself"
-        )
+    _check_span_k(k)
     grams = kgram_postings(docs, text_col, id_col, k).localCheckpoint()
     capped = cap_hot_keys(grams, ["gh"], max_df)
     a = capped.selectExpr(f"{id_col} AS doc_a", "pos AS pa", "gh")
@@ -632,18 +625,99 @@ def substring_dup_spans(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .selectExpr("doc_a", "doc_b", "pa", "pa - pb AS diag")
     )
-    win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    return _merge_diagonal_runs(pairs, k, "doc_a", "doc_b", "a_start", "b_start")
+
+
+def _check_span_k(k: int) -> None:
+    if k < 2:
+        raise ValueError(
+            f"substring spans need k >= 2 tokens (got {k}); at k=1 every "
+            "shared vocabulary word is a 'span' and the posting list is "
+            "the corpus itself"
+        )
+
+
+def _merge_diagonal_runs(
+    pairs: DataFrame,
+    k: int,
+    a_id: str,
+    b_id: str,
+    a_start: str,
+    b_start: str,
+) -> DataFrame:
+    """Gaps-and-islands merge of k-gram anchor matches into maximal spans:
+    ``pairs`` carries (a_id, b_id, pa, diag = pa - pb); consecutive pa
+    values on one (pair, diagonal) are one shared span of run + k - 1
+    tokens. The window partition is bounded by the SHORTER document's
+    token count (positions within one document pair), never by corpus
+    size — the one place a row_number window is hot-key-safe."""
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy(a_id, b_id, "diag").orderBy("pa")
     isl = pairs.withColumn("island", F.col("pa") - F.row_number().over(win))
     return (
-        isl.groupBy("doc_a", "doc_b", "diag", "island")
+        isl.groupBy(a_id, b_id, "diag", "island")
         .agg(F.min("pa").alias("__pa0"), F.count(F.lit(1)).alias("__n"))
         .selectExpr(
-            "doc_a",
-            "doc_b",
-            "CAST(__pa0 + 1 AS BIGINT) AS a_start",
-            "CAST(__pa0 + 1 - diag AS BIGINT) AS b_start",
+            a_id,
+            b_id,
+            f"CAST(__pa0 + 1 AS BIGINT) AS {a_start}",
+            f"CAST(__pa0 + 1 - diag AS BIGINT) AS {b_start}",
             f"CAST(__n + {k} - 1 AS BIGINT) AS n_tokens",
         )
+    )
+
+
+def decontamination_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bench_mod: int = 23,
+    max_df: int = 50,
+) -> DataFrame:
+    """Exact-substring benchmark decontamination (the primary
+    decontamination mode of Lee et al. 2021): every >= ``k``-token span a
+    CORPUS document shares verbatim with a BENCHMARK document — stricter
+    evidence than n-gram set overlap (``quality.contamination_pairs``):
+    a reported span is a contiguous quoted passage, not a bag of shared
+    shingles, so it localizes exactly what to strip or drop before
+    training.
+
+    The benchmark subset is the deterministic ``doc_id % bench_mod == 0``
+    slice of the same table (fixtures carry no separate eval set — same
+    convention as contamination_pairs); in production the bench side is
+    its own table and the plan is unchanged. Benchmark docs are excluded
+    from the corpus side.
+
+    The df-cap counts CORPUS occurrences only: a gram that is corpus
+    boilerplate fans out |corpus_df| x |bench_df| rows through one join
+    key, so it is dropped (conservative — boilerplate overlap is not
+    contamination evidence), while benchmark-side repetition is left
+    alone (a benchmark item quoting itself must not mask its corpus
+    matches).
+
+    Output: (doc_id, bench_id, doc_start, bench_start, n_tokens),
+    1-based token positions.
+
+    Scale posture: identical to :func:`substring_dup_spans` — one
+    checkpointed posting pass, a map-side-combined df count, and the
+    hash-keyed corpus⋈bench join whose per-gram fan-out is bounded at
+    ``max_df`` × bench-df; the run-merge window is bounded by document
+    length.
+    """
+    _check_span_k(k)
+    grams = kgram_postings(docs, text_col, id_col, k).localCheckpoint()
+    bench = grams.filter((F.col(id_col) % bench_mod) == 0).selectExpr(
+        f"{id_col} AS bench_id", "pos AS pb", "gh"
+    )
+    corpus = grams.filter((F.col(id_col) % bench_mod) != 0)
+    corpus = cap_hot_keys(corpus, ["gh"], max_df)
+    pairs = corpus.join(bench, "gh").selectExpr(
+        id_col, "bench_id", "pos AS pa", "pos - pb AS diag"
+    )
+    return _merge_diagonal_runs(
+        pairs, k, id_col, "bench_id", "doc_start", "bench_start"
     )
 
 

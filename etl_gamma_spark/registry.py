@@ -3294,6 +3294,63 @@ def q_substring_dedup(spark, sf_dir):
     return DD.substring_dedup(spark.table("documents"))
 
 
+def _decontamination_sql(
+    d: str, k: int = 8, bench_mod: int = 23, max_df: int = 50
+) -> str:
+    """Oracle restatement of operators/dedup.py::decontamination_spans.
+    NOTE the df-cap counts CORPUS-side gram occurrences only (bench
+    repetition must not mask corpus matches) — the HAVING runs over the
+    corpus slice, unlike the symmetric substring_dup_spans cap."""
+    return f"""
+WITH w AS (
+    SELECT doc_id, {T.split_ws('text', d)} AS __w FROM documents
+),
+gr AS (
+    SELECT doc_id, {T.word_ngrams('__w', d, k)} AS __g FROM w
+),
+g0 AS (
+    SELECT doc_id, unnest(range(0, len(__g))) AS pos, unnest(__g) AS gram
+    FROM gr
+),
+g AS (
+    SELECT doc_id, pos, md5(gram) AS gh FROM g0
+),
+bench AS (
+    SELECT doc_id AS bench_id, pos AS pb, gh FROM g
+    WHERE doc_id % {bench_mod} = 0
+),
+corpus0 AS (
+    SELECT doc_id, pos, gh FROM g WHERE doc_id % {bench_mod} <> 0
+),
+gram_ok AS (
+    SELECT gh FROM corpus0 GROUP BY gh HAVING COUNT(*) <= {max_df}
+),
+corpus AS (
+    SELECT c.doc_id, c.pos, c.gh FROM corpus0 c JOIN gram_ok USING (gh)
+),
+pairs AS (
+    SELECT c.doc_id, b.bench_id, c.pos AS pa, c.pos - b.pb AS diag
+    FROM corpus c JOIN bench b ON c.gh = b.gh
+),
+isl AS (
+    SELECT doc_id, bench_id, diag, pa,
+           pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_id, bench_id, diag ORDER BY pa) AS island
+    FROM pairs
+)
+SELECT doc_id, bench_id,
+       CAST(MIN(pa) + 1 AS BIGINT) AS doc_start,
+       CAST(MIN(pa) + 1 - diag AS BIGINT) AS bench_start,
+       CAST(COUNT(*) + {k} - 1 AS BIGINT) AS n_tokens
+FROM isl GROUP BY doc_id, bench_id, diag, island
+"""
+
+
+@query("decontamination_spans", _decontamination_sql(_D))
+def q_decontamination_spans(spark, sf_dir):
+    return DD.decontamination_spans(spark.table("documents"))
+
+
 def _novelty_sql(d: str) -> str:
     return f"""
 WITH words AS (
@@ -6589,7 +6646,13 @@ def q_dsir_weights(spark, sf_dir):
 #   fuzzy_name_pairs        banked green r5-r7; banded candidate-pair
 #                           family stays graded via minhash_lsh_pairs /
 #                           embedding_neardup_pairs / split_leakage_pairs
+# decontamination_spans enters ungraded on registration (rotate in next
+# round per protocol): the posting-list + diagonal run-merge machinery is
+# graded via substring_dup_spans (shared _merge_diagonal_runs helper) and
+# the bench-slice convention via graded-family contamination_pairs; the
+# corpus-side-only df-cap asymmetry is pytest-oracle-checked at both SFs.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "decontamination_spans",
     "streaming_dedup_events",
     "receita_rollup",
     "user_sessions",

@@ -222,6 +222,62 @@ def test_substring_spans_rejects_degenerate_k(spark, k):
         substring_dup_spans(_docs(spark, ["a b"]), k=k)
 
 
+def test_decontamination_spans_hand_built(spark):
+    from etl_gamma_spark.operators.dedup import decontamination_spans
+
+    # bench_mod=2: even ids are "benchmark", odd ids are corpus
+    texts = {
+        0: "q1 a b c d q2 q3",          # bench
+        1: "x a b c d y z w",           # corpus: quotes bench 0 ("a b c d")
+        2: "p p p p p p p",             # bench, no matches
+        3: "m n o r s t u",             # corpus, clean
+        5: "q1 a b c d q2 q3",          # corpus: contains bench 0 entirely
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    rows = decontamination_spans(df, k=4, bench_mod=2).collect()
+    got = {
+        (r.doc_id, r.bench_id): (r.doc_start, r.bench_start, r.n_tokens)
+        for r in rows
+    }
+    assert got == {
+        (1, 0): (2, 2, 4),   # "a b c d"
+        (5, 0): (1, 1, 7),   # whole text
+    }
+
+
+def test_decontamination_cap_counts_corpus_side_only(spark):
+    from etl_gamma_spark.operators.dedup import decontamination_spans
+
+    # the shared gram appears ONCE in the corpus but many times in bench
+    # docs: a symmetric cap at max_df=2 would drop it; the corpus-side
+    # cap must keep it (bench repetition cannot mask corpus matches)
+    texts = {
+        1: "x a b c d y",               # corpus (1 occurrence of the gram)
+        0: "a b c d a b c d a b c d",   # bench: gram occurs at 3 diagonals
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    rows = decontamination_spans(df, k=4, bench_mod=2, max_df=2).collect()
+    starts = sorted((r.doc_start, r.bench_start, r.n_tokens) for r in rows)
+    assert starts == [(2, 1, 4), (2, 5, 4), (2, 9, 4)]
+
+
+def test_decontamination_spans_extract_identically_on_fixture(spark):
+    from etl_gamma_spark.operators.dedup import decontamination_spans
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    texts = {r.doc_id: r.text.split(" ") for r in docs.collect()}
+    for r in decontamination_spans(docs).collect():
+        assert r.bench_id % 23 == 0 and r.doc_id % 23 != 0
+        assert r.n_tokens >= 8
+        a = texts[r.doc_id][r.doc_start - 1 : r.doc_start - 1 + r.n_tokens]
+        b = texts[r.bench_id][r.bench_start - 1 : r.bench_start - 1 + r.n_tokens]
+        assert a == b
+
+
 def test_semdedup_default_centroids_scale_with_corpus(spark):
     """n_centroids defaults to ceil(N / target_cell) floored at 16, so
     the adaptive run uses MORE cells on the same corpus at a smaller

@@ -121,6 +121,10 @@ PROBE_QUERIES = [
     # explode + reassembly on top.
     "substring_dup_spans",
     "substring_dedup",
+    # cross-corpus variant: bench side is a fixed 1/23 slice, so its
+    # posting list grows linearly and the join fan-out stays
+    # max_df x bench-df per gram
+    "decontamination_spans",
 ]
 
 
