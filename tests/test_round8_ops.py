@@ -278,6 +278,42 @@ def test_decontamination_spans_extract_identically_on_fixture(spark):
         assert a == b
 
 
+def test_substring_spans_fuzz_vs_python_reference(spark):
+    """Seeded random corpus from a tiny alphabet (dense accidental
+    overlaps, repeated tokens, degenerate runs) — the Spark spans must
+    equal the naive Python reference exactly, including the df-cap."""
+    import random
+
+    rng = random.Random(0x5EED)
+    alphabet = [f"t{i}" for i in range(8)]
+    texts = {}
+    for did in range(40):
+        n = rng.randint(1, 30)
+        words = [rng.choice(alphabet) for _ in range(n)]
+        if did % 5 == 0 and did > 0:
+            # splice a verbatim quote from an earlier doc
+            src = texts[rng.randrange(did)].split(" ")
+            if len(src) >= 4:
+                s = rng.randrange(len(src) - 3)
+                ln = rng.randint(4, len(src) - s)
+                at = rng.randint(0, len(words))
+                words[at:at] = src[s : s + ln]
+        texts[did] = " ".join(words)
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    for k, max_df in ((3, 10), (4, 50)):
+        from etl_gamma_spark.operators.dedup import substring_dup_spans
+
+        got = {
+            (r.doc_a, r.doc_b, r.a_start, r.b_start, r.n_tokens)
+            for r in substring_dup_spans(df, k=k, max_df=max_df).collect()
+        }
+        want = _python_spans(texts, k=k, max_df=max_df)
+        assert got == want, f"k={k} max_df={max_df}"
+        assert want  # the corpus must actually exercise the machinery
+
+
 def test_semdedup_default_centroids_scale_with_corpus(spark):
     """n_centroids defaults to ceil(N / target_cell) floored at 16, so
     the adaptive run uses MORE cells on the same corpus at a smaller
