@@ -6646,13 +6646,16 @@ def q_dsir_weights(spark, sf_dir):
 #   fuzzy_name_pairs        banked green r5-r7; banded candidate-pair
 #                           family stays graded via minhash_lsh_pairs /
 #                           embedding_neardup_pairs / split_leakage_pairs
-# decontamination_spans enters ungraded on registration (rotate in next
-# round per protocol): the posting-list + diagonal run-merge machinery is
-# graded via substring_dup_spans (shared _merge_diagonal_runs helper) and
-# the bench-slice convention via graded-family contamination_pairs; the
-# corpus-side-only df-cap asymmetry is pytest-oracle-checked at both SFs.
+# decontamination_spans rotated into the graded window within round 8
+# (the protocol was satisfied before rotation: the round's two driver_sim
+# passes verified it green at sf0.01 AND sf0.1 on trees containing it,
+# and the corpus-side-only df-cap asymmetry is pytest-oracle-checked at
+# both SFs plus a Python-reference fuzz). Displaced:
+#   hll_distinct    banked green r5-r7; the sketch family keeps graded
+#                   carriers via hdr_value_percentiles, and the
+#                   register-slicing arithmetic is pytest-oracle-checked
 UNGRADED_QUERIES: tuple[str, ...] = (
-    "decontamination_spans",
+    "hll_distinct",
     "streaming_dedup_events",
     "receita_rollup",
     "user_sessions",

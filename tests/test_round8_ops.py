@@ -314,6 +314,65 @@ def test_substring_spans_fuzz_vs_python_reference(spark):
         assert want  # the corpus must actually exercise the machinery
 
 
+def _python_decon_spans(texts_by_id, k, bench_mod, max_df):
+    """Naive cross-corpus reference: corpus-side df-cap, bench side
+    unconstrained, diagonal run merge per (doc, bench) pair."""
+    from collections import defaultdict
+
+    occ_c = defaultdict(list)
+    occ_b = defaultdict(list)
+    for did, text in texts_by_id.items():
+        w = text.split(" ")
+        tgt = occ_b if did % bench_mod == 0 else occ_c
+        for p in range(len(w) - k + 1):
+            tgt[" ".join(w[p:p + k])].append((did, p))
+    matches = defaultdict(set)
+    for gram, locs in occ_c.items():
+        if len(locs) > max_df or gram not in occ_b:
+            continue
+        for dc, pc in locs:
+            for db, pb in occ_b[gram]:
+                matches[(dc, db, pc - pb)].add(pc)
+    spans = set()
+    for (dc, db, diag), pas in matches.items():
+        run = sorted(pas)
+        start = prev = run[0]
+        for p in run[1:] + [None]:
+            if p is not None and p == prev + 1:
+                prev = p
+                continue
+            spans.add((dc, db, start + 1, start + 1 - diag, prev - start + k))
+            if p is not None:
+                start = prev = p
+    return spans
+
+
+def test_decontamination_fuzz_vs_python_reference(spark):
+    import random
+
+    from etl_gamma_spark.operators.dedup import decontamination_spans
+
+    rng = random.Random(0xDEC0)
+    alphabet = [f"t{i}" for i in range(8)]
+    texts = {}
+    for did in range(40):
+        words = [rng.choice(alphabet) for _ in range(rng.randint(1, 30))]
+        if did % 4 == 0 and did > 3:
+            src = texts[rng.randrange(did)].split(" ")
+            if len(src) >= 4:
+                s = rng.randrange(len(src) - 3)
+                words.extend(src[s : s + rng.randint(4, len(src) - s)])
+        texts[did] = " ".join(words)
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.bench_id, r.doc_start, r.bench_start, r.n_tokens)
+        for r in decontamination_spans(df, k=3, bench_mod=5, max_df=10).collect()
+    }
+    want = _python_decon_spans(texts, k=3, bench_mod=5, max_df=10)
+    assert got == want
+    assert want
+
+
 def test_semdedup_default_centroids_scale_with_corpus(spark):
     """n_centroids defaults to ceil(N / target_cell) floored at 16, so
     the adaptive run uses MORE cells on the same corpus at a smaller
