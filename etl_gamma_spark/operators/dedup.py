@@ -570,6 +570,11 @@ def kgram_postings(
     row, the word split bound in its own projection first (Spark does not
     CSE a split() repeated inside transform lambdas).
 
+    This frame is also the PERSISTABLE substring index: write it once
+    (at corpus scale, bucketed by ``gh`` so batch probes co-locate) and
+    every future ingest runs :func:`incremental_substring_spans` against
+    the stored postings without re-tokenizing the corpus.
+
     md5, not xxhash64: there is no downstream exact verification to
     reject hash-collision candidates here (a colliding gram would REPORT
     a false duplicated span), so the join key must be collision-free in
@@ -718,6 +723,48 @@ def decontamination_spans(
     )
     return _merge_diagonal_runs(
         pairs, k, id_col, "bench_id", "doc_start", "bench_start"
+    )
+
+
+def incremental_substring_spans(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_df: int = 50,
+) -> DataFrame:
+    """Incremental exact-substring detection — the daily-ingest path of
+    the substring family (the MinHash sibling is
+    :func:`incremental_neardup_pairs`): match a NEW batch against an
+    already-indexed corpus's k-gram posting list (:func:`kgram_postings`
+    output, typically written partitioned and read back from storage)
+    without re-reading or re-tokenizing the corpus text. Only the batch
+    computes grams; spans come from the hash-keyed batch⋈index join and
+    the shared diagonal run merge.
+
+    The df-cap counts INDEX-side occurrences (at 100 TB the index is the
+    big side; the batch is assumed ingest-sized): a corpus-boilerplate
+    gram would fan out |corpus_df| rows per batch anchor, so it is
+    dropped — conservative, same asymmetry as
+    :func:`decontamination_spans`. Callers keeping an oracle in sync
+    mirror the cap as a HAVING over the corpus posting table.
+
+    Output: (new_id, corpus_id, new_start, corpus_start, n_tokens),
+    1-based token positions.
+    """
+    _check_span_k(k)
+    batch = kgram_postings(new_docs, text_col, id_col, k).selectExpr(
+        f"{id_col} AS new_id", "pos AS pa", "gh"
+    )
+    corpus = cap_hot_keys(index, ["gh"], max_df).selectExpr(
+        f"{id_col} AS corpus_id", "pos AS pb", "gh"
+    )
+    pairs = batch.join(corpus, "gh").selectExpr(
+        "new_id", "corpus_id", "pa", "pa - pb AS diag"
+    )
+    return _merge_diagonal_runs(
+        pairs, k, "new_id", "corpus_id", "new_start", "corpus_start"
     )
 
 

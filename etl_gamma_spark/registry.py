@@ -3351,6 +3351,64 @@ def q_decontamination_spans(spark, sf_dir):
     return DD.decontamination_spans(spark.table("documents"))
 
 
+def _incr_substring_sql(d: str, k: int = 8, batch_mod: int = 17, max_df: int = 50) -> str:
+    """Oracle for operators/dedup.py::incremental_substring_spans with
+    the carrier's batch/index split (doc_id % batch_mod == 0 is the new
+    batch; the rest is the indexed corpus). The df-cap HAVING runs over
+    the INDEX side only, mirroring the operator's asymmetry."""
+    return f"""
+WITH w AS (
+    SELECT doc_id, {T.split_ws('text', d)} AS __w FROM documents
+),
+gr AS (
+    SELECT doc_id, {T.word_ngrams('__w', d, k)} AS __g FROM w
+),
+g0 AS (
+    SELECT doc_id, unnest(range(0, len(__g))) AS pos, unnest(__g) AS gram
+    FROM gr
+),
+g AS (
+    SELECT doc_id, pos, md5(gram) AS gh FROM g0
+),
+batch AS (
+    SELECT doc_id AS new_id, pos AS pa, gh FROM g
+    WHERE doc_id % {batch_mod} = 0
+),
+corpus0 AS (
+    SELECT doc_id, pos, gh FROM g WHERE doc_id % {batch_mod} <> 0
+),
+gram_ok AS (
+    SELECT gh FROM corpus0 GROUP BY gh HAVING COUNT(*) <= {max_df}
+),
+corpus AS (
+    SELECT c.doc_id, c.pos, c.gh FROM corpus0 c JOIN gram_ok USING (gh)
+),
+pairs AS (
+    SELECT b.new_id, c.doc_id AS corpus_id, b.pa, b.pa - c.pos AS diag
+    FROM batch b JOIN corpus c ON b.gh = c.gh
+),
+isl AS (
+    SELECT new_id, corpus_id, diag, pa,
+           pa - ROW_NUMBER() OVER (
+               PARTITION BY new_id, corpus_id, diag ORDER BY pa) AS island
+    FROM pairs
+)
+SELECT new_id, corpus_id,
+       CAST(MIN(pa) + 1 AS BIGINT) AS new_start,
+       CAST(MIN(pa) + 1 - diag AS BIGINT) AS corpus_start,
+       CAST(COUNT(*) + {k} - 1 AS BIGINT) AS n_tokens
+FROM isl GROUP BY new_id, corpus_id, diag, island
+"""
+
+
+@query("incremental_substring_spans", _incr_substring_sql(_D))
+def q_incremental_substring_spans(spark, sf_dir):
+    docs = spark.table("documents")
+    batch = docs.filter(F.col("doc_id") % 17 == 0)
+    index = DD.kgram_postings(docs.filter(F.col("doc_id") % 17 != 0))
+    return DD.incremental_substring_spans(batch, index)
+
+
 def _novelty_sql(d: str) -> str:
     return f"""
 WITH words AS (
@@ -6654,7 +6712,13 @@ def q_dsir_weights(spark, sf_dir):
 #   hll_distinct    banked green r5-r7; the sketch family keeps graded
 #                   carriers via hdr_value_percentiles, and the
 #                   register-slicing arithmetic is pytest-oracle-checked
+# incremental_substring_spans enters ungraded on registration (rotate in
+# next round per protocol): the batch⋈index join + asymmetric cap family
+# is graded via incremental_neardup (MinHash sibling) and
+# decontamination_spans; the persisted-index read-back equivalence is
+# unit-tested (test_round8_ops).
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "incremental_substring_spans",
     "hll_distinct",
     "streaming_dedup_events",
     "receita_rollup",
