@@ -6712,13 +6712,15 @@ def q_dsir_weights(spark, sf_dir):
 #   hll_distinct    banked green r5-r7; the sketch family keeps graded
 #                   carriers via hdr_value_percentiles, and the
 #                   register-slicing arithmetic is pytest-oracle-checked
-# incremental_substring_spans enters ungraded on registration (rotate in
-# next round per protocol): the batch⋈index join + asymmetric cap family
-# is graded via incremental_neardup (MinHash sibling) and
-# decontamination_spans; the persisted-index read-back equivalence is
-# unit-tested (test_round8_ops).
+# incremental_substring_spans rotated into the graded window within
+# round 8 (protocol satisfied before rotation: driver_sim green at
+# sf0.01 AND sf0.1 on the exact tree containing it; persisted-index
+# read-back equivalence unit-tested in test_round8_ops). Displaced:
+#   pagerank_bipartite  banked green r5-r7; the graph family keeps its
+#                       graded carrier via supplier_triangles, and the
+#                       integer-exact iteration is pytest-oracle-checked
 UNGRADED_QUERIES: tuple[str, ...] = (
-    "incremental_substring_spans",
+    "pagerank_bipartite",
     "hll_distinct",
     "streaming_dedup_events",
     "receita_rollup",

@@ -125,6 +125,8 @@ PROBE_QUERIES = [
     # posting list grows linearly and the join fan-out stays
     # max_df x bench-df per gram
     "decontamination_spans",
+    # ingest path: batch is a fixed 1/17 slice probing the corpus index
+    "incremental_substring_spans",
 ]
 
 
