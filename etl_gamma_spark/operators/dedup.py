@@ -16,6 +16,12 @@ Scale posture per operator:
   * ngram_jaccard_pairs — exact O(pairs-sharing-a-shingle); use as the
     verifier behind LSH at scale, or standalone at small scale.
   * simhash — per-row signature; near-dup = Hamming distance on 16 bits.
+  * substring family (substring_dup_spans / substring_dedup /
+    decontamination_spans / incremental_substring_spans) — exact
+    >=k-token span detection via anchored k-gram posting lists + a
+    per-(pair, diagonal) run merge; df-capped stop-grams bound every
+    gram's pair fan-out, and the window partition is bounded by document
+    length, never corpus size.
 """
 
 from __future__ import annotations
