@@ -375,6 +375,14 @@ def neardup_clusters(
 
     Driver-side loop contains NO data (only a convergence counter);
     per-round localCheckpoint() truncates lineage so plans stay bounded.
+
+    The iteration runs over EDGE-ENDPOINT nodes only, never the corpus:
+    a node with no near-dup edge can never change its label, so looping
+    over full ``docs`` would shuffle the whole corpus once per round for
+    rows that are fixed points by construction (at 100 TB the edge
+    subgraph is the dedup mass — orders of magnitude smaller than the
+    corpus). Untouched documents get their singleton label in one final
+    left join after convergence.
     """
     edges = (
         pairs.selectExpr(f"doc_a AS {id_col}", "doc_b AS nbr")
@@ -382,7 +390,11 @@ def neardup_clusters(
         .distinct()
         .localCheckpoint()
     )
-    labels = docs.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    # both edge directions are present, so the id_col projection alone is
+    # the full endpoint set
+    labels = edges.select(id_col).distinct().select(
+        F.col(id_col), F.col(id_col).alias("cluster_id")
+    )
     converged = False
     for _ in range(max_iters):
         nbr_min = (
@@ -419,7 +431,12 @@ def neardup_clusters(
             f"neardup_clusters did not converge within {max_iters} rounds; "
             "raise max_iters (graph diameter exceeds the cap)"
         )
-    return labels
+    # corpus rows outside the edge subgraph are singleton fixed points —
+    # one label attach, the only corpus-wide operation in this function
+    return docs.select(id_col).join(labels, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+    )
 
 
 def stratified_sample(
