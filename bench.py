@@ -83,22 +83,24 @@ def previous_round_times() -> dict[str, float]:
                 # driver wrapper artifact: the JSON line sits in "parsed"
                 # (dict) or as the last-2000-bytes "tail" string, possibly
                 # truncated at the FRONT — recover whole (name, secs)
-                # pairs by regex, which tolerates the cut-off head
+                # pairs by regex, which tolerates the cut-off head. Since
+                # round 8 "parsed" is the compact summary (slowest-10
+                # only), so ALWAYS merge the tail recovery underneath it
+                # (parsed values win on conflict — they are exact).
+                tail = data.get("tail", "")
+                queries = {
+                    k: float(v)
+                    for k, v in re.findall(
+                        r'\\?"([A-Za-z0-9_]+)\\?": ([0-9]+\.[0-9]+)', tail
+                    )
+                    if k not in ("value", "sf")
+                }
                 inner = data.get("parsed")
                 if isinstance(inner, dict):
-                    queries = {
-                        k: float(v)
+                    queries.update(
+                        (k, float(v))
                         for k, v in inner.get("queries", {}).items()
-                    }
-                else:
-                    tail = data.get("tail", "")
-                    queries = {
-                        k: float(v)
-                        for k, v in re.findall(
-                            r'\\?"([A-Za-z0-9_]+)\\?": ([0-9]+\.[0-9]+)', tail
-                        )
-                        if k not in ("value", "sf")
-                    }
+                    )
         except Exception:
             continue
         rnd = int(m.group(1))
