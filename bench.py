@@ -54,7 +54,21 @@ BENCH_QUERIES = list(QUERIES)
 # round's artifact and keep the min — noise only ever inflates.
 LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "2.0"))
 LOAD_WAIT_MAX_S = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
-RETIME_FACTOR = 2.5
+# Retime trigger, vs the running-min baseline below. 1.5 (was 2.5 vs the
+# single previous round): r7→r8 showed 1.5-2x ambient-load inflation on
+# queries whose code had not changed, which 2.5x let through; against the
+# cross-round min the tighter factor costs at most one extra run per
+# flagged query (VERDICT r8 item 5).
+RETIME_FACTOR = float(os.environ.get("SPARK_GRAFT_BENCH_RETIME_FACTOR", "1.5"))
+
+# summary-line keys that must never be mistaken for query timings when
+# regex-recovering a truncated artifact tail (ADVICE r8: the old denylist
+# covered only value/sf, so any future float-valued summary field would
+# silently enter the per-query map)
+_NON_QUERY_KEYS = frozenset(
+    {"value", "sf", "runs_per_query", "n_queries", "n_errors",
+     "loc_nontest", "loadavg", "loadavg_end"}
+)
 
 
 def wait_for_quiet_host() -> None:
@@ -68,45 +82,51 @@ def wait_for_quiet_host() -> None:
 
 
 def previous_round_times() -> dict[str, float]:
-    """Per-query seconds from the newest BENCH_r{N}.json next to bench.py."""
+    """Per-query BEST (min) seconds across ALL BENCH_r{N}.json artifacts
+    next to bench.py — the retime baseline. A single prior round can
+    itself be load-inflated (this host's documented failure mode), so
+    comparing against only the newest artifact re-baselines on noise;
+    the running min across rounds is the steady-state floor
+    (VERDICT r8 item 5)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, dict[str, float]] | None = None
+    best: dict[str, float] = {}
+
+    def fold(pairs) -> None:
+        for k, v in pairs:
+            if k in _NON_QUERY_KEYS:
+                continue
+            try:
+                secs = float(v)
+            except (TypeError, ValueError):
+                continue
+            if secs > 0 and (k not in best or secs < best[k]):
+                best[k] = secs
+
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m:
-            continue
         try:
             with open(path) as f:
                 data = json.load(f)
-            queries = {k: float(v) for k, v in data.get("queries", {}).items()}
-            if not queries:
-                # driver wrapper artifact: the JSON line sits in "parsed"
-                # (dict) or as the last-2000-bytes "tail" string, possibly
-                # truncated at the FRONT — recover whole (name, secs)
-                # pairs by regex, which tolerates the cut-off head. Since
-                # round 8 "parsed" is the compact summary (slowest-10
-                # only), so ALWAYS merge the tail recovery underneath it
-                # (parsed values win on conflict — they are exact).
-                tail = data.get("tail", "")
-                queries = {
-                    k: float(v)
-                    for k, v in re.findall(
-                        r'\\?"([A-Za-z0-9_]+)\\?": ([0-9]+\.[0-9]+)', tail
-                    )
-                    if k not in ("value", "sf")
-                }
-                inner = data.get("parsed")
-                if isinstance(inner, dict):
-                    queries.update(
-                        (k, float(v))
-                        for k, v in inner.get("queries", {}).items()
-                    )
         except Exception:
             continue
-        rnd = int(m.group(1))
-        if queries and (best is None or rnd > best[0]):
-            best = (rnd, queries)
-    return best[1] if best else {}
+        if isinstance(data.get("queries"), dict):
+            # bare bench.py output (local iteration artifact)
+            fold(data["queries"].items())
+        # driver wrapper artifact: "parsed" holds the compact summary
+        # (slowest-10 queries map since round 8), "tail" the last ~2000
+        # stdout bytes, truncated at the FRONT
+        inner = data.get("parsed")
+        if isinstance(inner, dict) and isinstance(inner.get("queries"), dict):
+            fold(inner["queries"].items())
+        tail = data.get("tail", "")
+        if tail:
+            # recover only the full line's per-query map: it is printed
+            # FIRST, so cutting at the first summary key that follows it
+            # ("runs_per_query") keeps summary floats out of the harvest;
+            # pre-r8 artifacts lack the marker — there the denylist in
+            # fold() is the guard, as before
+            head = tail.split('"runs_per_query"')[0]
+            fold(re.findall(r'\\?"([A-Za-z0-9_]+)\\?": ([0-9]+\.[0-9]+)', head))
+    return best
 
 
 def materialize(df) -> None:
@@ -186,8 +206,8 @@ def main() -> None:
             continue
         per_query[name] = round(best, 3)
 
-    # Re-time pass: any query slower than RETIME_FACTOR x its previous-round
-    # number is assumed load-contaminated; measure again (after re-gating on
+    # Re-time pass: any query slower than RETIME_FACTOR x its cross-round
+    # best is assumed load-contaminated; measure again (after re-gating on
     # load) and keep the min. Genuine regressions survive this — noise only
     # ever inflates a timing, so min() cannot hide a real slowdown.
     prior = previous_round_times()

@@ -611,8 +611,11 @@ def semdedup_prune(
     except the centroid table.
 
     ``n_centroids`` defaults to a CORPUS-DERIVED value, ceil(N /
-    ``target_cell``) floored at 16 (one count() action at plan-build
-    time), so expected cell size — and with it the within-cell pairwise
+    ``target_cell``) floored at 16 — NOTE this default runs an EAGER
+    count() action at plan-CONSTRUCTION time (like the localCheckpoint
+    convention: fine inside registry carriers / terminal pipelines, never
+    construct such a frame speculatively or in a plan-only test; pin
+    ``n_centroids`` there) — so expected cell size — and with it the within-cell pairwise
     work per cell — stays bounded as the corpus grows instead of going
     quadratic at a fixed K. The cap at 4096 bounds the OTHER quadratic
     term: nearest-centroid assignment fans out N×K rows, so K must not

@@ -198,14 +198,20 @@ def html_to_text_expr(html: str, d: str) -> str:
     """
     t0 = html
     for tag in ("nav", "script", "style"):
-        # tag-boundary form <tag(<non-name-char> attrs)?>: plain
-        # <{tag}[^>]*> would prefix-match a LONGER tag name (<nav-bar>,
-        # <style-guide>) and open a deletion span through the next real
-        # closing tag. The boundary class accepts ANY non-name character
-        # (space, tab, newline, CR, '/'), not just a literal space — HTML
-        # permits <script\ntype="..."> and a space-only boundary let such
-        # multi-line opening tags' blocks survive extraction (ADVICE r7).
-        t0 = T.regex_strip(t0, f"(?s)<{tag}([^>a-zA-Z0-9-][^>]*)?>.*?</{tag}>", d)
+        # tag-boundary form <tag(<delimiter> attrs)?>: plain <{tag}[^>]*>
+        # would prefix-match a LONGER tag name (<nav-bar>, <style-guide>)
+        # and open a deletion span through the next real closing tag. The
+        # boundary is a WHITELIST of the only characters HTML permits
+        # between a tag name and what follows — whitespace (space, tab,
+        # LF, CR, FF) or the self-closing '/' — written as literal
+        # characters (no backslash escapes, identical in Java regex and
+        # RE2). The earlier negated-class form ([^>a-zA-Z0-9-]) rejected
+        # hyphenated longer names but still admitted underscore and
+        # non-ASCII name characters, so <nav_menu> or <navü> opened a nav
+        # deletion span (ADVICE r8).
+        t0 = T.regex_strip(
+            t0, f"(?s)<{tag}([ \t\n\r\x0c/][^>]*)?>.*?</{tag}>", d
+        )
     # tags become SPACES (not ''): block boundaries must separate words —
     # '</title><h1>' gluing adjacent text is the classic extractor bug
     if d == S:

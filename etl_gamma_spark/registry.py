@@ -3405,7 +3405,14 @@ FROM isl GROUP BY new_id, corpus_id, diag, island
 def q_incremental_substring_spans(spark, sf_dir):
     docs = spark.table("documents")
     batch = docs.filter(F.col("doc_id") % 17 == 0)
-    index = DD.kgram_postings(docs.filter(F.col("doc_id") % 17 != 0))
+    # localCheckpoint: in production the index is a storage scan, but here
+    # it is a LIVE derivation, and cap_hot_keys scans its input twice
+    # (count pass + anti-join probe) — without materialization the full
+    # split/posexplode/md5 pipeline would execute twice (ADVICE r8; the
+    # round-6 cap_hot_keys caller rule).
+    index = DD.kgram_postings(
+        docs.filter(F.col("doc_id") % 17 != 0)
+    ).localCheckpoint()
     return DD.incremental_substring_spans(batch, index)
 
 

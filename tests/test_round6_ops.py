@@ -886,6 +886,21 @@ def test_html_extract_multiline_blocks_and_mismatched_tags(spark):
     df4 = spark.createDataFrame([(html4,)], "html string")
     got4 = df4.selectExpr(f"{html_to_text_expr('html', SPARK)} AS t").first().t
     assert got4 == "KEPT tail"
+    # underscore and non-ASCII are valid custom-element name characters:
+    # <nav_menu> / <navü> must NOT open a nav deletion span (ADVICE r8 —
+    # the boundary is now a whitelist of whitespace and '/')
+    html5 = (
+        "<body><nav_menu>custom text</nav_menu> <p>HELD</p>"
+        " <navü>exotic</navü> <nav>real</nav> tail</body>"
+    )
+    df5 = spark.createDataFrame([(html5,)], "html string")
+    got5 = df5.selectExpr(f"{html_to_text_expr('html', SPARK)} AS t").first().t
+    assert got5 == "custom text HELD exotic tail"
+    # self-closing form still opens a span (boundary '/')
+    html6 = "<body><nav/>gone</nav> <p>STAYS</p></body>"
+    df6 = spark.createDataFrame([(html6,)], "html string")
+    got6 = df6.selectExpr(f"{html_to_text_expr('html', SPARK)} AS t").first().t
+    assert got6 == "STAYS"
     # and the DuckDB twin renders the same values
     import duckdb
 
@@ -897,6 +912,8 @@ def test_html_extract_multiline_blocks_and_mismatched_tags(spark):
         (html2, "SURVIVES end"),
         (html3, "menu text KEEP tail"),
         (html4, "KEPT tail"),
+        (html5, "custom text HELD exotic tail"),
+        (html6, "STAYS"),
     ):
         sql = f"SELECT {html_to_text_expr('h', DUCKDB)} AS t FROM (SELECT ? AS h)"
         assert con.execute(sql, [h]).fetchone()[0] == want

@@ -162,17 +162,23 @@ def test_bench_previous_round_times_reads_driver_wrapper(tmp_path, monkeypatch):
             "sf": 0.1,
             "runs_per_query": 2,
             "loadavg": [1.0, 2.0, 3.0],
+            # a float-valued summary field AFTER the queries map: the
+            # harvest cut at "runs_per_query" must keep it out of the
+            # per-query baseline (ADVICE r8)
+            "some_future_ratio": 7.75,
         }
     )
     wrapper = {"n": 5, "rc": 0, "tail": line[10:], "parsed": None}  # cut head
     (tmp_path / "BENCH_r07.json").write_text(_json.dumps(wrapper))
-    # a plain (non-wrapper) artifact from an older round must still win
-    # only if newer; here it is older, so the wrapper's numbers are used
+    # the baseline is the running MIN across ALL artifacts (VERDICT r8
+    # item 5): an older plain artifact's better number must survive a
+    # newer, load-inflated round
     (tmp_path / "BENCH_r06.json").write_text(
-        _json.dumps({"queries": {"q_a": 9.0}})
+        _json.dumps({"queries": {"q_a": 0.5, "q_c": 4.0}})
     )
     monkeypatch.setattr(
         bench.os.path, "dirname", lambda _: str(tmp_path)
     )
     got = bench.previous_round_times()
-    assert got == {"q_a": 1.25, "q_b": 2.25}
+    assert got == {"q_a": 0.5, "q_b": 2.25, "q_c": 4.0}
+    assert "some_future_ratio" not in got
