@@ -791,6 +791,93 @@ def incremental_substring_spans(
     )
 
 
+SUBSTRING_INDEX_BUCKETS = 32
+
+
+def _bucketed_postings(
+    docs: DataFrame, text_col: str, id_col: str, k: int, n_buckets: int
+) -> DataFrame:
+    """Postings plus the layout column ``gbucket`` (hash of the gram key).
+    The bucket is LAYOUT ONLY — probes join on ``gh`` and ignore it — so
+    xxhash64 is fine here (a bucket collision just co-locates two grams;
+    the round-6 banding rule's collision concern applies to JOIN keys)."""
+    posts = kgram_postings(docs, text_col, id_col, k)
+    return posts.withColumn(
+        "gbucket", F.pmod(F.xxhash64("gh"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def write_substring_index(
+    docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    n_buckets: int = SUBSTRING_INDEX_BUCKETS,
+) -> None:
+    """Full (re)build of the PERSISTED substring posting index: the
+    :func:`kgram_postings` frame written under ``index_path`` partitioned
+    by a gram-hash bucket. One directory per bucket gives the index a
+    maintenance unit: appends land at most one file per bucket per task
+    wave, compaction and any future re-sort run per bucket, and a
+    metastore-bucketed variant of the same layout lets batch probes
+    co-locate without shuffling the index side.
+
+    Probe with :func:`incremental_substring_spans` over
+    ``spark.read.parquet(index_path)`` (the extra ``gbucket`` column is
+    ignored); fold accepted batches in with
+    :func:`append_substring_index`."""
+    from ..sources.sink import write_full_refresh
+
+    write_full_refresh(
+        _bucketed_postings(docs, text_col, id_col, k, n_buckets),
+        index_path,
+        ["gbucket"],
+    )
+
+
+def append_substring_index(
+    accepted_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    n_buckets: int = SUBSTRING_INDEX_BUCKETS,
+    compact_target_mb: int | None = None,
+) -> None:
+    """Fold an ACCEPTED ingest batch's postings into the stored substring
+    index — the maintenance step that closes the daily-ingest loop
+    (probe with :func:`incremental_substring_spans` → accept → append),
+    the MinHash side's sibling being :func:`minhash_band_index` re-writes.
+    Only the batch is tokenized; the stored corpus postings are never
+    read, so the append costs O(batch), not O(corpus).
+
+    The write is a job-atomic parquet APPEND into the bucket directories
+    (readers see the old index until the job commits; a failed job leaves
+    only uncommitted temp files). Appends accrete one file per bucket per
+    task wave, so pass ``compact_target_mb`` every N appends to bin-pack
+    the directory through the rename-aside swap
+    (:func:`~etl_gamma_spark.sources.sink.compact_small_files` — never
+    rmtree-then-rename).
+
+    ``k`` and ``n_buckets`` must match the values the index was built
+    with: ``k`` is part of the index's semantic contract (mixed-k
+    postings would fabricate spans), ``n_buckets`` only of its layout
+    (a mismatch fragments directories but probes stay correct).
+    """
+    batch = _bucketed_postings(accepted_docs, text_col, id_col, k, n_buckets)
+    batch.write.mode("append").partitionBy("gbucket").parquet(index_path)
+    if compact_target_mb is not None:
+        from ..sources.sink import compact_small_files
+
+        compact_small_files(
+            accepted_docs.sparkSession,
+            index_path,
+            compact_target_mb,
+            ["gbucket"],
+        )
+
+
 def substring_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -594,6 +594,7 @@ def semdedup_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_cell: int = 256,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus embeddings with a coarse
@@ -628,15 +629,27 @@ def semdedup_prune(
     changes cluster assignment and therefore which neighbor pairs are
     compared.
 
+    ``centroids`` is the pre-trained PERSISTED quantizer path past the
+    4096 cap: pass a (centroid_id, centroid) table — typically
+    ``train_centroids`` output written once with the IVF index machinery
+    and read back — and both ``n_centroids`` and the per-query seeding
+    are bypassed entirely. The assignment is a pure function of the
+    quantizer (broadcast join + deterministic tiebreak), so the same
+    stored centroid table always reproduces the identical prune set —
+    the reuse-equivalence contract tests/test_round9_ops.py pins.
+
     Oracle-parity: assignment ranks by the shared unrolled dist2 chain
     (bit-identical in DuckDB), the cosine is the same left-associative
     unrolled dot over materialized per-row norms, and the output carries
     ids only — no floating value crosses the driver boundary.
     """
-    if n_centroids is None:
-        n = embeddings.count()
-        n_centroids = min(4096, max(16, -(-n // target_cell)))
-    cents = seed_centroids(embeddings, n_centroids, id_col, vec_col)
+    if centroids is not None:
+        cents = centroids.select("centroid_id", "centroid")
+    else:
+        if n_centroids is None:
+            n = embeddings.count()
+            n_centroids = min(4096, max(16, -(-n // target_cell)))
+        cents = seed_centroids(embeddings, n_centroids, id_col, vec_col)
     emb = embeddings.selectExpr(
         id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v"
     )

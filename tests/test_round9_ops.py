@@ -1,0 +1,161 @@
+"""Round-9 additions: substring posting-index maintenance
+(write_substring_index / append_substring_index — the daily-ingest loop
+probe → accept → append, VERDICT r8 item 2) and the persisted-quantizer
+SemDeDup path (VERDICT r8 item 3)."""
+
+import glob
+
+from etl_gamma_spark.io import load_table
+from tests.conftest import SF_SMOKE
+
+K = 4  # span threshold for hand-verifiable cases
+
+
+def _span_key(r):
+    return (r.new_id, r.corpus_id, r.new_start, r.corpus_start, r.n_tokens)
+
+
+def _spans(batch, index, k=K):
+    from etl_gamma_spark.operators.dedup import incremental_substring_spans
+
+    return {_span_key(r) for r in incremental_substring_spans(batch, index, k=k).collect()}
+
+
+def test_append_substring_index_daily_ingest_loop(spark, tmp_path):
+    """The full maintenance story, exercised over TWO ingest days: after
+    each append, probing the stored index must equal probing a from-
+    scratch rebuild over everything accepted so far."""
+    from etl_gamma_spark.operators.dedup import (
+        append_substring_index,
+        kgram_postings,
+        write_substring_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    day0 = docs.filter("doc_id % 3 = 0")   # initial corpus
+    day1 = docs.filter("doc_id % 3 = 1")   # first ingest batch
+    day2 = docs.filter("doc_id % 3 = 2")   # second ingest batch
+
+    path = str(tmp_path / "substring_index")
+    write_substring_index(day0, path, k=K)
+    stored = lambda: spark.read.parquet(path)  # noqa: E731
+
+    # day 1: probe against day0, accept, append
+    got1 = _spans(day1, stored())
+    want1 = _spans(day1, kgram_postings(day0, k=K))
+    assert got1 == want1
+    assert got1, "fixture slices should share at least one span"
+    append_substring_index(day1, path, k=K)
+
+    # day 2: probe must now see day0 AND day1 postings
+    got2 = _spans(day2, stored())
+    want2 = _spans(day2, kgram_postings(day0.unionByName(day1), k=K))
+    assert got2 == want2
+    # day-1 matches alone would be a proper subset: prove the append is
+    # actually visible (day2 shares spans with day1 docs too)
+    assert any(cid % 3 == 1 for _, cid, *_ in got2)
+    append_substring_index(day2, path, k=K)
+
+    # final: a fresh batch probed against the twice-appended index equals
+    # the full rebuild over all three slices
+    probe = docs.filter("doc_id % 17 = 0")
+    got3 = _spans(probe, stored())
+    want3 = _spans(probe, kgram_postings(docs, k=K))
+    assert got3 == want3
+
+
+def test_append_substring_index_compaction_preserves_spans(spark, tmp_path):
+    """compact_target_mb bin-packs the accreted append files through the
+    rename-aside swap without changing a single posting."""
+    from etl_gamma_spark.operators.dedup import (
+        append_substring_index,
+        write_substring_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "substring_index")
+    write_substring_index(docs.filter("doc_id % 3 = 0"), path, k=K)
+    append_substring_index(docs.filter("doc_id % 3 = 1"), path, k=K)
+
+    probe = docs.filter("doc_id % 3 = 2")
+    before = _spans(probe, spark.read.parquet(path))
+    n_before = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+
+    # compacting append: fold day-2 in and bin-pack everything
+    append_substring_index(probe, path, k=K, compact_target_mb=64)
+    n_after = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+    assert n_after < n_before + 32  # accreted files were packed, not added
+    assert not glob.glob(f"{path}._replaced"), "swap must clean up"
+
+    # postings survived byte-for-byte: the pre-compaction probe answer is
+    # reproduced, and the probe batch's own postings are now present
+    after = _spans(probe, spark.read.parquet(path))
+    assert before <= after  # self-matches (probe docs now indexed) add rows
+    got_old = {s for s in after if s[1] % 3 != 2}
+    assert got_old == before
+
+
+def test_append_substring_index_costs_o_batch(spark, tmp_path):
+    """The append must not read the stored index: the plan for the
+    batch's postings write scans only the batch frame."""
+    from etl_gamma_spark.operators.dedup import (
+        _bucketed_postings,
+        write_substring_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "substring_index")
+    write_substring_index(docs.filter("doc_id % 3 = 0"), path, k=K)
+    batch = docs.filter("doc_id % 3 = 1")
+    frame = _bucketed_postings(batch, "text", "doc_id", K, 32)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = frame._jdf.queryExecution().explainString(mode)
+    assert "substring_index" not in plan  # no scan of the stored directory
+    assert plan.count("Location: InMemoryFileIndex") == 1  # the batch scan only
+
+
+# --- persisted-quantizer SemDeDup (VERDICT r8 item 3) -----------------------
+
+
+def _prune_set(df):
+    return {(r.vec_id, r.centroid_id) for r in df.collect()}
+
+
+def test_semdedup_persisted_trained_quantizer_reuse(spark, tmp_path):
+    """The documented path past the K=4096 cap: train the quantizer once
+    (Lloyd's), persist it, and reuse it — the stored table must reproduce
+    the in-memory quantizer's prune set EXACTLY (same K, same seeds →
+    identical assignment → identical prune set), across two runs."""
+    from etl_gamma_spark.operators.similarity import (
+        semdedup_prune,
+        train_centroids,
+    )
+    from etl_gamma_spark.sources.sink import write_full_refresh
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    trained = train_centroids(emb, n_centroids=16)
+    path = str(tmp_path / "quantizer")
+    write_full_refresh(trained, path)
+    stored = spark.read.parquet(path)
+
+    want = _prune_set(semdedup_prune(emb, centroids=trained))
+    got1 = _prune_set(semdedup_prune(emb, centroids=stored))
+    got2 = _prune_set(semdedup_prune(emb, centroids=stored))  # re-run, same
+    assert got1 == want
+    assert got2 == want
+    assert 0 < len(want) < emb.count()  # it actually pruned something
+
+
+def test_semdedup_explicit_seed_quantizer_matches_default_path(spark):
+    """Passing seed_centroids(K) explicitly must equal the n_centroids=K
+    seeded path — the quantizer parameter is a pure generalization."""
+    from etl_gamma_spark.operators.similarity import (
+        seed_centroids,
+        semdedup_prune,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    via_k = _prune_set(semdedup_prune(emb, n_centroids=16))
+    via_q = _prune_set(semdedup_prune(emb, centroids=seed_centroids(emb, 16)))
+    assert via_q == via_k
