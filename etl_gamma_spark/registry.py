@@ -6782,6 +6782,47 @@ def q_dsir_weights(spark, sf_dir):
 #   pagerank_bipartite  banked green r5-r7; the graph family keeps its
 #                       graded carrier via supplier_triangles, and the
 #                       integer-exact iteration is pytest-oracle-checked
+# Round-9 rotation (VERDICT r8 items 1/6), applied after driver_sim green
+# at sf0.01 AND sf0.1 on this exact tree (154/154 oracle matches both
+# SFs): twelve NEVER-driver-graded queries move INTO the graded window —
+# the TPC-H regional-volume join (tpch_q5_local_supplier_volume), the
+# SQ8 compressed-domain ANN (embedding_sq8_topk), the remaining binary
+# codecs (png_header_stats, jpeg_header_dims), the profiling/privacy pair
+# (customer_fd_report, customer_k_anonymity), the interval coalesce
+# (supplier_shipping_coverage), the CMS join-size estimator
+# (orders_events_join_size), and the events-analytics tail a pipeline
+# user hits right after curation (retention_cohorts, funnel_steps,
+# attribution_linear, event_type_transitions). Displaced, each with
+# banked driver-graded green rounds and transitive family coverage:
+#   text_stats              banked green r1-r8; quality-signal family
+#                           stays graded via lm_bigram_nll /
+#                           quality_classifier_score / dsir_weights
+#   pii_redact              banked green r1-r8; regex-projection family
+#                           carried by graded html_text_extract / url_dedup
+#   media_stats             banked green r1-r8; multimodal family keeps
+#                           graded wav_header_stats + incoming png/jpeg
+#                           header codecs
+#   asof_join_purchases     banked green r1-r8; temporal family keeps
+#                           graded user_state_history (LEAD intervals)
+#   cdc_merge               banked green r5-r8; merge/full-outer family
+#                           carried by graded user_state_history and
+#                           pytest-checked streaming_cdc_apply
+#   tfidf_top_terms         banked green r5-r8; explode→tf-agg + rank
+#                           windows stay graded via bm25_topk / rrf_fusion
+#   range_tier_join         banked green r5-r8; binned-range-join family
+#                           carried by graded responsibility_filter (J5)
+#   embedding_neardup_pairs banked green r1-r8; the banded SRP pipeline
+#                           runs VERBATIM inside graded split_leakage_pairs
+#   bloom_filtered_revenue  banked green r6-r8; sketch family keeps
+#                           hdr_value_percentiles + incoming
+#                           orders_events_join_size (CMS)
+#   zorder_layout           banked green r6-r8; layout plumbing is
+#                           plan/unit-tested, Morton math pytest-oracled
+#   tpch_q6_forecast_revenue banked green r7-r8; TPC-H showcases keep
+#                           graded q1/q3/q18 + incoming q5
+#   incremental_neardup     banked green r6-r8; the ingest-vs-index family
+#                           keeps graded incremental_substring_spans and
+#                           the band join graded minhash_lsh_pairs
 # Round-9 additions enter ungraded on registration (both fully
 # oracle-checked in tests/test_oracle_parity.py; rotate in later):
 #   substring_index_maintain  same oracle as graded
@@ -6799,6 +6840,18 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "substring_index_maintain",
     "semdedup_persisted",
     "pagerank_bipartite",
+    "text_stats",
+    "pii_redact",
+    "media_stats",
+    "asof_join_purchases",
+    "cdc_merge",
+    "tfidf_top_terms",
+    "range_tier_join",
+    "embedding_neardup_pairs",
+    "bloom_filtered_revenue",
+    "zorder_layout",
+    "tpch_q6_forecast_revenue",
+    "incremental_neardup",
     "hll_distinct",
     "streaming_dedup_events",
     "receita_rollup",
@@ -6812,28 +6865,18 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "cms_topk",
     "receita_rolling_3m",
     "supplier_window_overlaps",
-    "embedding_sq8_topk",
-    "customer_k_anonymity",
     "orders_price_drift_psi",
     "event_key_skew",
     "temperature_source_mix",
     "streaming_dim_enrich",
     "bpe_merges",
-    "jpeg_header_dims",
-    "orders_events_join_size",
     "revenue_trend_by_priority",
     "bpe_token_histogram",
-    "customer_fd_report",
     "user_mode_event_type",
     "winsorized_event_values",
-    "supplier_shipping_coverage",
-    "event_type_transitions",
     "new_users_daily",
-    "tpch_q5_local_supplier_volume",
-    "png_header_stats",
     "simhash_neardup_pairs",
     "curation_pipeline",
-    "funnel_steps",
     "revenue_percentiles",
     "embedding_lsh_topk",
     "salted_skew_agg",
@@ -6869,7 +6912,6 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "clients_churned_feb",
     "lang_id",
     "active_clients_dedup_union",
-    "attribution_linear",
     "novelty_score",
     "boilerplate_chunks",
     "ohlc_downsample",
@@ -6884,7 +6926,6 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "stratified_sample",
     "topk_users_per_event_type",
     "coe_vs_op_monthly_full_outer",
-    "retention_cohorts",
     "receita_farmer_m_passado_one",
     "fechamento_by_name",
     "clients_retained_feb",
