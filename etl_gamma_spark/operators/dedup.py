@@ -802,9 +802,16 @@ def _bucketed_postings(
     xxhash64 is fine here (a bucket collision just co-locates two grams;
     the round-6 banding rule's collision concern applies to JOIN keys)."""
     posts = kgram_postings(docs, text_col, id_col, k)
-    return posts.withColumn(
+    posts = posts.withColumn(
         "gbucket", F.pmod(F.xxhash64("gh"), F.lit(n_buckets)).cast("int")
     )
+    # cluster by the partition column before the partitioned write: without
+    # this every write task holding rows of every bucket emits one file PER
+    # bucket (O(tasks × buckets) small files per write wave); after it each
+    # bucket directory receives one file per wave. At 100 TB add a secondary
+    # spread key inside hot buckets for file-size control — the shuffle is
+    # by-key either way.
+    return posts.repartition("gbucket")
 
 
 def write_substring_index(
