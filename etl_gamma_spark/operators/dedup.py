@@ -1081,6 +1081,56 @@ def minhash_band_index(
     return out
 
 
+def write_minhash_index(
+    docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """Full (re)build of the persisted banded-MinHash index: the
+    :func:`minhash_band_index` frame written under ``index_path``
+    PARTITIONED BY ``band`` (the probe's equi-join key prefix, so a
+    band-sliced read prunes to one directory per band). The substring
+    sibling is :func:`write_substring_index`; probe with
+    :func:`incremental_neardup_pairs` over the read-back."""
+    from ..sources.sink import write_full_refresh
+
+    rows = minhash_band_index(docs, text_col, id_col, n)
+    # cluster by the partition column first — same rule as the substring
+    # index writer: one file per band directory per write wave instead of
+    # one per (task, band)
+    write_full_refresh(rows.repartition("band"), index_path, ["band"])
+
+
+def append_minhash_index(
+    accepted_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    compact_target_mb: int | None = None,
+) -> None:
+    """Fold an ACCEPTED ingest batch into the stored MinHash band index —
+    the maintenance step of the incremental near-dup loop (probe with
+    :func:`incremental_neardup_pairs` → accept → append), sibling of
+    :func:`append_substring_index`. Only the batch is shingled and
+    signed; the stored corpus rows are never read, so the append costs
+    O(batch). Job-atomic parquet append; pass ``compact_target_mb``
+    every N appends to bin-pack the band directories through the
+    rename-aside swap."""
+    rows = minhash_band_index(accepted_docs, text_col, id_col, n)
+    rows.repartition("band").write.mode("append").partitionBy(
+        "band"
+    ).parquet(index_path)
+    if compact_target_mb is not None:
+        from ..sources.sink import compact_small_files
+
+        compact_small_files(
+            accepted_docs.sparkSession, index_path, compact_target_mb, ["band"]
+        )
+
+
 def incremental_neardup_pairs(
     new_docs: DataFrame,
     index: DataFrame,

@@ -115,6 +115,48 @@ def test_append_substring_index_costs_o_batch(spark, tmp_path):
     assert plan.count("Location: InMemoryFileIndex") == 1  # the batch scan only
 
 
+def test_append_minhash_index_daily_ingest_loop(spark, tmp_path):
+    """The MinHash sibling of the substring maintenance loop: after each
+    append, probing the stored band index equals probing a from-scratch
+    in-memory index over everything accepted so far."""
+    from etl_gamma_spark.operators.dedup import (
+        append_minhash_index,
+        incremental_neardup_pairs,
+        minhash_band_index,
+        write_minhash_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    day0 = docs.filter("doc_id % 3 = 0")
+    day1 = docs.filter("doc_id % 3 = 1")
+    day2 = docs.filter("doc_id % 3 = 2")
+
+    path = str(tmp_path / "minhash_index")
+    write_minhash_index(day0, path)
+
+    def pairs(batch, index):
+        return {
+            (r.new_id, r.corpus_id, round(r.est_jaccard, 6))
+            for r in incremental_neardup_pairs(batch, index).collect()
+        }
+
+    got1 = pairs(day1, spark.read.parquet(path))
+    want1 = pairs(day1, minhash_band_index(day0))
+    assert got1 == want1
+    append_minhash_index(day1, path)
+
+    got2 = pairs(day2, spark.read.parquet(path))
+    want2 = pairs(day2, minhash_band_index(day0.unionByName(day1)))
+    assert got2 == want2
+    assert want2, "fixture slices should produce candidate pairs"
+    # second append with compaction: postings byte-identical afterwards
+    append_minhash_index(day2, path, compact_target_mb=64)
+    probe = docs.filter("doc_id % 17 = 0")
+    got3 = pairs(probe, spark.read.parquet(path))
+    want3 = pairs(probe, minhash_band_index(docs))
+    assert got3 == want3
+
+
 # --- persisted-quantizer SemDeDup (VERDICT r8 item 3) -----------------------
 
 
