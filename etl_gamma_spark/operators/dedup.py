@@ -914,9 +914,22 @@ def substring_dedup(
         "explode(sequence(b_start, b_start + n_tokens - 1)) AS wpos1",
     ).distinct()
     base = spread(docs).selectExpr(id_col, f"{T.split_ws(text_col, S)} AS __w")
+    return _reassemble_uncovered(base, covered, id_col)
+
+
+def _reassemble_uncovered(
+    base: DataFrame, covered1: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared strip-and-reassemble tail of the span-acting operators:
+    drop every token whose 1-based position appears in ``covered1``
+    (id, wpos1) and rebuild the survivors in order. ``base`` carries
+    (id, __w); output is (id, n_tokens, n_kept, text_clean), one row per
+    ``base`` row. The rebuild is the chunk_dedup reassembly shape —
+    doc-keyed aggregate over (pos, word) structs, bounded by document
+    size."""
     words = base.selectExpr(id_col, "posexplode(__w) AS (wpos, word)")
     kept = words.join(
-        covered.withColumn("wpos", F.col("wpos1") - 1).drop("wpos1"),
+        covered1.withColumn("wpos", F.col("wpos1") - 1).drop("wpos1"),
         [id_col, "wpos"],
         "left_anti",
     )
@@ -934,6 +947,45 @@ def substring_dedup(
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         F.coalesce("text_clean", F.lit("")).alias("text_clean"),
     )
+
+
+def decontaminate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bench_mod: int = 23,
+    max_df: int = 50,
+) -> DataFrame:
+    """The ACT step of benchmark decontamination (Lee et al. 2021 strip
+    mode): remove from every corpus document each token covered by a
+    verbatim >= ``k``-token benchmark span (:func:`decontamination_spans`
+    output) and reassemble the survivors — the strip-not-drop policy
+    that keeps a mostly-clean document in the training set while
+    guaranteeing no quoted benchmark passage survives. The substring
+    sibling is :func:`substring_dedup` (find -> act, same reassembly).
+
+    Output: (doc_id, n_tokens, n_kept, text_clean) — one row per CORPUS
+    document (benchmark docs are not training data and are excluded);
+    documents with no benchmark overlap pass through untouched.
+
+    Scale posture: the span search is decontamination_spans unchanged
+    (checkpointed postings, corpus-side df-cap); the added cost is the
+    covered-position explode — bounded by the corpus's contaminated-token
+    mass, exactly the mass being removed — plus the doc-keyed reassembly
+    aggregate.
+    """
+    spans = decontamination_spans(docs, text_col, id_col, k, bench_mod, max_df)
+    covered = spans.selectExpr(
+        id_col,
+        "explode(sequence(doc_start, doc_start + n_tokens - 1)) AS wpos1",
+    ).distinct()
+    base = (
+        spread(docs)
+        .filter((F.col(id_col) % bench_mod) != 0)
+        .selectExpr(id_col, f"{T.split_ws(text_col, S)} AS __w")
+    )
+    return _reassemble_uncovered(base, covered, id_col)
 
 
 def novelty_score(

@@ -3294,15 +3294,16 @@ def q_substring_dedup(spark, sf_dir):
     return DD.substring_dedup(spark.table("documents"))
 
 
-def _decontamination_sql(
+def _decontamination_ctes(
     d: str, k: int = 8, bench_mod: int = 23, max_df: int = 50
 ) -> str:
-    """Oracle restatement of operators/dedup.py::decontamination_spans.
-    NOTE the df-cap counts CORPUS-side gram occurrences only (bench
-    repetition must not mask corpus matches) — the HAVING runs over the
-    corpus slice, unlike the symmetric substring_dup_spans cap."""
-    return f"""
-WITH w AS (
+    """Shared CTE chain (ending in ``dspans``) behind the two
+    decontamination oracles — find (decontamination_spans) and act
+    (decontaminate_corpus). NOTE the df-cap counts CORPUS-side gram
+    occurrences only (bench repetition must not mask corpus matches) —
+    the HAVING runs over the corpus slice, unlike the symmetric
+    substring_dup_spans cap."""
+    return f"""w AS (
     SELECT doc_id, {T.split_ws('text', d)} AS __w FROM documents
 ),
 gr AS (
@@ -3337,18 +3338,74 @@ isl AS (
            pa - ROW_NUMBER() OVER (
                PARTITION BY doc_id, bench_id, diag ORDER BY pa) AS island
     FROM pairs
+),
+dspans AS (
+    SELECT doc_id, bench_id, diag,
+           CAST(MIN(pa) + 1 AS BIGINT) AS doc_start,
+           CAST(MIN(pa) + 1 - diag AS BIGINT) AS bench_start,
+           CAST(COUNT(*) + {k} - 1 AS BIGINT) AS n_tokens
+    FROM isl GROUP BY doc_id, bench_id, diag, island
+)"""
+
+
+def _decontamination_sql(
+    d: str, k: int = 8, bench_mod: int = 23, max_df: int = 50
+) -> str:
+    return f"""
+WITH {_decontamination_ctes(d, k, bench_mod, max_df)}
+SELECT doc_id, bench_id, doc_start, bench_start, n_tokens FROM dspans
+"""
+
+
+def _decontaminate_corpus_sql(
+    d: str, k: int = 8, bench_mod: int = 23, max_df: int = 50
+) -> str:
+    """Oracle for operators/dedup.py::decontaminate_corpus: the find
+    CTEs verbatim, then the same strip-and-reassemble tail as the
+    substring_dedup oracle — covered 1-based positions from the spans,
+    NOT EXISTS anti-join, ordered string_agg rebuild — restricted to the
+    corpus slice (benchmark docs are not training data)."""
+    return f"""
+WITH {_decontamination_ctes(d, k, bench_mod, max_df)},
+cov AS (
+    SELECT DISTINCT doc_id, wpos1 FROM (
+        SELECT doc_id,
+               unnest(range(doc_start, doc_start + n_tokens)) AS wpos1
+        FROM dspans
+    )
+),
+wp AS (
+    SELECT doc_id, unnest(range(0, len(__w))) AS wpos, unnest(__w) AS word
+    FROM w WHERE doc_id % {bench_mod} <> 0
+),
+kept AS (
+    SELECT wp.doc_id, wp.wpos, wp.word FROM wp
+    WHERE NOT EXISTS (
+        SELECT 1 FROM cov c
+        WHERE c.doc_id = wp.doc_id AND c.wpos1 = wp.wpos + 1
+    )
+),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(word, ' ' ORDER BY wpos) AS text_clean
+    FROM kept GROUP BY doc_id
 )
-SELECT doc_id, bench_id,
-       CAST(MIN(pa) + 1 AS BIGINT) AS doc_start,
-       CAST(MIN(pa) + 1 - diag AS BIGINT) AS bench_start,
-       CAST(COUNT(*) + {k} - 1 AS BIGINT) AS n_tokens
-FROM isl GROUP BY doc_id, bench_id, diag, island
+SELECT w.doc_id, CAST(len(__w) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(text_clean, '') AS text_clean
+FROM w LEFT JOIN agg USING (doc_id)
+WHERE w.doc_id % {bench_mod} <> 0
 """
 
 
 @query("decontamination_spans", _decontamination_sql(_D))
 def q_decontamination_spans(spark, sf_dir):
     return DD.decontamination_spans(spark.table("documents"))
+
+
+@query("decontaminate_corpus", _decontaminate_corpus_sql(_D))
+def q_decontaminate_corpus(spark, sf_dir):
+    return DD.decontaminate_corpus(spark.table("documents"))
 
 
 def _incr_substring_sql(d: str, k: int = 8, batch_mod: int = 17, max_df: int = 50) -> str:
@@ -6836,7 +6893,12 @@ def q_dsir_weights(spark, sf_dir):
 #                             quantizer's prune set); persisted round-trip
 #                             plus trained-quantizer reuse unit-tested in
 #                             test_round9_ops.py
+#   decontaminate_corpus      the act step over graded
+#                             decontamination_spans (find): same span
+#                             CTEs, same reassembly family as graded
+#                             substring_dedup; hand-built strip unit test
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "decontaminate_corpus",
     "substring_index_maintain",
     "semdedup_persisted",
     "pagerank_bipartite",

@@ -157,6 +157,28 @@ def test_append_minhash_index_daily_ingest_loop(spark, tmp_path):
     assert got3 == want3
 
 
+def test_decontaminate_corpus_strips_quoted_bench_passage(spark):
+    """The act step of benchmark decontamination: a corpus doc quoting a
+    benchmark passage loses exactly the quoted tokens; clean docs pass
+    through untouched; benchmark docs are excluded from the output."""
+    from etl_gamma_spark.operators.dedup import decontaminate_corpus
+
+    bench_text = "q1 q2 q3 q4 q5 q6"
+    rows = [
+        (0, bench_text),                          # bench doc (0 % 3 == 0)
+        (1, "a b q2 q3 q4 q5 c d"),               # quotes 4 bench tokens
+        (2, "x y z w v u t s"),                   # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.text_clean)
+        for r in decontaminate_corpus(df, k=4, bench_mod=3, max_df=50).collect()
+    }
+    assert set(out) == {1, 2}  # bench doc 0 excluded
+    assert out[1] == (8, 4, "a b c d")
+    assert out[2] == (8, 8, "x y z w v u t s")
+
+
 # --- persisted-quantizer SemDeDup (VERDICT r8 item 3) -----------------------
 
 
