@@ -179,6 +179,53 @@ def test_decontaminate_corpus_strips_quoted_bench_passage(spark):
     assert out[2] == (8, 8, "x y z w v u t s")
 
 
+def test_decontaminate_corpus_fuzz_vs_python_reference(spark):
+    """Strip reconstruction fuzz: spans from the round-8 pure-Python
+    reference, applied positionally in Python, must equal the engine's
+    reassembled corpus."""
+    import random
+
+    from etl_gamma_spark.operators.dedup import decontaminate_corpus
+    from tests.test_round8_ops import _python_decon_spans
+
+    rng = random.Random(0x9DEC)
+    alphabet = [f"t{i}" for i in range(8)]
+    texts = {}
+    for did in range(40):
+        words = [rng.choice(alphabet) for _ in range(rng.randint(1, 30))]
+        if did % 4 == 0 and did > 3:
+            src = texts[rng.randrange(did)].split(" ")
+            if len(src) >= 4:
+                s = rng.randrange(len(src) - 3)
+                words.extend(src[s : s + rng.randint(4, len(src) - s)])
+        texts[did] = " ".join(words)
+
+    k, bench_mod, max_df = 3, 5, 10
+    spans = _python_decon_spans(texts, k=k, bench_mod=bench_mod, max_df=max_df)
+    covered = {}  # doc_id -> set of 0-based positions
+    for doc_id, _bench, doc_start, _bs, n in spans:
+        covered.setdefault(doc_id, set()).update(
+            range(doc_start - 1, doc_start - 1 + n)
+        )
+    want = {}
+    for did, t in texts.items():
+        if did % bench_mod == 0:
+            continue
+        w = t.split(" ")
+        keep = [x for i, x in enumerate(w) if i not in covered.get(did, ())]
+        want[did] = (len(w), len(keep), " ".join(keep))
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.text_clean)
+        for r in decontaminate_corpus(
+            df, k=k, bench_mod=bench_mod, max_df=max_df
+        ).collect()
+    }
+    assert got == want
+    assert any(n_kept < n for n, n_kept, _ in want.values())  # it stripped
+
+
 # --- persisted-quantizer SemDeDup (VERDICT r8 item 3) -----------------------
 
 
