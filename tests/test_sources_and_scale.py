@@ -257,5 +257,18 @@ def test_round5_heavy_ops_subquadratic_on_replicated_corpus(spark, tmp_path):
             assert n4 <= max(6 * n1, n1 + 64), (name, n1, n4)
         t1, t4 = timings[name]
         # generous noise-tolerant backstop: well under the 16x quadratic
-        # signature even if the 1x run hit a fast path
+        # signature even if the 1x run hit a fast path. Before failing,
+        # RE-TIME once (bench.py's retime rule: ambient load only ever
+        # inflates a timing, so min() cannot hide a real blow-up — this
+        # test measured a 19.8x "ratio" on unchanged code while a
+        # concurrent sf0.1 driver_sim held all 32 cores).
+        if t4 > 8 * max(t1, 0.5):
+            for i, sf_dir in enumerate((base, replica)):
+                _REGISTERED.pop(spark, None)
+                t0 = time.monotonic()
+                QUERIES[name](spark, sf_dir).count()
+                timings[name][i] = min(
+                    timings[name][i], time.monotonic() - t0
+                )
+            t1, t4 = timings[name]
         assert t4 <= 8 * max(t1, 0.5), (name, t1, t4)
