@@ -127,6 +127,15 @@ PROBE_QUERIES = [
     "decontamination_spans",
     # ingest path: batch is a fixed 1/17 slice probing the corpus index
     "incremental_substring_spans",
+    # round-9: the decontamination ACT step (span search + covered-token
+    # explode bounded by contaminated mass + doc-keyed reassembly), the
+    # full index-maintenance loop (build + append + compact + probe — the
+    # only PROBE query that writes), and the stored-quantizer SemDeDup
+    # (fixed K=16 quantizer read back from parquet, so within-cell pairs
+    # grow like the pinned-K semdedup row)
+    "decontaminate_corpus",
+    "substring_index_maintain",
+    "semdedup_persisted",
 ]
 
 
