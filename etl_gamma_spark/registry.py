@@ -6897,10 +6897,65 @@ def q_dsir_weights(spark, sf_dir):
 #                             decontamination_spans (find): same span
 #                             CTEs, same reassembly family as graded
 #                             substring_dedup; hand-built strip unit test
+# Round-9 second rotation (VERDICT r8 item 1 continued), applied after
+# driver_sim green at sf0.01 AND sf0.1 on the exact pre-edit tree
+# (157/157 queries, 155/155 oracles, zero fails at both SFs this
+# session): ten more NEVER-driver-graded queries move INTO the graded
+# window — the three round-9 additions (substring_index_maintain,
+# semdedup_persisted, decontaminate_corpus), the persisted-index ANN
+# (embedding_ivf_persisted), the JDBC round trip (jdbc_roundtrip_agg —
+# gives S1 its first driver-graded round), the CDC stream sink
+# (streaming_cdc_apply), the temporal TWAP (twap_hourly), the profiling
+# carrier (profile_orders), the curation gate (quality_prune), and the
+# dedup composition (neardup_dedup_corpus). Displaced, each with
+# banked driver-graded green rounds COMPUTED from the CORRECTNESS_r*
+# artifacts this session and transitive family coverage:
+#   incremental_substring_spans  banked green r8; incoming
+#                           substring_index_maintain shares its oracle
+#                           verbatim (maintained index must reproduce
+#                           the live posting list)
+#   semdedup_prune          banked green r6-r8; incoming
+#                           semdedup_persisted shares its oracle
+#                           verbatim (stored quantizer must reproduce
+#                           the seeded prune set)
+#   decontamination_spans   banked green r8; incoming
+#                           decontaminate_corpus is its act step over
+#                           the SAME span CTEs (find ⊂ act)
+#   embedding_ivf_topk      banked green r2-r8; incoming
+#                           embedding_ivf_persisted shares its oracle
+#                           verbatim (persisted index must reproduce
+#                           the in-memory answer)
+#   bm25_topk               banked green r6-r8; retrieval family keeps
+#                           graded rrf_fusion (which fuses the same
+#                           BM25 ranking); portable-ln discipline also
+#                           carried by graded dsir_weights
+#   hdr_value_percentiles   banked green r6-r8; sketch family keeps
+#                           graded orders_events_join_size (CMS) and
+#                           banked hll_distinct/cms_topk
+#   wav_header_stats        banked green r6-r8; multimodal codec family
+#                           keeps graded png_header_stats +
+#                           jpeg_header_dims (first-graded this round)
+#   substring_dup_spans     banked green r8; substring family keeps
+#                           graded substring_dedup (same span CTEs) +
+#                           incoming maintain/decontaminate carriers
+#   url_dedup               banked green r8; web family keeps graded
+#                           domain_mix + html_text_extract
+#   lm_bigram_nll           banked green r6-r8; quality-scoring family
+#                           keeps graded quality_classifier_score +
+#                           dsir_weights; HALF_UP integer-division
+#                           discipline carried by graded
+#                           event_type_transitions
 UNGRADED_QUERIES: tuple[str, ...] = (
-    "decontaminate_corpus",
-    "substring_index_maintain",
-    "semdedup_persisted",
+    "incremental_substring_spans",
+    "semdedup_prune",
+    "decontamination_spans",
+    "embedding_ivf_topk",
+    "bm25_topk",
+    "hdr_value_percentiles",
+    "wav_header_stats",
+    "substring_dup_spans",
+    "url_dedup",
+    "lm_bigram_nll",
     "pagerank_bipartite",
     "text_stats",
     "pii_redact",
@@ -6946,8 +7001,6 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "winnow_overlap_pairs",
     "receita_pivot_fonte",
     "fechamento_m_passado",
-    "embedding_ivf_persisted",
-    "jdbc_roundtrip_agg",
     "streaming_windowed_events",
     "ngram_jaccard_pairs",
     "cluster_prune",
@@ -6959,7 +7012,6 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "orders_table_diff",
     "also_bought_topk",
     "streaming_dedup_watermark",
-    "twap_hourly",
     "doc_sliding_chunks",
     "purchase_nearest_view",
     "sequence_pack",
@@ -6969,7 +7021,6 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "receita_unpivot",
     "client_revenue_quartiles",
     "iqr_outliers",
-    "profile_orders",
     "dataset_split",
     "clients_churned_feb",
     "lang_id",
@@ -6977,10 +7028,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "novelty_score",
     "boilerplate_chunks",
     "ohlc_downsample",
-    "neardup_dedup_corpus",
     "export_shards",
-    "quality_prune",
-    "streaming_cdc_apply",
     "source_mix",
     "receita_gap_fill",
     "streaming_interval_join",
