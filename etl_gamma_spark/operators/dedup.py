@@ -22,6 +22,10 @@ Scale posture per operator:
     per-(pair, diagonal) run merge; df-capped stop-grams bound every
     gram's pair fan-out, and the window partition is bounded by document
     length, never corpus size.
+  * intradoc repeats (intradoc_repeat_spans / strip_intradoc_repeats) —
+    the same anchor/diagonal machinery self-joined within a document
+    ((doc, gram)-keyed, per-doc occurrence cap); localizes and strips
+    within-document repetition the Gopher signals only measure.
 """
 
 from __future__ import annotations
@@ -985,6 +989,87 @@ def decontaminate_corpus(
         .filter((F.col(id_col) % bench_mod) != 0)
         .selectExpr(id_col, f"{T.split_ws(text_col, S)} AS __w")
     )
+    return _reassemble_uncovered(base, covered, id_col)
+
+
+def intradoc_repeat_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_rep: int = 50,
+) -> DataFrame:
+    """WITHIN-document exact repeated token spans of >= ``k`` tokens —
+    the act-ready complement of the Gopher repetition SIGNALS
+    (``quality.gopher_repetition`` measures duplicate-line/n-gram
+    fractions; this localizes each repeat): a span repeats earlier text
+    in the SAME document iff a run of consecutive k-gram anchors matches
+    at one offset ``diag >= 1``, so the cross-document diagonal merge of
+    :func:`substring_dup_spans` applies unchanged with the posting join
+    keyed on (doc, gram) instead of gram.
+
+    Output: (doc_id, rep_start, first_start, n_tokens), 1-based token
+    positions — the span at ``rep_start`` repeats the text at
+    ``first_start`` (``rep_start - first_start = diag >= 1``). Periodic
+    text reports one maximal span per period multiple, exactly like the
+    cross-document operator reports one span per diagonal.
+
+    The cap is per-(document, gram) occurrence count (``max_rep``): a
+    gram repeated m times within one document fans out m(m-1)/2 pair
+    rows, so per-key join work is bounded at ``max_rep``²; corpus-wide
+    gram frequency is irrelevant here and deliberately NOT capped (a
+    common phrase repeated twice in one doc is still a within-doc
+    repeat). Window partitions are (doc, diag) — bounded by document
+    length, never corpus size.
+    """
+    _check_span_k(k)
+    grams = kgram_postings(docs, text_col, id_col, k).localCheckpoint()
+    capped = cap_hot_keys(grams, [id_col, "gh"], max_rep)
+    a = capped.selectExpr(id_col, "pos AS pa", "gh")
+    b = capped.selectExpr(id_col, "pos AS pb", "gh")
+    pairs = (
+        a.join(b, [id_col, "gh"])
+        .filter(F.col("pa") > F.col("pb"))
+        .selectExpr(
+            f"{id_col} AS doc_a", f"{id_col} AS doc_b", "pa", "pa - pb AS diag"
+        )
+    )
+    spans = _merge_diagonal_runs(
+        pairs, k, "doc_a", "doc_b", "rep_start", "first_start"
+    )
+    return spans.selectExpr(
+        f"doc_a AS {id_col}", "rep_start", "first_start", "n_tokens"
+    )
+
+
+def strip_intradoc_repeats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_rep: int = 50,
+) -> DataFrame:
+    """Keep-first pruner over :func:`intradoc_repeat_spans`: every token
+    covered by a span repeating EARLIER text in the same document (the
+    ``rep_start`` side) is removed and the survivors reassembled in
+    order — position order decides keepers within a document, the same
+    convention id order sets corpus-wide in :func:`substring_dedup`.
+    On periodic text the union of per-diagonal spans covers everything
+    after the first period, so exactly one copy survives.
+
+    Output: (doc_id, n_tokens, n_kept, text_clean) — one row per input
+    document; repeat-free documents pass through untouched.
+
+    Scale posture: the covered-position explode is bounded by each
+    document's repeated-token mass (the mass removed); the rebuild is
+    the shared :func:`_reassemble_uncovered` doc-keyed aggregate.
+    """
+    spans = intradoc_repeat_spans(docs, text_col, id_col, k, max_rep)
+    covered = spans.selectExpr(
+        id_col,
+        "explode(sequence(rep_start, rep_start + n_tokens - 1)) AS wpos1",
+    ).distinct()
+    base = spread(docs).selectExpr(id_col, f"{T.split_ws(text_col, S)} AS __w")
     return _reassemble_uncovered(base, covered, id_col)
 
 

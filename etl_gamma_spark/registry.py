@@ -3408,6 +3408,105 @@ def q_decontaminate_corpus(spark, sf_dir):
     return DD.decontaminate_corpus(spark.table("documents"))
 
 
+def _intradoc_spans_ctes(d: str, k: int, max_rep: int) -> str:
+    """Shared CTE chain ending in ``rspans`` — the oracle restatement of
+    operators/dedup.py::intradoc_repeat_spans (same-document k-gram
+    anchor self-join, per-(doc, gram) cap, per-(doc, diagonal) run
+    merge). Reused verbatim by the intradoc_repeat_strip oracle so find
+    and act stay one semantics."""
+    return f"""w AS (
+    SELECT doc_id, {T.split_ws('text', d)} AS __w FROM documents
+),
+gr AS (
+    SELECT doc_id, {T.word_ngrams('__w', d, k)} AS __g FROM w
+),
+g0 AS (
+    SELECT doc_id, unnest(range(0, len(__g))) AS pos, unnest(__g) AS gram
+    FROM gr
+),
+g AS (
+    SELECT doc_id, pos, md5(gram) AS gh FROM g0
+),
+gram_ok AS (
+    SELECT doc_id, gh FROM g GROUP BY doc_id, gh HAVING COUNT(*) <= {max_rep}
+),
+gk AS (
+    SELECT g.doc_id, g.pos, g.gh FROM g JOIN gram_ok USING (doc_id, gh)
+),
+rpairs AS (
+    SELECT a.doc_id, a.pos AS pa, a.pos - b.pos AS diag
+    FROM gk a JOIN gk b
+      ON a.doc_id = b.doc_id AND a.gh = b.gh AND a.pos > b.pos
+),
+risl AS (
+    SELECT doc_id, diag, pa,
+           pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_id, diag ORDER BY pa) AS island
+    FROM rpairs
+),
+rspans AS (
+    SELECT doc_id,
+           CAST(MIN(pa) + 1 AS BIGINT) AS rep_start,
+           CAST(MIN(pa) + 1 - diag AS BIGINT) AS first_start,
+           CAST(COUNT(*) + {k} - 1 AS BIGINT) AS n_tokens
+    FROM risl GROUP BY doc_id, diag, island
+)"""
+
+
+def _intradoc_spans_sql(d: str, k: int = 3, max_rep: int = 50) -> str:
+    return f"""
+WITH {_intradoc_spans_ctes(d, k, max_rep)}
+SELECT doc_id, rep_start, first_start, n_tokens FROM rspans
+"""
+
+
+def _intradoc_strip_sql(d: str, k: int = 3, max_rep: int = 50) -> str:
+    return f"""
+WITH {_intradoc_spans_ctes(d, k, max_rep)},
+cov AS (
+    SELECT DISTINCT doc_id, wpos1 FROM (
+        SELECT doc_id,
+               unnest(range(rep_start, rep_start + n_tokens)) AS wpos1
+        FROM rspans
+    )
+),
+wp AS (
+    SELECT doc_id, unnest(range(0, len(__w))) AS wpos, unnest(__w) AS word
+    FROM w
+),
+kept AS (
+    SELECT wp.doc_id, wp.wpos, wp.word FROM wp
+    WHERE NOT EXISTS (
+        SELECT 1 FROM cov c
+        WHERE c.doc_id = wp.doc_id AND c.wpos1 = wp.wpos + 1
+    )
+),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(word, ' ' ORDER BY wpos) AS text_clean
+    FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(len(__w) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(text_clean, '') AS text_clean
+FROM w LEFT JOIN agg USING (doc_id)
+"""
+
+
+# k=3 for the registered carriers: the fixture corpus is clean natural
+# language (within-doc repeats at k>=6 are absent by construction); a
+# production self-repetition pass over web text uses the operator default
+# k=8 with the identical plan.
+@query("intradoc_repeat_spans", _intradoc_spans_sql(_D))
+def q_intradoc_repeat_spans(spark, sf_dir):
+    return DD.intradoc_repeat_spans(spark.table("documents"), k=3)
+
+
+@query("intradoc_repeat_strip", _intradoc_strip_sql(_D))
+def q_intradoc_repeat_strip(spark, sf_dir):
+    return DD.strip_intradoc_repeats(spark.table("documents"), k=3)
+
+
 def _incr_substring_sql(d: str, k: int = 8, batch_mod: int = 17, max_df: int = 50) -> str:
     """Oracle for operators/dedup.py::incremental_substring_spans with
     the carrier's batch/index split (doc_id % batch_mod == 0 is the new
@@ -6945,7 +7044,18 @@ def q_dsir_weights(spark, sf_dir):
 #                           dsir_weights; HALF_UP integer-division
 #                           discipline carried by graded
 #                           event_type_transitions
+# Round-9 additions enter ungraded on registration (both fully
+# oracle-checked in tests/test_oracle_parity.py; rotate in later):
+#   intradoc_repeat_spans     same anchor/diagonal machinery as graded
+#                             substring_dedup's span CTEs, self-joined
+#                             within a document; hand-built periodic-text
+#                             unit tests in test_round9_ops.py
+#   intradoc_repeat_strip     the act step over intradoc_repeat_spans;
+#                             same _reassemble_uncovered tail as graded
+#                             substring_dedup / decontaminate_corpus
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "intradoc_repeat_spans",
+    "intradoc_repeat_strip",
     "incremental_substring_spans",
     "semdedup_prune",
     "decontamination_spans",

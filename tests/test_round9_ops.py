@@ -270,3 +270,77 @@ def test_semdedup_explicit_seed_quantizer_matches_default_path(spark):
     via_k = _prune_set(semdedup_prune(emb, n_centroids=16))
     via_q = _prune_set(semdedup_prune(emb, centroids=seed_centroids(emb, 16)))
     assert via_q == via_k
+
+
+# ---------------------------------------------------------------------------
+# intra-document repeated spans (find) + keep-first strip (act)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _rep_spans(spark, rows, k, max_rep=50):
+    from etl_gamma_spark.operators.dedup import intradoc_repeat_spans
+
+    df = intradoc_repeat_spans(_docs(spark, rows), k=k, max_rep=max_rep)
+    return {
+        (r.doc_id, r.rep_start, r.first_start, r.n_tokens)
+        for r in df.collect()
+    }
+
+
+def test_intradoc_spans_periodic_text(spark):
+    """'a b c' x3, k=3: the period-3 diagonal carries one maximal 6-token
+    span (tokens 4-9 repeat 1-6) and the period-6 diagonal its 3-token
+    echo — hand-computed, the same per-diagonal convention as the
+    cross-document operator."""
+    got = _rep_spans(spark, [(1, "a b c a b c a b c")], k=3)
+    assert got == {(1, 4, 1, 6), (1, 7, 1, 3)}
+
+
+def test_intradoc_spans_non_adjacent_repeat(spark):
+    # gram (x y z) at positions 1 and 6 (1-based); nothing else repeats
+    got = _rep_spans(spark, [(7, "x y z q w x y z")], k=3)
+    assert got == {(7, 6, 1, 3)}
+
+
+def test_intradoc_spans_cross_document_sharing_is_not_a_repeat(spark):
+    # two documents sharing a passage have NO within-doc repeats
+    rows = [(1, "p q r s t u"), (2, "p q r s t u")]
+    assert _rep_spans(spark, rows, k=3) == set()
+
+
+def test_intradoc_spans_max_rep_cap_drops_degenerate_grams(spark):
+    # 'a' x6, k=2: the single gram occurs 5 times in one doc; with
+    # max_rep=2 every anchor is capped away (conservative, mirrored by
+    # the oracle HAVING over (doc_id, gh))
+    assert _rep_spans(spark, [(3, "a a a a a a")], k=2, max_rep=2) == set()
+    # uncapped, the diag=1 run covers the whole tail
+    got = _rep_spans(spark, [(3, "a a a a a a")], k=2, max_rep=50)
+    assert (3, 2, 1, 5) in got
+
+
+def test_intradoc_strip_keeps_first_period(spark):
+    from etl_gamma_spark.operators.dedup import strip_intradoc_repeats
+
+    rows = [(1, "a b c a b c a b c"), (2, "no repeats at all here")]
+    out = {
+        r.doc_id: r
+        for r in strip_intradoc_repeats(_docs(spark, rows), k=3).collect()
+    }
+    assert out[1].text_clean == "a b c"
+    assert (out[1].n_tokens, out[1].n_kept) == (9, 3)
+    # repeat-free document passes through untouched
+    assert out[2].text_clean == "no repeats at all here"
+    assert out[2].n_tokens == out[2].n_kept == 5
+
+
+def test_intradoc_strip_removes_only_later_copies(spark):
+    from etl_gamma_spark.operators.dedup import strip_intradoc_repeats
+
+    rows = [(9, "x y z q w x y z")]
+    out = strip_intradoc_repeats(_docs(spark, rows), k=3).collect()[0]
+    assert out.text_clean == "x y z q w"
+    assert (out.n_tokens, out.n_kept) == (8, 5)
