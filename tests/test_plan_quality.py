@@ -661,3 +661,26 @@ def test_substring_spans_plan_shape(spark):
     docs = load_table(spark, SF_CORRECT, "documents")
     analyzed = substring_dup_spans(docs)._jdf.queryExecution().analyzed().toString()
     assert not _non_cap_broadcast_hints(analyzed)
+
+
+def test_intradoc_spans_plan_shape(spark):
+    # same contract as the cross-document sibling: the posting list is
+    # checkpointed (the per-(doc, gram) cap's two passes must not re-run
+    # the split/gram derivation — final plan reads no parquet), the
+    # anchor self-join shuffles on (doc, gram) rather than broadcasting
+    # the O(corpus) posting frame, and the run-merge window sorts within
+    # hash partitions only
+    plan = _explain(QUERIES["intradoc_repeat_spans"](spark, SF_CORRECT))
+    assert plan.count("Location: InMemoryFileIndex") == 0, plan
+    assert "Scan ExistingRDD" in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    from etl_gamma_spark.operators.dedup import intradoc_repeat_spans
+    from etl_gamma_spark.io import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    analyzed = (
+        intradoc_repeat_spans(docs)._jdf.queryExecution().analyzed().toString()
+    )
+    assert not _non_cap_broadcast_hints(analyzed)

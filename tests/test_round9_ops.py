@@ -344,3 +344,95 @@ def test_intradoc_strip_removes_only_later_copies(spark):
     out = strip_intradoc_repeats(_docs(spark, rows), k=3).collect()[0]
     assert out.text_clean == "x y z q w"
     assert (out.n_tokens, out.n_kept) == (8, 5)
+
+
+def _python_intradoc_spans(texts_by_id, k, max_rep):
+    """Naive reference: per document, hash every k-gram, drop grams with
+    more than max_rep in-document occurrences, pair later-vs-earlier
+    positions, merge diagonal runs."""
+    from collections import defaultdict
+
+    spans = set()
+    for did, text in texts_by_id.items():
+        w = text.split(" ")
+        occ = defaultdict(list)
+        for p in range(len(w) - k + 1):
+            occ[" ".join(w[p:p + k])].append(p)
+        matches = defaultdict(set)  # diag -> {pa}
+        for locs in occ.values():
+            if len(locs) > max_rep:
+                continue
+            for pa in locs:
+                for pb in locs:
+                    if pa > pb:
+                        matches[pa - pb].add(pa)
+        for diag, pas in matches.items():
+            run = sorted(pas)
+            start = prev = run[0]
+            for p in run[1:] + [None]:
+                if p is not None and p == prev + 1:
+                    prev = p
+                    continue
+                spans.add((did, start + 1, start + 1 - diag, prev - start + k))
+                if p is not None:
+                    start = prev = p
+    return spans
+
+
+def _python_intradoc_strip(texts_by_id, k, max_rep):
+    from collections import defaultdict
+
+    cov = defaultdict(set)
+    for did, rep_start, _first, n in _python_intradoc_spans(
+        texts_by_id, k, max_rep
+    ):
+        cov[did].update(range(rep_start, rep_start + n))  # 1-based
+    out = {}
+    for did, text in texts_by_id.items():
+        w = text.split(" ")
+        kept = [word for i, word in enumerate(w) if (i + 1) not in cov[did]]
+        out[did] = (len(w), len(kept), " ".join(kept))
+    return out
+
+
+def test_intradoc_spans_fuzz_vs_python_reference(spark):
+    """Seeded random corpus from a tiny alphabet (dense accidental
+    repeats) with explicit self-splices — Spark spans and strip must
+    equal the naive Python reference exactly, including the per-(doc,
+    gram) cap."""
+    import random
+
+    from etl_gamma_spark.operators.dedup import (
+        intradoc_repeat_spans,
+        strip_intradoc_repeats,
+    )
+
+    rng = random.Random(0xD0C5EED)
+    alphabet = [f"t{i}" for i in range(6)]
+    texts = {}
+    for did in range(35):
+        n = rng.randint(1, 25)
+        words = [rng.choice(alphabet) for _ in range(n)]
+        if did % 4 == 0 and len(words) >= 4:
+            # splice a verbatim copy of a segment back into the same doc
+            s = rng.randrange(len(words) - 3)
+            ln = rng.randint(4, len(words) - s)
+            at = rng.randint(0, len(words))
+            words[at:at] = words[s:s + ln]
+        texts[did] = " ".join(words)
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    for k, max_rep in ((3, 4), (4, 50)):
+        got = {
+            (r.doc_id, r.rep_start, r.first_start, r.n_tokens)
+            for r in intradoc_repeat_spans(df, k=k, max_rep=max_rep).collect()
+        }
+        want = _python_intradoc_spans(texts, k, max_rep)
+        assert got == want, f"k={k} max_rep={max_rep}"
+        assert want  # the corpus must actually exercise the machinery
+
+    got_strip = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.text_clean)
+        for r in strip_intradoc_repeats(df, k=3, max_rep=50).collect()
+    }
+    assert got_strip == _python_intradoc_strip(texts, 3, 50)

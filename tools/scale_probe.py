@@ -136,6 +136,13 @@ PROBE_QUERIES = [
     "decontaminate_corpus",
     "substring_index_maintain",
     "semdedup_persisted",
+    # intra-document repeats: replication multiplies DOCUMENTS, not
+    # within-doc repetition (each copy carries the same internal repeats,
+    # and the per-copy suffix token adds none), so spans and strip work
+    # should both grow ~linearly — the posting self-join never crosses
+    # documents
+    "intradoc_repeat_spans",
+    "intradoc_repeat_strip",
 ]
 
 
