@@ -451,6 +451,29 @@ def test_ivf_persisted_probe_prunes_partitions(spark, tmp_path):
     assert got == want
 
 
+def test_centroid_assignment_is_reducible_argmin(spark):
+    """_assign_to (round-9 rewrite): the |emb| x K scored frame must
+    collapse via a PARTIAL min(struct) aggregate before any exchange —
+    never a row_number window, which would shuffle every candidate row
+    (with its 64-double vector) into per-vector sort partitions."""
+    from etl_gamma_spark.io import load_table
+    from etl_gamma_spark.operators.similarity import _assign_to, seed_centroids
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    # materialize the 16-row seed frame so the explained plan is the
+    # assignment alone (seed selection has its own bounded top-k window)
+    cents = seed_centroids(emb, 16).localCheckpoint()
+    frame = _assign_to(
+        emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+        cents,
+        64,
+        "vec_id",
+    )
+    plan = _explain(frame)
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan  # map-side combine proven
+
+
 def test_bm25_plan_shape(spark):
     """BM25 (round 6): non-query tokens dropped before the tf aggregate,
     stats/idf attach via broadcast hash joins (never BNLJ), scans pruned
