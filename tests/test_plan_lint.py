@@ -1,14 +1,17 @@
 """Global plan lint: EVERY registered query's physical plan is screened
 for the scale-killer operator classes, not just the hand-picked plans in
 test_plan_quality.py — so a future query can't quietly ship a cartesian
-product, a BroadcastNestedLoopJoin, a row-at-a-time Python eval, or a
-global sort that only shows up at 100x the fixture size.
+product, a BroadcastNestedLoopJoin, a row-at-a-time Python eval, a
+global sort, or an unpartitioned window that only shows up at 100x the
+fixture size.
 
 Side-effectful carriers (streaming runs, sink writes, JDBC round-trips)
 are excluded: calling them executes the side effect, and their plan
 posture is covered by their own tests. The exclusion list is explicit so
 a NEW side-effectful query must be added here consciously.
 """
+
+import re
 
 import pytest
 
@@ -71,8 +74,51 @@ BNLJ_OK = {
 }
 
 
+# Unpartitioned windows (WindowExec over a SinglePartition child) move
+# EVERYTHING into one task — the round-9 _assign_to finding's cousin.
+# Each allowlisted query's windowed frame is bounded by construction:
+#   embedding_ivf_topk        seed_centroids relabels a LIMIT-K frame
+#                             (<= n_centroids rows)
+#   new_users_daily           cumulative sum over the post-agg daily
+#                             frame (<= #distinct days)
+#   client_revenue_pct_rank   percent_rank over the per-client aggregate
+#   client_revenue_quartiles  ntile(4) over the same dim-scale frame
+#                             (global total order IS the semantics)
+#   rrf_fusion                rank windows over the two top-n_each
+#                             (20-row) lists; the lit(0) partition is
+#                             constant-folded out of the optimized plan
+UNPARTITIONED_WINDOW_OK = {
+    "embedding_ivf_topk",
+    "new_users_daily",
+    "client_revenue_pct_rank",
+    "client_revenue_quartiles",
+    "rrf_fusion",
+}
+
+
+def _unpartitioned_windows(logical_plan: str) -> list[str]:
+    """Window nodes whose windowspecdefinition has ONLY order columns
+    (every pre-frame argument carries a sort direction): the optimized
+    logical plan prints partition columns as bare expressions before the
+    ordered ones, so zero direction-less arguments == no partitioning."""
+    bad = []
+    for line in logical_plan.splitlines():
+        s = line.strip().lstrip("+-: ").strip()
+        if not s.startswith("Window ["):
+            continue
+        for spec in re.findall(
+            r"windowspecdefinition\((.*?)specifiedwindowframe", s
+        ):
+            args = [a.strip() for a in spec.rstrip(", ").split(", ") if a.strip()]
+            if not any(
+                "ASC NULLS" not in a and "DESC NULLS" not in a for a in args
+            ):
+                bad.append(s[:100])
+    return bad
+
+
 def test_lint_side_effect_exclusions_are_registered():
-    missing = SIDE_EFFECTFUL - set(QUERIES)
+    missing = (SIDE_EFFECTFUL | UNPARTITIONED_WINDOW_OK) - set(QUERIES)
     assert not missing, f"stale exclusion entries: {missing}"
 
 
@@ -80,7 +126,8 @@ def test_lint_side_effect_exclusions_are_registered():
     "name", [n for n in QUERIES if n not in SIDE_EFFECTFUL]
 )
 def test_plan_has_no_scale_killers(spark, name):
-    plan = _explain(QUERIES[name](spark, SF_CORRECT))
+    df = QUERIES[name](spark, SF_CORRECT)
+    plan = _explain(df)
     issues = []
     if "CartesianProduct" in plan:
         issues.append("CartesianProduct")
@@ -92,4 +139,10 @@ def test_plan_has_no_scale_killers(spark, name):
         issues.append("BatchEvalPython")
     if name not in GLOBAL_SORT_OK and "Exchange rangepartitioning" in plan:
         issues.append("global range-partition sort")
+    if name not in UNPARTITIONED_WINDOW_OK:
+        unpart = _unpartitioned_windows(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+        if unpart:
+            issues.append(f"unpartitioned window: {unpart[0]}")
     assert not issues, f"{name}: {issues}\n{plan}"
