@@ -1060,6 +1060,14 @@ def strip_intradoc_repeats(
     Output: (doc_id, n_tokens, n_kept, text_clean) — one row per input
     document; repeat-free documents pass through untouched.
 
+    ONE-PASS contract (same as the cross-document pruner and Lee et
+    al.'s ExactSubstr strip): removing a span makes its neighbors
+    adjacent, and the new adjacency can itself form a >= k-token repeat
+    of earlier text — measured on the fuzz corpus, a second pass finds
+    a handful of new (always shorter-boundary) spans. Callers needing a
+    repeat-FREE guarantee iterate to fixpoint; one pass removes the
+    detected repeated mass, which is the curation use case.
+
     Scale posture: the covered-position explode is bounded by each
     document's repeated-token mass (the mass removed); the rebuild is
     the shared :func:`_reassemble_uncovered` doc-keyed aggregate.
