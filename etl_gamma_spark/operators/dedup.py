@@ -585,6 +585,146 @@ def chunk_dedup(
     )
 
 
+def content_defined_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 4,
+    mask_mod: int = 8,
+) -> DataFrame:
+    """Content-defined chunk boundaries (the gear/Rabin cut idea behind
+    rsync, restic, and FastCDC, applied at token granularity): a new
+    chunk starts wherever the ``w``-token gram hash hits the cut mask
+    (``hexint(gram) % mask_mod == 0``; expected chunk length is
+    ``mask_mod`` tokens), plus a forced boundary at position 1. Because
+    boundaries depend only on LOCAL content, inserting or deleting a
+    token re-chunks the document only up to the next surviving cut —
+    every later chunk is byte-identical again. Fixed-width chunking
+    (:func:`chunk_dedup`'s splitter) loses ALL downstream alignment on
+    a one-token shift; this is the shift-robust alternative.
+
+    Output: (doc_id, chunk_id, chunk_start, chunk_text), ``chunk_id``
+    dense from 1 per document, ``chunk_start`` the 1-based token
+    position of the chunk's first token.
+
+    Scale posture: the cut scan is one posexplode + md5 projection per
+    gram (codegen, never a per-element lambda), the boundary flags join
+    token rows on (doc, position), and the running-sum window that
+    assigns chunk ids partitions by document — bounded by document
+    length, never corpus size.
+    """
+    base = (
+        spread(docs)
+        .selectExpr(id_col, f"{T.split_ws(text_col, S)} AS __w")
+        .localCheckpoint()
+    )
+    grams = base.selectExpr(
+        id_col, f"posexplode({T.word_ngrams('__w', S, w)}) AS (gpos0, gram)"
+    )
+    cuts = (
+        grams.filter(F.col("gpos0") > 0)
+        .selectExpr(
+            id_col,
+            "gpos0 + 1 AS wpos1",
+            f"({T.hexint('gram', S)} % {mask_mod}) = 0 AS __cut",
+        )
+        .filter("__cut")
+        .select(id_col, "wpos1")
+    )
+    toks = base.selectExpr(
+        id_col, "posexplode(__w) AS (wpos0, word)"
+    ).selectExpr(id_col, "wpos0 + 1 AS wpos1", "word")
+    flagged = toks.join(
+        cuts.withColumn("__b", F.lit(1)), [id_col, "wpos1"], "left"
+    ).selectExpr(
+        id_col,
+        "wpos1",
+        "word",
+        "CASE WHEN wpos1 = 1 OR __b IS NOT NULL THEN 1 ELSE 0 END AS flag",
+    )
+    from pyspark.sql.window import Window
+
+    wdoc = Window.partitionBy(id_col).orderBy("wpos1")
+    return (
+        flagged.withColumn("cid", F.sum("flag").over(wdoc))
+        .groupBy(id_col, "cid")
+        .agg(
+            F.min("wpos1").alias("chunk_start"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(wpos1, word))), x -> x.word), ' ')"
+            ).alias("chunk_text"),
+        )
+        .select(
+            id_col,
+            F.col("cid").cast("bigint").alias("chunk_id"),
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            "chunk_text",
+        )
+    )
+
+
+def content_chunk_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 4,
+    mask_mod: int = 8,
+) -> DataFrame:
+    """Corpus-wide keep-first dedup over :func:`content_defined_chunks`
+    — the shift-robust sibling of :func:`chunk_dedup`: a boilerplate
+    passage is removed from later documents even when surrounding
+    insertions shift its token offset, because content-defined
+    boundaries re-align on the next cut. Keep-first is the reducible
+    ``min(struct(doc_id, chunk_start))`` aggregate (chunk_dedup's
+    keeper rule — a corpus-wide hot chunk pre-combines map-side).
+
+    Output: (doc_id, n_chunks, n_kept, text_clean) — one row per input
+    document, matching :func:`chunk_dedup`'s contract.
+    """
+    chunks = content_defined_chunks(
+        docs, text_col, id_col, w, mask_mod
+    ).localCheckpoint()
+    kept = (
+        chunks.groupBy("chunk_text")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("kid"),
+                    F.col("chunk_start").alias("kpos"),
+                )
+            ).alias("__k")
+        )
+        .select(
+            F.col("__k.kid").alias(id_col),
+            F.col("__k.kpos").alias("chunk_start"),
+            "chunk_text",
+        )
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(chunk_start, chunk_text))), x -> x.chunk_text), ' ')"
+        ).alias("text_clean"),
+    )
+    nc = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    return (
+        spread(docs)
+        .select(id_col)
+        .join(nc, id_col, "left")
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 def kgram_postings(
     docs: DataFrame,
     text_col: str = "text",

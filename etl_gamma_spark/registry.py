@@ -3200,6 +3200,72 @@ def q_chunk_dedup(spark, sf_dir):
     return DD.chunk_dedup(spark.table("documents"))
 
 
+def _content_chunk_dedup_sql(d: str, w: int = 4, mask_mod: int = 8) -> str:
+    """Oracle for operators/dedup.py::content_chunk_dedup: gram-hash cut
+    positions (hexint % mask_mod == 0, position 1 forced), running-sum
+    chunk ids, keep-first by (doc_id, chunk_start) per chunk text, then
+    the chunk_dedup reassembly/totals shape."""
+    return f"""
+WITH w AS (
+    SELECT doc_id, {T.split_ws('text', d)} AS __w FROM documents
+),
+gr AS (
+    SELECT doc_id, {T.word_ngrams('__w', d, w)} AS __g FROM w
+),
+g0 AS (
+    SELECT doc_id, unnest(range(0, len(__g))) AS gpos0, unnest(__g) AS gram
+    FROM gr
+),
+cuts AS (
+    SELECT doc_id, gpos0 + 1 AS wpos1 FROM g0
+    WHERE gpos0 > 0 AND ({T.hexint('gram', d)} % {mask_mod}) = 0
+),
+wp AS (
+    SELECT doc_id, unnest(range(0, len(__w))) AS wpos0, unnest(__w) AS word
+    FROM w
+),
+tok AS (
+    SELECT wp.doc_id, wp.wpos0 + 1 AS wpos1, wp.word,
+           CASE WHEN wp.wpos0 = 0 OR c.wpos1 IS NOT NULL THEN 1 ELSE 0 END AS flag
+    FROM wp LEFT JOIN cuts c
+      ON c.doc_id = wp.doc_id AND c.wpos1 = wp.wpos0 + 1
+),
+asg AS (
+    SELECT doc_id, wpos1, word,
+           SUM(flag) OVER (PARTITION BY doc_id ORDER BY wpos1) AS cid
+    FROM tok
+),
+ch AS (
+    SELECT doc_id, cid, MIN(wpos1) AS chunk_start,
+           string_agg(word, ' ' ORDER BY wpos1) AS chunk_text
+    FROM asg GROUP BY 1, 2
+),
+firsts AS (
+    SELECT doc_id, chunk_start, chunk_text,
+           row_number() OVER (
+               PARTITION BY chunk_text ORDER BY doc_id, chunk_start) AS rn
+    FROM ch
+),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(chunk_text, ' ' ORDER BY chunk_start) AS text_clean
+    FROM firsts WHERE rn = 1 GROUP BY doc_id
+),
+nc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM ch GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(coalesce(nc.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(agg.text_clean, '') AS text_clean
+FROM w LEFT JOIN nc USING (doc_id) LEFT JOIN agg USING (doc_id)
+"""
+
+
+@query("content_chunk_dedup", _content_chunk_dedup_sql(_D))
+def q_content_chunk_dedup(spark, sf_dir):
+    return DD.content_chunk_dedup(spark.table("documents"))
+
+
 def _substring_spans_ctes(d: str, k: int, max_df: int) -> str:
     """Shared CTE chain ending in ``spans`` — the oracle restatement of
     operators/dedup.py::substring_dup_spans (anchored k-gram posting
@@ -7080,7 +7146,13 @@ def q_dsir_weights(spark, sf_dir):
 #   substring_dedup           banked green r8; the span CTEs and the
 #                             strip/reassembly tail both stay graded via
 #                             decontaminate_corpus (same shared SQL)
+# content_chunk_dedup enters ungraded on registration (oracle-checked in
+# tests/test_oracle_parity.py; rotate in later): shift-robust
+# (content-defined boundary) sibling of chunk_dedup — same keep-first
+# aggregate + reassembly family; the boundary machinery is unit-tested
+# for shift robustness in test_round9_ops.py.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "content_chunk_dedup",
     "streaming_monthly_rollup",
     "neardup_clusters",
     "quality_classifier_score",

@@ -436,3 +436,57 @@ def test_intradoc_spans_fuzz_vs_python_reference(spark):
         for r in strip_intradoc_repeats(df, k=3, max_rep=50).collect()
     }
     assert got_strip == _python_intradoc_strip(texts, 3, 50)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (gear/Rabin cut) + shift-robust chunk dedup
+# ---------------------------------------------------------------------------
+
+
+def test_content_chunks_partition_each_document_exactly(spark):
+    """Chunks concatenated in chunk_start order must reproduce every
+    document's token stream — boundaries partition, never drop or
+    duplicate."""
+    from pyspark.sql import functions as F
+
+    from etl_gamma_spark.operators.dedup import content_defined_chunks
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    chunks = content_defined_chunks(docs)
+    rebuilt = {
+        r.doc_id: r.txt
+        for r in chunks.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(chunk_start, chunk_text))), x -> x.chunk_text), ' ')"
+            ).alias("txt")
+        )
+        .collect()
+    }
+    want = {
+        r.doc_id: " ".join(r.text.split())
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert rebuilt == want
+
+
+def test_content_chunk_dedup_is_shift_robust(spark):
+    """The reason this operator exists: one token prepended to a copy
+    re-chunks only up to the first surviving cut, so the copy's later
+    chunks still dedup — where fixed-width chunking loses ALL alignment
+    and removes nothing."""
+    from etl_gamma_spark.operators.dedup import chunk_dedup, content_chunk_dedup
+
+    words = " ".join(f"w{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, words), (2, "zzz " + words)], "doc_id long, text string"
+    )
+    cdc = {r.doc_id: r for r in content_chunk_dedup(df).collect()}
+    assert cdc[1].n_kept == cdc[1].n_chunks  # first doc untouched
+    assert cdc[2].n_kept < cdc[2].n_chunks   # shifted copy still dedups
+    # the shifted copy keeps its unique prefix, loses the realigned tail
+    assert cdc[2].text_clean.startswith("zzz")
+
+    fixed = {r.doc_id: r for r in chunk_dedup(df).collect()}
+    assert fixed[2].n_kept == fixed[2].n_chunks  # fixed windows: no match
