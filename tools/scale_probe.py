@@ -143,6 +143,10 @@ PROBE_QUERIES = [
     # documents
     "intradoc_repeat_spans",
     "intradoc_repeat_strip",
+    # content-defined chunk dedup: replica copies are near-duplicates
+    # whose shared chunks all collapse onto the base copy — removed mass
+    # grows with the duplicate mass while the cut scan stays linear
+    "content_chunk_dedup",
 ]
 
 
