@@ -490,3 +490,78 @@ def test_content_chunk_dedup_is_shift_robust(spark):
 
     fixed = {r.doc_id: r for r in chunk_dedup(df).collect()}
     assert fixed[2].n_kept == fixed[2].n_chunks  # fixed windows: no match
+
+
+def _python_content_chunk_dedup(texts_by_id, w=4, mask_mod=8):
+    """Naive reference: md5-based gear cuts, running chunk ids, corpus
+    keep-first by (doc_id, chunk_start) per chunk text, reassembly."""
+    import hashlib
+
+    def hexint(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    chunks = {}  # (doc, start1) -> text, in doc order
+    per_doc = {}
+    for did in sorted(texts_by_id):
+        words = texts_by_id[did].split(" ")
+        cut = {1}
+        for p in range(1, len(words) - w + 1):  # gram start pos0 p > 0
+            if hexint(" ".join(words[p:p + w])) % mask_mod == 0:
+                cut.add(p + 1)
+        doc_chunks = []
+        cur, start = [], 1
+        for i, word in enumerate(words):
+            if i + 1 in cut and cur:
+                doc_chunks.append((start, " ".join(cur)))
+                cur, start = [], i + 1
+            cur.append(word)
+        if cur:
+            doc_chunks.append((start, " ".join(cur)))
+        per_doc[did] = doc_chunks
+    seen = {}
+    for did in sorted(per_doc):
+        for start, text in per_doc[did]:
+            key = text
+            if key not in seen or (did, start) < seen[key]:
+                seen[key] = (did, start)
+    out = {}
+    for did in sorted(per_doc):
+        kept = [(s, t) for s, t in per_doc[did] if seen[t] == (did, s)]
+        out[did] = (
+            len(per_doc[did]),
+            len(kept),
+            " ".join(t for _, t in sorted(kept)),
+        )
+    return out
+
+
+def test_content_chunk_dedup_fuzz_vs_python_reference(spark):
+    """Seeded tiny-alphabet corpus with verbatim cross-document splices —
+    the engine must equal the naive reference exactly (cut positions,
+    keep-first winners, reassembly)."""
+    import random
+
+    from etl_gamma_spark.operators.dedup import content_chunk_dedup
+
+    rng = random.Random(0xC0FFEE)
+    alphabet = [f"t{i}" for i in range(8)]
+    texts = {}
+    for did in range(40):
+        n = rng.randint(1, 40)
+        words = [rng.choice(alphabet) for _ in range(n)]
+        if did % 5 == 0 and did > 0:
+            src = texts[rng.randrange(did)].split(" ")
+            if len(src) >= 6:
+                s = rng.randrange(len(src) - 5)
+                ln = rng.randint(6, len(src) - s)
+                at = rng.randint(0, len(words))
+                words[at:at] = src[s:s + ln]
+        texts[did] = " ".join(words)
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.text_clean)
+        for r in content_chunk_dedup(df).collect()
+    }
+    want = _python_content_chunk_dedup(texts)
+    assert got == want
+    assert any(k < c for c, k, _ in want.values())  # dedup actually fired
