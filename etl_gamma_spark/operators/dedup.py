@@ -725,6 +725,107 @@ def content_chunk_dedup(
     )
 
 
+def chunk_fingerprint_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 4,
+    mask_mod: int = 8,
+) -> DataFrame:
+    """(fh, kid, kpos): one md5 fingerprint per DISTINCT content-defined
+    chunk corpus-wide, carrying its keep-first owner — the persistable
+    chunk index behind :func:`incremental_chunk_dedup`. md5, not
+    xxhash64: a probe drops batch chunks on fingerprint equality alone
+    (no exact verify rejects collisions), so the key must be
+    collision-free in practice — the kgram_postings rule.
+
+    Maintenance mirrors the substring/minhash indexes without needing
+    their bucketed-append machinery: the daily flow is probe → accept →
+    append the ACCEPTED batch's kept rows (exactly the probe's
+    survivors — already novel by construction, so a plain append
+    preserves the keep-first invariant and costs O(batch))."""
+    chunks = content_defined_chunks(docs, text_col, id_col, w, mask_mod)
+    return (
+        chunks.selectExpr(
+            "md5(chunk_text) AS fh", f"{id_col} AS kid", "chunk_start AS kpos"
+        )
+        .groupBy("fh")
+        .agg(F.min(F.struct("kid", "kpos")).alias("__k"))
+        .select("fh", F.col("__k.kid").alias("kid"), F.col("__k.kpos").alias("kpos"))
+    )
+
+
+def incremental_chunk_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 4,
+    mask_mod: int = 8,
+) -> DataFrame:
+    """Ingest-time content-defined chunk dedup against a persisted
+    corpus index (:func:`chunk_fingerprint_index` — live or read back
+    from parquet): a batch chunk is dropped if its fingerprint exists in
+    the index, then keep-first applies WITHIN the batch (min(struct) by
+    (doc_id, chunk_start)); the indexed corpus is never re-chunked —
+    the chunk-granularity sibling of :func:`incremental_substring_spans`
+    and :func:`incremental_neardup_pairs`.
+
+    Output: (doc_id, n_chunks, n_kept, text_clean) — one row per batch
+    document, the :func:`content_chunk_dedup` contract.
+
+    Scale posture: one anti-join keyed on the 32-hex fingerprint (index
+    side reduced to one row per distinct chunk), one keep-first
+    aggregate, one doc-keyed reassembly — all map-side-combinable, no
+    window over corpus-scale keys.
+    """
+    chunks = content_defined_chunks(
+        new_docs, text_col, id_col, w, mask_mod
+    ).localCheckpoint()
+    fresh = chunks.withColumn("fh", F.expr("md5(chunk_text)")).join(
+        index.select("fh"), "fh", "left_anti"
+    )
+    kept = (
+        fresh.groupBy("fh")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("kid"),
+                    F.col("chunk_start").alias("kpos"),
+                )
+            ).alias("__k"),
+            F.first("chunk_text").alias("chunk_text"),
+        )
+        .select(
+            F.col("__k.kid").alias(id_col),
+            F.col("__k.kpos").alias("chunk_start"),
+            "chunk_text",
+        )
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(chunk_start, chunk_text))), x -> x.chunk_text), ' ')"
+        ).alias("text_clean"),
+    )
+    nc = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    return (
+        spread(new_docs)
+        .select(id_col)
+        .join(nc, id_col, "left")
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 def kgram_postings(
     docs: DataFrame,
     text_col: str = "text",

@@ -3200,13 +3200,13 @@ def q_chunk_dedup(spark, sf_dir):
     return DD.chunk_dedup(spark.table("documents"))
 
 
-def _content_chunk_dedup_sql(d: str, w: int = 4, mask_mod: int = 8) -> str:
-    """Oracle for operators/dedup.py::content_chunk_dedup: gram-hash cut
-    positions (hexint % mask_mod == 0, position 1 forced), running-sum
-    chunk ids, keep-first by (doc_id, chunk_start) per chunk text, then
-    the chunk_dedup reassembly/totals shape."""
-    return f"""
-WITH w AS (
+def _content_chunk_ctes(d: str, w: int, mask_mod: int) -> str:
+    """Shared CTE chain ending in ``ch`` (one row per content-defined
+    chunk: doc_id, cid, chunk_start, chunk_text) — the oracle
+    restatement of operators/dedup.py::content_defined_chunks. Reused
+    verbatim by the content_chunk_dedup and incremental_chunk_dedup
+    oracles so the boundary semantics stay one definition."""
+    return f"""w AS (
     SELECT doc_id, {T.split_ws('text', d)} AS __w FROM documents
 ),
 gr AS (
@@ -3239,7 +3239,16 @@ ch AS (
     SELECT doc_id, cid, MIN(wpos1) AS chunk_start,
            string_agg(word, ' ' ORDER BY wpos1) AS chunk_text
     FROM asg GROUP BY 1, 2
-),
+)"""
+
+
+def _content_chunk_dedup_sql(d: str, w: int = 4, mask_mod: int = 8) -> str:
+    """Oracle for operators/dedup.py::content_chunk_dedup: gram-hash cut
+    positions (hexint % mask_mod == 0, position 1 forced), running-sum
+    chunk ids, keep-first by (doc_id, chunk_start) per chunk text, then
+    the chunk_dedup reassembly/totals shape."""
+    return f"""
+WITH {_content_chunk_ctes(d, w, mask_mod)},
 firsts AS (
     SELECT doc_id, chunk_start, chunk_text,
            row_number() OVER (
@@ -3264,6 +3273,60 @@ FROM w LEFT JOIN nc USING (doc_id) LEFT JOIN agg USING (doc_id)
 @query("content_chunk_dedup", _content_chunk_dedup_sql(_D))
 def q_content_chunk_dedup(spark, sf_dir):
     return DD.content_chunk_dedup(spark.table("documents"))
+
+
+def _incr_chunk_dedup_sql(
+    d: str, w: int = 4, mask_mod: int = 8, batch_mod: int = 17
+) -> str:
+    """Oracle for operators/dedup.py::incremental_chunk_dedup with the
+    carrier's batch/index split (doc_id % batch_mod == 0 is the new
+    batch; the rest is the indexed corpus): a batch chunk survives iff
+    its fingerprint is absent from the index AND it is the keep-first
+    occurrence within the batch."""
+    return f"""
+WITH {_content_chunk_ctes(d, w, mask_mod)},
+bidx AS (
+    SELECT DISTINCT md5(chunk_text) AS fh FROM ch
+    WHERE doc_id % {batch_mod} <> 0
+),
+bch AS (
+    SELECT doc_id, chunk_start, chunk_text, md5(chunk_text) AS fh FROM ch
+    WHERE doc_id % {batch_mod} = 0
+),
+fresh AS (
+    SELECT b.* FROM bch b
+    WHERE NOT EXISTS (SELECT 1 FROM bidx i WHERE i.fh = b.fh)
+),
+firsts AS (
+    SELECT doc_id, chunk_start, chunk_text,
+           row_number() OVER (
+               PARTITION BY fh ORDER BY doc_id, chunk_start) AS rn
+    FROM fresh
+),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(chunk_text, ' ' ORDER BY chunk_start) AS text_clean
+    FROM firsts WHERE rn = 1 GROUP BY doc_id
+),
+nc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM ch
+    WHERE doc_id % {batch_mod} = 0 GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(coalesce(nc.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(agg.text_clean, '') AS text_clean
+FROM w LEFT JOIN nc USING (doc_id) LEFT JOIN agg USING (doc_id)
+WHERE w.doc_id % {batch_mod} = 0
+"""
+
+
+@query("incremental_chunk_dedup", _incr_chunk_dedup_sql(_D))
+def q_incremental_chunk_dedup(spark, sf_dir):
+    from .operators.dedup import chunk_fingerprint_index
+
+    docs = spark.table("documents")
+    index = chunk_fingerprint_index(docs.filter("doc_id % 17 <> 0"))
+    return DD.incremental_chunk_dedup(docs.filter("doc_id % 17 = 0"), index)
 
 
 def _substring_spans_ctes(d: str, k: int, max_df: int) -> str:
@@ -7151,7 +7214,13 @@ def q_dsir_weights(spark, sf_dir):
 # (content-defined boundary) sibling of chunk_dedup — same keep-first
 # aggregate + reassembly family; the boundary machinery is unit-tested
 # for shift robustness in test_round9_ops.py.
+# incremental_chunk_dedup enters ungraded on registration: the
+# chunk-granularity sibling of graded incremental_substring_spans
+# (ingest-vs-persisted-index family); fingerprint anti-join + the
+# content_chunk_dedup keep-first/reassembly shape; persisted round-trip
+# unit-tested in test_round9_ops.py.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "incremental_chunk_dedup",
     "content_chunk_dedup",
     "streaming_monthly_rollup",
     "neardup_clusters",

@@ -565,3 +565,42 @@ def test_content_chunk_dedup_fuzz_vs_python_reference(spark):
     want = _python_content_chunk_dedup(texts)
     assert got == want
     assert any(k < c for c, k, _ in want.values())  # dedup actually fired
+
+
+def test_incremental_chunk_dedup_daily_ingest_loop(spark, tmp_path):
+    """The chunk-index maintenance story: probing a stored fingerprint
+    index equals probing a live one, and after appending an accepted
+    batch's NOVEL fingerprints (the documented O(batch) append — probe
+    survivors are novel by construction) the next day's probe equals a
+    full index rebuild."""
+    from etl_gamma_spark.operators.dedup import (
+        chunk_fingerprint_index,
+        incremental_chunk_dedup,
+    )
+    from etl_gamma_spark.sources.sink import write_full_refresh
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    day0, day1, day2 = [docs.filter(f"doc_id % 3 = {i}") for i in range(3)]
+    path = str(tmp_path / "chunk_index")
+    write_full_refresh(chunk_fingerprint_index(day0), path)
+    stored = lambda: spark.read.parquet(path)  # noqa: E731
+
+    def result(batch, index):
+        return {
+            (r.doc_id, r.n_chunks, r.n_kept, r.text_clean)
+            for r in incremental_chunk_dedup(batch, index).collect()
+        }
+
+    got1 = result(day1, stored())
+    want1 = result(day1, chunk_fingerprint_index(day0))
+    assert got1 == want1
+    assert any(k < c for _, c, k, _ in got1)  # batch chunks hit the index
+
+    novel = chunk_fingerprint_index(day1).join(
+        stored().select("fh"), "fh", "left_anti"
+    )
+    novel.write.mode("append").parquet(path)
+
+    got2 = result(day2, stored())
+    want2 = result(day2, chunk_fingerprint_index(day0.unionByName(day1)))
+    assert got2 == want2
