@@ -147,6 +147,9 @@ PROBE_QUERIES = [
     # whose shared chunks all collapse onto the base copy — removed mass
     # grows with the duplicate mass while the cut scan stays linear
     "content_chunk_dedup",
+    # ingest path: batch is a fixed 1/17 slice anti-joined on chunk
+    # fingerprints against the 10x corpus index
+    "incremental_chunk_dedup",
 ]
 
 
