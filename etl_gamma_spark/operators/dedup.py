@@ -677,7 +677,12 @@ def content_chunk_dedup(
     insertions shift its token offset, because content-defined
     boundaries re-align on the next cut. Keep-first is the reducible
     ``min(struct(doc_id, chunk_start))`` aggregate (chunk_dedup's
-    keeper rule — a corpus-wide hot chunk pre-combines map-side).
+    keeper rule — a corpus-wide hot chunk pre-combines map-side),
+    keyed on the 32-hex md5 fingerprint rather than the raw chunk text
+    so the exchange carries 32-byte keys instead of whole chunks — the
+    same key :func:`incremental_chunk_dedup` already dedups on (md5,
+    not xxhash64: nothing downstream rejects collisions — the
+    kgram_postings rule).
 
     Output: (doc_id, n_chunks, n_kept, text_clean) — one row per input
     document, matching :func:`chunk_dedup`'s contract.
@@ -686,14 +691,16 @@ def content_chunk_dedup(
         docs, text_col, id_col, w, mask_mod
     ).localCheckpoint()
     kept = (
-        chunks.groupBy("chunk_text")
+        chunks.withColumn("fh", F.expr("md5(chunk_text)"))
+        .groupBy("fh")
         .agg(
             F.min(
                 F.struct(
                     F.col(id_col).alias("kid"),
                     F.col("chunk_start").alias("kpos"),
                 )
-            ).alias("__k")
+            ).alias("__k"),
+            F.first("chunk_text").alias("chunk_text"),
         )
         .select(
             F.col("__k.kid").alias(id_col),
@@ -743,7 +750,16 @@ def chunk_fingerprint_index(
     their bucketed-append machinery: the daily flow is probe → accept →
     append the ACCEPTED batch's kept rows (exactly the probe's
     survivors — already novel by construction, so a plain append
-    preserves the keep-first invariant and costs O(batch))."""
+    preserves the keep-first invariant and costs O(batch)). A
+    production append must still be JOB-ATOMIC (ADVICE r9): use
+    ``df.write.mode("append").parquet(path)`` as one Spark job —
+    readers see the old index until the job commits and a failed job
+    leaves only uncommitted temp files (the
+    :func:`append_substring_index` discipline) — never a file-by-file
+    copy; a crash mid-append would otherwise leave a partial index
+    that silently under-dedups later batches. Periodic bin-packing
+    goes through the rename-aside swap
+    (:func:`~etl_gamma_spark.sources.sink.compact_small_files`)."""
     chunks = content_defined_chunks(docs, text_col, id_col, w, mask_mod)
     return (
         chunks.selectExpr(

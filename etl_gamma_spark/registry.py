@@ -3245,14 +3245,16 @@ ch AS (
 def _content_chunk_dedup_sql(d: str, w: int = 4, mask_mod: int = 8) -> str:
     """Oracle for operators/dedup.py::content_chunk_dedup: gram-hash cut
     positions (hexint % mask_mod == 0, position 1 forced), running-sum
-    chunk ids, keep-first by (doc_id, chunk_start) per chunk text, then
-    the chunk_dedup reassembly/totals shape."""
+    chunk ids, keep-first by (doc_id, chunk_start) per md5 chunk
+    fingerprint (the engine's shuffle key — ADVICE r9), then the
+    chunk_dedup reassembly/totals shape."""
     return f"""
 WITH {_content_chunk_ctes(d, w, mask_mod)},
 firsts AS (
     SELECT doc_id, chunk_start, chunk_text,
            row_number() OVER (
-               PARTITION BY chunk_text ORDER BY doc_id, chunk_start) AS rn
+               PARTITION BY md5(chunk_text)
+               ORDER BY doc_id, chunk_start) AS rn
     FROM ch
 ),
 agg AS (
@@ -5594,15 +5596,73 @@ def q_semdedup_prune(spark, sf_dir):
     )
 
 
-@query("semdedup_persisted", _SEMDEDUP_SQL)
+_SEMDEDUP_CELL = 256  # adaptive-K target cell size (the operator default)
+
+
+def _semdedup_adaptive_sql(d: str) -> str:
+    """Adaptive-K variant of the SemDeDup oracle (VERDICT r9 item 6): the
+    quantizer is the first K seed vectors with K = min(4096, max(16,
+    ceil(N / target_cell))) — K computed from COUNT(*) in exact integer
+    arithmetic IDENTICALLY in both engines (non-negative operands, so
+    Spark DIV ≡ DuckDB //), so the assignment stays bit-stable without
+    pinning K: at 100× data the cell population holds ≈ target_cell and
+    the within-cell pairwise stage stays linear in N (the measured 11.8×
+    path) instead of quadratic (the measured 281× fixed-K path)."""
+    d2 = dist2_unrolled("e.v", "c.centroid", 64, d)
+    k_expr = T.idiv(f"COUNT(*) + {_SEMDEDUP_CELL - 1}", str(_SEMDEDUP_CELL), d)
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+kk AS (
+    SELECT LEAST(4096, GREATEST(16, {k_expr})) AS k FROM e
+),
+sr AS (
+    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e
+),
+c AS (
+    SELECT CAST(rn - 1 AS INT) AS centroid_id, v AS centroid
+    FROM sr WHERE rn <= (SELECT k FROM kk)
+),
+assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY {d2}, c.centroid_id
+               ) AS rn
+        FROM e CROSS JOIN c
+    ) WHERE rn = 1
+),
+w AS (
+    SELECT a.vec_id, a.centroid_id, e.v,
+           sqrt(list_dot_product(e.v, e.v)) AS nrm
+    FROM assign a JOIN e USING (vec_id)
+),
+dups AS (
+    SELECT DISTINCT b.vec_id AS vec_id
+    FROM w a JOIN w b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / nullif(a.nrm * b.nrm, 0.0) >= {_SEMDEDUP_TAU}
+)
+SELECT vec_id, centroid_id FROM w
+WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+"""
+
+
+@query("semdedup_persisted", _semdedup_adaptive_sql(_D))
 def q_semdedup_persisted(spark, sf_dir):
-    """The persisted-quantizer SemDeDup path (VERDICT r8 item 3): the
-    coarse quantizer is written once and READ BACK from storage, and the
-    prune runs against the stored table — the documented escape hatch
-    past the adaptive-K 4096 cap (train once offline, reuse per run).
-    Same oracle as semdedup_prune: quantizer reuse must reproduce the
-    seeded quantizer's prune set exactly (same K, same seeds → identical
-    assignment → identical pairs → identical survivors)."""
+    """The persisted-quantizer SemDeDup path (VERDICT r8 item 3), now on
+    the ADAPTIVE-K quantizer (VERDICT r9 item 6): K = ceil(N/256) seed
+    centroids — corpus-derived exactly like semdedup_prune's default, so
+    the carrier rides the linear scale path (measured 11.8× wall at 100×
+    data) instead of the fixed-K quadratic one (measured 281×) — written
+    once, READ BACK from storage, and pruned against the stored table.
+    Bit-stability without pinning K: the seeds are the first K vectors
+    by id and K is exact integer arithmetic over COUNT(*), both restated
+    verbatim in the oracle (at the driver's sf0.01/sf0.1 the floor of 16
+    binds, so the graded answer is unchanged from the pinned-K rounds).
+    Lloyd's train_centroids stays the offline quality upgrade (double
+    averaging is not cross-engine bit-stable; reuse-equivalence is
+    unit-tested in tests/test_round9_ops.py instead)."""
     import shutil as _sh
     import tempfile as _tf
 
@@ -5610,9 +5670,13 @@ def q_semdedup_persisted(spark, sf_dir):
     from .sources.sink import write_full_refresh
 
     emb = spark.table("embeddings")
+    # eager count at plan-construction time: the registry-carrier
+    # convention (same as semdedup_prune's adaptive default)
+    n = emb.count()
+    k = min(4096, max(16, -(-n // _SEMDEDUP_CELL)))
     tmp = _tf.mkdtemp(prefix="etl_gamma_semdedup_q_")
     try:
-        write_full_refresh(seed_centroids(emb, _IVF_K), tmp)
+        write_full_refresh(seed_centroids(emb, k), tmp)
         stored = spark.read.parquet(tmp)
         return semdedup_prune(
             emb, tau=_SEMDEDUP_TAU, centroids=stored
@@ -5958,6 +6022,37 @@ def q_incremental_neardup(spark, sf_dir):
     batch = docs.filter("doc_id % 10 = 0")
     index = DD.minhash_band_index(corpus).localCheckpoint()
     return DD.incremental_neardup_pairs(batch, index)
+
+
+@query("minhash_index_maintain", _incremental_neardup_sql(_D))
+def q_minhash_index_maintain(spark, sf_dir):
+    """The MinHash band-index MAINTENANCE loop, driver-visible end to end
+    (VERDICT r9 item 2, mirroring graded substring_index_maintain): build
+    the persisted band index from half the corpus
+    (dedup.py::write_minhash_index), fold the other half in via the
+    job-atomic append_minhash_index (+ a rename-aside compaction), then
+    probe a batch against the STORED (never re-signed) index. The final
+    index content equals minhash_band_index over the full corpus side,
+    so the oracle is exactly the incremental-neardup SQL — a leaked/lost
+    append or a corrupted compaction changes the pair set."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    docs = spark.table("documents")
+    batch = docs.filter("doc_id % 10 = 0")
+    corpus = docs.filter("doc_id % 10 <> 0")
+    tmp = _tf.mkdtemp(prefix="etl_gamma_minhash_idx_")
+    try:
+        DD.write_minhash_index(corpus.filter(F.col("doc_id") % 2 == 0), tmp)
+        DD.append_minhash_index(
+            corpus.filter(F.col("doc_id") % 2 == 1), tmp, compact_target_mb=64
+        )
+        stored = spark.read.parquet(tmp)
+        return DD.incremental_neardup_pairs(batch, stored).localCheckpoint(
+            eager=True
+        )
+    finally:
+        _sh.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -6368,7 +6463,8 @@ def q_bpe_merges(spark, sf_dir):
 def q_bpe_token_histogram(spark, sf_dir):
     # rows-only BY DESIGN, like bpe_merges: train-then-encode is doubly
     # iterative; correctness is pinned by the pure-Python reference
-    # encoder exact-match test (tests/test_round6_ops.py)
+    # encoder exact-match test (tests/test_round6_ops.py). Encode GIVEN
+    # a fixed merge table IS oracle-expressible — see bpe_encode_fixed.
     from .operators.tokenize import bpe_encode, bpe_train, word_histogram
 
     docs = spark.table("documents")
@@ -6376,6 +6472,113 @@ def q_bpe_token_histogram(spark, sf_dir):
     hist = word_histogram(docs).localCheckpoint()
     merges = bpe_train(docs, n_merges=8, words=hist)
     return bpe_encode(docs, merges, words=hist)
+
+
+# BPE ENCODE with a FIXED merge table (VERDICT r9 item 7): with merges
+# supplied as DATA instead of trained in the loop, the encode fixpoint
+# IS oracle-expressible — a DuckDB recursive CTE over marker-wrapped
+# symbol strings. Each symbol is wrapped chr(2)||sym||chr(3), so the
+# pair (lhs, rhs) exists in a word iff the string ⟨lhs⟩⟨rhs⟩ occurs, and
+# one round of the engine's greedy-left merge fold (_MERGE_FOLD: merge
+# ALL leftmost-nonoverlapping occurrences of the chosen min-rank pair)
+# equals ONE replace() of that pattern: both scan left→right, and a
+# fresh merge can never chain within the round because lhs||rhs != lhs
+# (the marker wrap is what kills cross-boundary false matches, e.g.
+# pair (a,b) inside ['x','aa','b']). The recursion terminates per word
+# when no pattern occurs (the EXISTS guard), exactly bpe_segment_words'
+# anti-join exit; arg_max(s, r) picks each word's final segmentation.
+# The unmarked form (the bpe_merges docstring's counterexample) stays
+# unsound; the wrap is load-bearing. Equivalence vs the pure-Python
+# reference encoder is fuzzed in tests/test_round10_ops.py.
+_BPE_FIXED_MERGES: tuple[tuple[int, str, str], ...] = (
+    (1, "t", "h"),
+    (2, "i", "n"),
+    (3, "a", "n"),
+    (4, "e", "r"),
+    (5, "o", "n"),
+    (6, "th", "e"),
+    (7, "the", "</w>"),
+    (8, "an", "d"),
+    (9, "and", "</w>"),
+    (10, "er", "</w>"),
+    (11, "in", "g"),
+    (12, "ing", "</w>"),
+    (13, "e", "</w>"),
+    (14, "s", "</w>"),
+)
+
+
+def _bpe_encode_fixed_sql(
+    d: str, merges: tuple[tuple[int, str, str], ...] = _BPE_FIXED_MERGES
+) -> str:
+    merge_rows = ",\n        ".join(
+        f"({r}, '{a}', '{b}')" for r, a, b in merges
+    )
+    return f"""
+WITH RECURSIVE
+m AS (
+    SELECT * FROM (VALUES
+        {merge_rows}
+    ) AS t(rank, lhs, rhs)
+),
+mm AS (
+    SELECT rank,
+           chr(2) || lhs || chr(3) || chr(2) || rhs || chr(3) AS pat,
+           chr(2) || lhs || rhs || chr(3) AS rep
+    FROM m
+),
+words AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest({T.split_ws('lower(text)', d)}) AS word FROM documents
+    ) WHERE word != '' GROUP BY word
+),
+w0 AS (
+    SELECT word, n,
+           chr(2) || array_to_string(string_split(word, ''), chr(3) || chr(2))
+               || chr(3) || chr(2) || '</w>' || chr(3) AS s,
+           0 AS r
+    FROM words
+),
+seg AS (
+    SELECT word, n, s, r FROM w0
+    UNION ALL
+    SELECT word, n,
+           replace(s,
+               (SELECT pat FROM mm WHERE contains(seg.s, mm.pat)
+                ORDER BY rank LIMIT 1),
+               (SELECT rep FROM mm WHERE contains(seg.s, mm.pat)
+                ORDER BY rank LIMIT 1)) AS s,
+           r + 1
+    FROM seg
+    WHERE EXISTS (SELECT 1 FROM mm WHERE contains(seg.s, mm.pat))
+),
+fin AS (
+    SELECT word, arg_max(s, r) AS s, any_value(n) AS n FROM seg GROUP BY word
+),
+tok AS (
+    SELECT n,
+           unnest(string_split(trim(s, chr(2) || chr(3)), chr(3) || chr(2)))
+               AS token
+    FROM fin
+)
+SELECT token, CAST(SUM(n) AS BIGINT) AS n_tokens FROM tok GROUP BY token
+"""
+
+
+@query("bpe_encode_fixed", _bpe_encode_fixed_sql(_D))
+def q_bpe_encode_fixed(spark, sf_dir):
+    """Corpus token histogram under a FIXED (shipped-artifact) merge
+    table — the tokenizer-deployment half of BPE, fully oracle-checked
+    (bpe_merges/bpe_token_histogram stay rows-only because TRAINING is
+    the genuinely iterative part). The table deliberately chains ranks
+    (the→the</w> fires only after th+e) to exercise the re-scan rule."""
+    from .operators.tokenize import bpe_encode
+
+    merges = spark.createDataFrame(
+        [(r, a, b) for r, a, b in _BPE_FIXED_MERGES],
+        "merge_rank INT, lhs STRING, rhs STRING",
+    )
+    return bpe_encode(spark.table("documents"), merges)
 
 
 from .streaming.enrich import run_enriched_rollup  # noqa: E402
@@ -7219,7 +7422,17 @@ def q_dsir_weights(spark, sf_dir):
 # (ingest-vs-persisted-index family); fingerprint anti-join + the
 # content_chunk_dedup keep-first/reassembly shape; persisted round-trip
 # unit-tested in test_round9_ops.py.
+# minhash_index_maintain enters ungraded on registration (VERDICT r9
+# item 2 — the banded index's write/append/compact loop gets its own
+# driver-visible carrier, mirroring graded substring_index_maintain);
+# rotate in under the protocol once this round's driver_sim passes.
+# bpe_encode_fixed enters ungraded on registration (VERDICT r9 item 7 —
+# the first oracle-backed BPE query; encode-given-merges is SQL-
+# expressible via the marker-wrapped recursive CTE): rotate in a later
+# round; the fold≡replace equivalence is fuzzed in test_round10_ops.py.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "bpe_encode_fixed",
+    "minhash_index_maintain",
     "incremental_chunk_dedup",
     "content_chunk_dedup",
     "streaming_monthly_rollup",

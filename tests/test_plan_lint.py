@@ -96,6 +96,24 @@ UNPARTITIONED_WINDOW_OK = {
 }
 
 
+def _split_depth0(spec: str) -> list[str]:
+    """Split a windowspecdefinition arg list at top-level commas only.
+    A plain ', '-split fragments any partition/order expression holding a
+    nested call (coalesce(a, b)), producing direction-less fragments that
+    made the lint silently treat the window as partitioned (ADVICE r9)."""
+    args, depth, start = [], 0, 0
+    for i, ch in enumerate(spec):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(spec[start:i].strip())
+            start = i + 1
+    args.append(spec[start:].strip())
+    return [a for a in args if a]
+
+
 def _unpartitioned_windows(logical_plan: str) -> list[str]:
     """Window nodes whose windowspecdefinition has ONLY order columns
     (every pre-frame argument carries a sort direction): the optimized
@@ -109,12 +127,31 @@ def _unpartitioned_windows(logical_plan: str) -> list[str]:
         for spec in re.findall(
             r"windowspecdefinition\((.*?)specifiedwindowframe", s
         ):
-            args = [a.strip() for a in spec.rstrip(", ").split(", ") if a.strip()]
+            args = _split_depth0(spec.rstrip(", "))
             if not any(
                 "ASC NULLS" not in a and "DESC NULLS" not in a for a in args
             ):
                 bad.append(s[:100])
     return bad
+
+
+def test_unpartitioned_window_lint_handles_nested_commas():
+    # partition expression with a nested comma (coalesce(a, b)): the old
+    # ', '-split fragmented it into direction-less pieces AND pieces with
+    # directions, misclassifying both ways. Depth-0 split keeps each arg
+    # whole: case 1 is partitioned (ok), case 2 is order-only (flagged).
+    partitioned = (
+        "Window [sum(x) windowspecdefinition(coalesce(a#1, b#2), "
+        "c#3 ASC NULLS FIRST, specifiedwindowframe(RangeFrame, "
+        "unboundedpreceding$(), currentrow$())) AS s#9]"
+    )
+    order_only = (
+        "Window [sum(x) windowspecdefinition(coalesce(a#1, b#2) "
+        "ASC NULLS FIRST, specifiedwindowframe(RangeFrame, "
+        "unboundedpreceding$(), currentrow$())) AS s#9]"
+    )
+    assert _unpartitioned_windows(partitioned) == []
+    assert len(_unpartitioned_windows(order_only)) == 1
 
 
 def test_lint_side_effect_exclusions_are_registered():

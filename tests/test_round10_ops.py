@@ -1,0 +1,102 @@
+"""Round-10 additions: the fixed-merge-table BPE encode oracle
+(registry._bpe_encode_fixed_sql — the marker-wrapped recursive-CTE
+restatement) and its equivalence to the engine's greedy-left merge fold.
+
+The bpe_merges docstring's counterexample shows why an UNMARKED
+string-replace restatement is unsound; these tests pin that the
+chr(2)/chr(3)-wrapped form is exactly the fold: one replace() of
+⟨lhs⟩⟨rhs⟩ merges all leftmost-nonoverlapping occurrences (symbol RUNS
+included) and can never match across symbol boundaries."""
+
+import random
+
+import duckdb
+import pytest
+
+from etl_gamma_spark.registry import (
+    _BPE_FIXED_MERGES,
+    _bpe_encode_fixed_sql,
+    _D,
+)
+from tests.test_round6_ops import _py_bpe_encode
+
+
+def _duck_encode(text_rows, merges):
+    """Run the recursive-CTE oracle over an in-memory documents table."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        list(enumerate(text_rows)),
+    )
+    sql = _bpe_encode_fixed_sql(_D, merges)
+    return {t: n for t, n in con.execute(sql).fetchall()}
+
+
+def _py_counts(text_rows):
+    counts = {}
+    for t in text_rows:
+        for w in t.lower().split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def _py_encode(text_rows, merges):
+    return _py_bpe_encode(
+        _py_counts(text_rows), [(r, a, b, 0) for r, a, b in merges]
+    )
+
+
+def test_bpe_fixed_oracle_matches_python_on_hand_cases():
+    merges = _BPE_FIXED_MERGES
+    rows = [
+        "the theater is in there",
+        "standing and running and ending",
+        "thththth aaaa anananan",  # runs + overlapping-candidate chains
+        "errors earnings other",
+    ]
+    assert _duck_encode(rows, merges) == _py_encode(rows, merges)
+
+
+def test_bpe_fixed_oracle_merges_symbol_runs_like_the_fold():
+    # the documented divergence class for the UNMARKED restatement:
+    # 'aaaa' under pair (a,a) must become [aa, aa]; 'aaa' -> [aa, a].
+    merges = ((1, "a", "a"),)
+    got = _duck_encode(["aaaa aaa aa a"], merges)
+    assert got == {"aa": 4, "a": 2, "</w>": 4}
+
+
+def test_bpe_fixed_oracle_rescans_for_newly_formed_lower_rank():
+    # rank 1 = (a, bc) applies only AFTER rank 2 = (b, c) creates "bc"
+    merges = ((1, "a", "bc"), (2, "b", "c"))
+    got = _duck_encode(["abc"], merges)
+    assert got == {"abc": 1, "</w>": 1}
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_bpe_fixed_oracle_fuzz_vs_python_reference(seed):
+    rng = random.Random(seed)
+    # tiny alphabet to force runs, chains, and re-scan interactions
+    syms = ["a", "b", "c"]
+    words = [
+        "".join(rng.choice(syms) for _ in range(rng.randint(1, 8)))
+        for _ in range(40)
+    ]
+    rows = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
+        for _ in range(10)
+    ]
+    # random merge table over plausible symbols (singles, merged pairs,
+    # end-marker rights) — ranks unique, table size 6-12
+    pool = syms + ["aa", "ab", "ba", "bc", "ca", "cb", "abc", "bca"]
+    merges, seen = [], set()
+    for rank in range(1, rng.randint(7, 13)):
+        a = rng.choice(pool)
+        b = rng.choice(pool + ["</w>"])
+        if (a, b) in seen:
+            continue
+        seen.add((a, b))
+        merges.append((rank, a, b))
+    merges = tuple(merges)
+    assert _duck_encode(rows, merges) == _py_encode(rows, merges)
