@@ -368,6 +368,7 @@ def neardup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every document gets
     a ``cluster_id`` = the minimum doc id reachable through the pair graph
@@ -387,6 +388,12 @@ def neardup_clusters(
     subgraph is the dedup mass — orders of magnitude smaller than the
     corpus). Untouched documents get their singleton label in one final
     left join after convergence.
+
+    ``stats`` (optional dict) receives ``{"rounds": k}`` — the number of
+    label-propagation rounds (== per-round localCheckpoint count) the
+    loop ran before converging; the scale probes report it so a
+    100×-duplicate corpus shows whether giant clusters deepen the
+    iteration or only widen the rounds (tools/scale_probe.py).
     """
     edges = (
         pairs.selectExpr(f"doc_a AS {id_col}", "doc_b AS nbr")
@@ -400,7 +407,9 @@ def neardup_clusters(
         F.col(id_col), F.col(id_col).alias("cluster_id")
     )
     converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         nbr_min = (
             edges.join(labels, id_col)
             .groupBy("nbr")
@@ -428,6 +437,8 @@ def neardup_clusters(
         if changed == 0:
             converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         # unconverged labels are silently WRONG (a component wider than
         # max_iters hops would split) — refuse rather than mislabel

@@ -7430,19 +7430,90 @@ def q_dsir_weights(spark, sf_dir):
 # the first oracle-backed BPE query; encode-given-merges is SQL-
 # expressible via the marker-wrapped recursive CTE): rotate in a later
 # round; the fold≡replace equivalence is fuzzed in test_round10_ops.py.
+#
+# Round-10 rotation (VERDICT r9 items 1/2/5), applied after driver_sim
+# green at sf0.01 AND sf0.1 on this exact tree (163/163 queries,
+# 161/161 oracles, zero fails at both SFs) and a cheap sf0.01 re-run
+# after the tuple edit: fourteen queries move INTO the graded window —
+# the twelve never-driver-graded from the r9 brief (intradoc_repeat_
+# spans/_strip, content_chunk_dedup, incremental_chunk_dedup,
+# source_mix, temperature_source_mix, receita_cube, sequence_pack,
+# dataset_split, winsorized_event_values, revenue_trend_by_priority,
+# orders_price_drift_psi) plus the new minhash_index_maintain (item 2)
+# and receita_farmer_m_passado_one (item 5 — P5's direct proof).
+# Displaced, banked rounds computed from CORRECTNESS_r01–r09 this
+# session (tools output, not memory); every family keeps a graded
+# carrier:
+#   receita_farmer_m_passado   banked r2–r9 (8); the J1/A1/P2 month-
+#                              window family stays graded via
+#                              receita_produto_f_m_passado (same 3-way
+#                              join + month window) and the incoming
+#                              P5 sibling receita_farmer_m_passado_one
+#                              (identical plan + optional predicate)
+#   responsibility_enrich      banked r2–r9 (8); the J5/J6 interval
+#                              machinery stays graded via
+#                              responsibility_filter (same module,
+#                              same bucketed join)
+#   fechamento_periodo         banked r2–r9 minus r5 (7); literal
+#                              projection of graded fechamento_m_presente
+#   minhash_lsh_pairs          banked r1–r9 (9); the full MinHash
+#                              pipeline (shingle→sig→band→verify) runs
+#                              VERBATIM inside incoming
+#                              minhash_index_maintain and graded
+#                              neardup_dedup_corpus
+#   supplier_triangles         banked r6–r9 (4); graph-family extension,
+#                              plan shape pinned by test_plan_quality,
+#                              wedge math pytest-oracle-checked
+#   split_leakage_pairs        banked r6–r9 (4); embedding-family keeps
+#                              graded semdedup_persisted +
+#                              embedding_sq8_topk + embedding_ivf_persisted
+#   dsir_weights               banked r7–r9 (3); quality family keeps
+#                              graded quality_prune + incoming
+#                              source_mix / temperature_source_mix
+#   tpch_q3_shipping_priority  banked r8–r9 (2); TPC-H showcases keep
+#                              graded q1 (agg) + q5 (regional join) +
+#                              q18-style reduction via incoming
+#                              winsorized/trend aggregates
+#   tpch_q18_large_volume      banked r8–r9 (2); same family coverage
+#   funnel_steps               banked r5+r9 (2); events family keeps
+#                              graded retention_cohorts,
+#                              attribution_linear, event_type_transitions
+#   novelty_score              banked r9 (1); shingle-df family carried
+#                              by graded decontaminate_corpus + the
+#                              MinHash carriers; integer-DIV ratio by
+#                              graded event_type_transitions
+#   iqr_outliers               banked r9 (1); the exact-quartile core
+#                              (_tukey_vals_fences) is SHARED verbatim
+#                              with incoming winsorized_event_values
+#   orders_table_diff          banked r9 (1); digest-diff composition
+#                              pytest-oracle-checked; profiling family
+#                              keeps graded profile_orders
+#   ohlc_downsample            banked r9 (1); first/last min/max(struct)
+#                              family carried by graded
+#                              streaming_cdc_apply's latest_changes +
+#                              graded twap_hourly's bucket aggregate
 UNGRADED_QUERIES: tuple[str, ...] = (
     "bpe_encode_fixed",
-    "minhash_index_maintain",
-    "incremental_chunk_dedup",
-    "content_chunk_dedup",
+    "receita_farmer_m_passado",
+    "responsibility_enrich",
+    "fechamento_periodo",
+    "minhash_lsh_pairs",
+    "supplier_triangles",
+    "split_leakage_pairs",
+    "dsir_weights",
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_volume",
+    "funnel_steps",
+    "novelty_score",
+    "iqr_outliers",
+    "orders_table_diff",
+    "ohlc_downsample",
     "streaming_monthly_rollup",
     "neardup_clusters",
     "quality_classifier_score",
     "user_state_history",
     "domain_mix",
     "substring_dedup",
-    "intradoc_repeat_spans",
-    "intradoc_repeat_strip",
     "incremental_substring_spans",
     "semdedup_prune",
     "decontamination_spans",
@@ -7479,15 +7550,11 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "cms_topk",
     "receita_rolling_3m",
     "supplier_window_overlaps",
-    "orders_price_drift_psi",
     "event_key_skew",
-    "temperature_source_mix",
     "streaming_dim_enrich",
     "bpe_merges",
-    "revenue_trend_by_priority",
     "bpe_token_histogram",
     "user_mode_event_type",
-    "winsorized_event_values",
     "new_users_daily",
     "simhash_neardup_pairs",
     "curation_pipeline",
@@ -7509,25 +7576,21 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "streaming_dedup_watermark",
     "doc_sliding_chunks",
     "purchase_nearest_view",
-    "sequence_pack",
     "token_histogram",
     "cumulative_revenue",
     "orders_expectations",
     "receita_unpivot",
     "client_revenue_quartiles",
-    "dataset_split",
     "clients_churned_feb",
     "lang_id",
     "active_clients_dedup_union",
     "boilerplate_chunks",
     "export_shards",
-    "source_mix",
     "receita_gap_fill",
     "exact_dedup",
     "stratified_sample",
     "topk_users_per_event_type",
     "coe_vs_op_monthly_full_outer",
-    "receita_farmer_m_passado_one",
     "fechamento_by_name",
     "clients_retained_feb",
     "receita_cliente_presente",
@@ -7537,7 +7600,6 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "receita_produto_farmer_resp",
     "media_features",
     "embedding_knn_join",
-    "receita_cube",
     "winnow_fingerprints",
     "embedding_ivf_build",
     "media_frame_sample",

@@ -150,6 +150,23 @@ PROBE_QUERIES = [
     # ingest path: batch is a fixed 1/17 slice anti-joined on chunk
     # fingerprints against the 10x corpus index
     "incremental_chunk_dedup",
+    # round-10 (VERDICT r9 item 4): the iterative family. The replicated
+    # corpus is CC's adversarial case — each base doc's ~copies
+    # near-copies band together, so components grow from pairs to
+    # ~copies-sized clusters; min-label propagation converges in
+    # O(cluster diameter) rounds, and banded pairs make clusters dense
+    # (near-star), so rounds should stay small while per-round work
+    # grows with the edge mass. Round counts come from the stats
+    # out-param (neardup_clusters) — see tools/iter_probe.py.
+    "neardup_clusters",
+    "cluster_prune",
+    "bpe_merges",
+    # the MinHash index maintenance loop (build + append + compact +
+    # probe — the banded sibling of substring_index_maintain) and the
+    # fixed-merge-table BPE encode (vocabulary-sized fixpoint; the
+    # corpus pass is the only part that should scale)
+    "minhash_index_maintain",
+    "bpe_encode_fixed",
 ]
 
 
