@@ -782,6 +782,40 @@ def chunk_fingerprint_index(
     )
 
 
+def append_chunk_index(
+    accepted_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 4,
+    mask_mod: int = 8,
+    compact_target_mb: int | None = None,
+) -> None:
+    """Fold an ACCEPTED ingest batch's NOVEL chunk fingerprints into the
+    stored chunk index — the maintenance step that closes the chunk-dedup
+    ingest loop (probe with :func:`incremental_chunk_dedup` → accept →
+    append), mirroring :func:`append_substring_index` (ADVICE r9: the
+    append must be job-atomic, never a file-by-file copy). Only the
+    batch is chunked, and only fingerprints absent from the stored index
+    are written (novelty anti-join on the 32-hex key — the batch's
+    probe survivors by construction, so the keep-first invariant
+    holds), as ONE Spark append job: readers see the old index until
+    the job commits, a failed job leaves only uncommitted temp files.
+    Pass ``compact_target_mb`` every N appends to bin-pack the
+    directory through the rename-aside swap."""
+    spark = accepted_docs.sparkSession
+    stored = spark.read.parquet(index_path)
+    batch = chunk_fingerprint_index(
+        accepted_docs, text_col, id_col, w, mask_mod
+    )
+    novel = batch.join(stored.select("fh"), "fh", "left_anti")
+    novel.write.mode("append").parquet(index_path)
+    if compact_target_mb is not None:
+        from ..sources.sink import compact_small_files
+
+        compact_small_files(spark, index_path, compact_target_mb)
+
+
 def incremental_chunk_dedup(
     new_docs: DataFrame,
     index: DataFrame,

@@ -100,3 +100,42 @@ def test_bpe_fixed_oracle_fuzz_vs_python_reference(seed):
         merges.append((rank, a, b))
     merges = tuple(merges)
     assert _duck_encode(rows, merges) == _py_encode(rows, merges)
+
+
+def test_append_chunk_index_daily_ingest_loop(spark, tmp_path):
+    """ADVICE r9 item 3's helper: append_chunk_index folds an accepted
+    batch's NOVEL fingerprints in as one job-atomic append (+ optional
+    rename-aside compaction), and the next day's probe over the stored
+    index equals a probe over a live full-rebuild index."""
+    import os
+
+    from etl_gamma_spark.io import load_table
+    from etl_gamma_spark.operators.dedup import (
+        append_chunk_index,
+        chunk_fingerprint_index,
+        incremental_chunk_dedup,
+    )
+    from etl_gamma_spark.sources.sink import write_full_refresh
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    day0, day1, day2 = [docs.filter(f"doc_id % 3 = {i}") for i in range(3)]
+    path = str(tmp_path / "chunk_index")
+    write_full_refresh(chunk_fingerprint_index(day0), path)
+
+    def result(batch, index):
+        return {
+            (r.doc_id, r.n_chunks, r.n_kept, r.text_clean)
+            for r in incremental_chunk_dedup(batch, index).collect()
+        }
+
+    append_chunk_index(day1, path, compact_target_mb=64)
+    got = result(day2, spark.read.parquet(path))
+    want = result(day2, chunk_fingerprint_index(day0.unionByName(day1)))
+    assert got == want
+    # compaction swapped through rename-aside: no scratch dir left behind
+    assert not os.path.exists(path + "._compacting")
+    # novelty anti-join: appending the SAME batch again adds nothing
+    n_before = spark.read.parquet(path).count()
+    append_chunk_index(day1, path)
+    assert spark.read.parquet(path).count() == n_before
