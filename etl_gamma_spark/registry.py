@@ -2383,6 +2383,55 @@ def q_sink_overwrite_scope(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_AUDIT_AS_OF = "1996-01-15 07:30:00"
+
+
+@query(
+    "sink_audit_stamps",
+    f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       TIMESTAMP '{_AUDIT_AS_OF}' AS updated_at
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+GROUP BY o_orderpriority
+""",
+)
+def q_sink_audit_stamps(spark, sf_dir):
+    """F16 audit timestamps, oracle-checked end to end (previously
+    unit-only: the reference stamps per-row datetime.now(), which no
+    oracle can restate). stamp_audit's pinned as_of — the repo-wide
+    asof rule applied to the audit column — makes the stamp
+    deterministic, and the frame goes THROUGH the sink (full refresh +
+    read back), so the read-back must carry the exact literal: a stamp
+    dropped by the writer, shifted by a timezone, or re-evaluated per
+    retry changes the output. Non-midnight time on purpose (midnight
+    timestamps fold to dates in the driver's canonicalization).
+    Reference: kpi_receita_cliente/transform.py:125."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .sources.sink import stamp_audit, write_full_refresh
+
+    rollup = (
+        spark.table("orders")
+        .filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    tmp = _tf.mkdtemp(prefix="etl_gamma_audit_")
+    path = _os.path.join(tmp, "priority_rollup")
+    try:
+        write_full_refresh(stamp_audit(rollup, as_of=_AUDIT_AS_OF), path)
+        return spark.read.parquet(path).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # winnowing fingerprints (rolling-hash document fingerprinting) + salted agg
 # ---------------------------------------------------------------------------
@@ -7492,7 +7541,11 @@ def q_dsir_weights(spark, sf_dir):
 #                              family carried by graded
 #                              streaming_cdc_apply's latest_changes +
 #                              graded twap_hourly's bucket aggregate
+# sink_audit_stamps enters ungraded on registration (converts F16 from
+# unit-only to oracle-checked: pinned-as_of stamp through a real sink
+# round-trip); rotate in a later round.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "sink_audit_stamps",
     "bpe_encode_fixed",
     "receita_farmer_m_passado",
     "responsibility_enrich",

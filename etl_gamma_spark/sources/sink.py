@@ -108,11 +108,23 @@ def assert_unique_grain(df: DataFrame, keys: list[str]) -> None:
         raise AssertionError(f"grain violation on {keys}: {n} duplicate groups, e.g. {sample}")
 
 
-def stamp_audit(df: DataFrame) -> DataFrame:
+def stamp_audit(df: DataFrame, as_of: str | None = None) -> DataFrame:
     """Audit timestamps (reference F16: per-row datetime.now() in pandas,
     kpi_receita_cliente/transform.py:125) as plan-time current_timestamp —
-    one value per write, vectorized."""
-    return df.withColumn("updated_at", F.current_timestamp())
+    one value per write, vectorized.
+
+    ``as_of`` (``'YYYY-MM-DD HH:MM:SS'``) pins the stamp explicitly —
+    the repo-wide asof rule applied to the audit column: a pinned stamp
+    is deterministic, so the write path becomes oracle-checkable
+    (sink_audit_stamps carrier) and reruns of a failed batch stamp the
+    batch's logical time, not the retry's wall-clock. Default stays the
+    reference's now() semantics."""
+    ts = (
+        F.current_timestamp()
+        if as_of is None
+        else F.lit(as_of).cast("timestamp")
+    )
+    return df.withColumn("updated_at", ts)
 
 
 def merge_upsert(

@@ -139,3 +139,22 @@ def test_append_chunk_index_daily_ingest_loop(spark, tmp_path):
     n_before = spark.read.parquet(path).count()
     append_chunk_index(day1, path)
     assert spark.read.parquet(path).count() == n_before
+
+
+def test_stamp_audit_pinned_vs_now(spark):
+    """F16: the pinned as_of stamps the exact literal (oracle-checkable);
+    the default keeps the reference's now() semantics — one plan-time
+    value, not per-row clocks."""
+    import datetime as dt
+
+    from etl_gamma_spark.sources.sink import stamp_audit
+
+    df = spark.range(5)
+    pinned = stamp_audit(df, as_of="1996-01-15 07:30:00")
+    vals = {r.updated_at for r in pinned.collect()}
+    assert vals == {dt.datetime(1996, 1, 15, 7, 30)}
+    now_vals = {r.updated_at for r in stamp_audit(df).collect()}
+    assert len(now_vals) == 1  # one stamp per write, vectorized
+    assert abs(
+        (now_vals.pop() - dt.datetime.now()).total_seconds()
+    ) < 600
