@@ -290,6 +290,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT pairs — the asymmetric sibling of
+    :func:`ngram_jaccard_pairs` (Broder's resemblance-vs-containment
+    distinction): containment(A→B) = |A∩B| / |A|. Catches a short
+    document quoted or embedded inside a much longer one, where Jaccard
+    is diluted by the container's size (|A∩B|/|A∪B| → 0 as |B| grows)
+    and symmetric near-dup never fires — the excerpt-spam / quote-farm
+    case a dedup pass built only on Jaccard ships straight through.
+
+    Output: (doc_contained, doc_container, n_shared, containment), one
+    DIRECTED row per direction clearing ``threshold`` (a true mutual
+    near-dup emits both directions).
+
+    Scale posture: identical to the Jaccard pairs — one df-capped
+    shingle inverted index, ONE shared-count aggregate feeding BOTH
+    directions (no second self-join), per-doc size tables joined by
+    shuffle hash join (never broadcast). Set sizes count ALL shingles
+    while the index drops capped boilerplate, so reported containment is
+    exact when uncapped and a strict lower bound otherwise — capped
+    grams can only under-report, never manufacture containment."""
+    sh = shingle_sets(docs, text_col, id_col, n).localCheckpoint()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    shr = cap_hot_keys(sh, ["shingle"], max_df)
+    a = shr.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shr.select(F.col(id_col).alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    base = shared.join(na, "doc_a").join(nb, "doc_b")
+    d1 = base.selectExpr(
+        "doc_a AS doc_contained",
+        "doc_b AS doc_container",
+        "CAST(n_shared AS BIGINT) AS n_shared",
+        "CAST(n_shared AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment",
+    )
+    d2 = base.selectExpr(
+        "doc_b AS doc_contained",
+        "doc_a AS doc_container",
+        "CAST(n_shared AS BIGINT) AS n_shared",
+        "CAST(n_shared AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment",
+    )
+    return d1.unionByName(d2).filter(F.col("containment") >= F.lit(threshold))
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     text_col: str = "text",

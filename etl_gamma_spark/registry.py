@@ -953,6 +953,56 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return DD.ngram_jaccard_pairs(spark.table("documents"), threshold=0.2)
 
 
+def _containment_pairs_sql(d: str, threshold: float, max_df: int = 50) -> str:
+    """Oracle twin of operators/dedup.py::ngram_containment_pairs —
+    shares the Jaccard CTE chain (one shared-count frame) and emits both
+    directions as a UNION ALL over it."""
+    return f"""
+WITH words AS (
+    SELECT doc_id, {T.split_ws('text', d)} AS w, text FROM documents
+),
+sh0 AS (
+    SELECT doc_id, {T.word_shingles('w', 'text', d)} AS shingles FROM words
+),
+sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {max_df}
+),
+shr AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare r ON s.shingle = r.shingle),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM shr a JOIN shr b ON a.shingle = b.shingle
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+base AS (
+    SELECT s.doc_a, s.doc_b, s.n_shared, na.n_sh AS n_a, nb.n_sh AS n_b
+    FROM shared s
+    JOIN sizes na ON na.doc_id = s.doc_a
+    JOIN sizes nb ON nb.doc_id = s.doc_b
+),
+directed AS (
+    SELECT doc_a AS doc_contained, doc_b AS doc_container,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_shared AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+    FROM base
+    UNION ALL
+    SELECT doc_b AS doc_contained, doc_a AS doc_container,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_shared AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment
+    FROM base
+)
+SELECT doc_contained, doc_container, n_shared, containment
+FROM directed WHERE containment >= {threshold}
+"""
+
+
+@query("ngram_containment_pairs", _containment_pairs_sql(_D, 0.5))
+def q_ngram_containment_pairs(spark, sf_dir):
+    return DD.ngram_containment_pairs(spark.table("documents"), threshold=0.5)
+
+
 def _simhash_sql(d: str, bits: int = 16) -> str:
     sums = ",\n       ".join(
         f"SUM(CASE WHEN {T.bit('h', i, d)} = 1 THEN 1 ELSE -1 END) AS s{i}"
@@ -7544,7 +7594,12 @@ def q_dsir_weights(spark, sf_dir):
 # sink_audit_stamps enters ungraded on registration (converts F16 from
 # unit-only to oracle-checked: pinned-as_of stamp through a real sink
 # round-trip); rotate in a later round.
+# ngram_containment_pairs enters ungraded on registration (asymmetric
+# containment — Broder's resemblance/containment split; the Jaccard
+# family's graded proof transfers structurally, the directed-union
+# emission is pytest-oracle-checked + unit-pinned); rotate in later.
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "ngram_containment_pairs",
     "sink_audit_stamps",
     "bpe_encode_fixed",
     "receita_farmer_m_passado",

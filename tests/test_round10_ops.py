@@ -158,3 +158,38 @@ def test_stamp_audit_pinned_vs_now(spark):
     assert abs(
         (now_vals.pop() - dt.datetime.now()).total_seconds()
     ) < 600
+
+
+def test_containment_catches_quote_that_jaccard_misses(spark):
+    """The operator's reason to exist: a short doc quoted inside a much
+    longer one clears containment while Jaccard stays far below any
+    dedup threshold — and the mutual-near-dup case emits BOTH
+    directions."""
+    from etl_gamma_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i} v{i} u{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler.upper()),
+            (3, "alpha beta gamma delta epsilon zeta"),
+            (4, "alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.doc_contained, r.doc_container): r.containment
+        for r in ngram_containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert cont[(1, 2)] == 1.0  # every shingle of the quote is in the container
+    assert (2, 1) not in cont  # asymmetric: the container is not contained
+    assert cont[(3, 4)] == 1.0 and cont[(4, 3)] == 1.0  # mutual dup: both ways
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.2  # the Jaccard pass would have shipped it
