@@ -167,6 +167,11 @@ PROBE_QUERIES = [
     # corpus pass is the only part that should scale)
     "minhash_index_maintain",
     "bpe_encode_fixed",
+    # directed containment: at 100 copies every shingle's df exceeds the
+    # max_df=50 cap, so the guard withdraws the pair machinery from the
+    # all-duplicates regime (like substring_dup_spans) and the measured
+    # wall is the linear shingle/size passes
+    "ngram_containment_pairs",
 ]
 
 
