@@ -510,6 +510,33 @@ def neardup_clusters(
     )
 
 
+def cluster_size_histogram(
+    clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Dedup observability report over :func:`neardup_clusters` output:
+    the cluster-size spectrum — for each size, how many clusters, how
+    many documents they hold, and the redundant mass (docs minus one
+    keeper per cluster). This is the number a pipeline operator reads
+    BEFORE committing a dedup threshold at 100 TB: the redundant-mass
+    total is exactly what :func:`cluster_prune` will remove, and a fat
+    tail of giant clusters is the boilerplate / skew warning.
+
+    Output: (n_members, n_clusters, n_docs, n_redundant), one row per
+    distinct cluster size. Two reducible hash aggregates, no windows —
+    a corpus-wide giant cluster pre-combines map-side like any other
+    group."""
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return sizes.groupBy("n_members").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("n_members").cast("bigint").alias("n_docs"),
+        (F.sum("n_members") - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_redundant"),
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     stratum_col: str = "lang",

@@ -1394,6 +1394,31 @@ def q_neardup_dedup_corpus(spark, sf_dir):
     )
 
 
+# the dedup decision input: cluster-size spectrum + redundant mass —
+# what cluster_prune WILL remove, read before committing a threshold
+@query(
+    "dedup_cluster_histogram",
+    _CLUSTERS_RECURSIVE
+    + """
+SELECT n_members,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_members) AS BIGINT) AS n_docs,
+       CAST(SUM(n_members) - COUNT(*) AS BIGINT) AS n_redundant
+FROM (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM clusters GROUP BY cluster_id
+)
+GROUP BY n_members
+""",
+)
+def q_dedup_cluster_histogram(spark, sf_dir):
+    from .operators.dedup import cluster_size_histogram
+
+    docs = spark.table("documents")
+    pairs = _mh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    return cluster_size_histogram(_nd_clusters(docs, pairs))
+
+
 from .streaming.windowed import run_windowed_stream  # noqa: E402
 
 
@@ -7598,7 +7623,11 @@ def q_dsir_weights(spark, sf_dir):
 # containment — Broder's resemblance/containment split; the Jaccard
 # family's graded proof transfers structurally, the directed-union
 # emission is pytest-oracle-checked + unit-pinned); rotate in later.
+# dedup_cluster_histogram enters ungraded on registration (CC-family
+# observability composition; the recursive-CTE cluster oracle is the
+# graded-family machinery, the two-aggregate histogram pytest-checked).
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "dedup_cluster_histogram",
     "ngram_containment_pairs",
     "sink_audit_stamps",
     "bpe_encode_fixed",

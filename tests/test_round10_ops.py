@@ -193,3 +193,22 @@ def test_containment_catches_quote_that_jaccard_misses(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
     }
     assert jac[(1, 2)] < 0.2  # the Jaccard pass would have shipped it
+
+
+def test_cluster_size_histogram_accounting(spark):
+    """Histogram invariants on a hand-built clustering: sizes bucket
+    correctly, n_docs sums to the corpus, and n_redundant is exactly the
+    mass cluster_prune would remove (docs minus one keeper each)."""
+    from etl_gamma_spark.operators.dedup import cluster_size_histogram
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5), (7, 7)],
+        "doc_id long, cluster_id long",
+    )
+    got = {
+        r.n_members: (r.n_clusters, r.n_docs, r.n_redundant)
+        for r in cluster_size_histogram(clusters).collect()
+    }
+    assert got == {3: (1, 3, 2), 2: (1, 2, 1), 1: (2, 2, 0)}
+    assert sum(d for _, d, _ in got.values()) == 7
+    assert sum(r for _, _, r in got.values()) == 3  # prune removes 3 docs
