@@ -7626,6 +7626,12 @@ def q_dsir_weights(spark, sf_dir):
 # dedup_cluster_histogram enters ungraded on registration (CC-family
 # observability composition; the recursive-CTE cluster oracle is the
 # graded-family machinery, the two-aggregate histogram pytest-checked).
+#
+# Banked for the round-11 rotation: the round-10 end-of-round driver_sim
+# ran green at sf0.01 (166/164/0) AND sf0.1 (166/164/0) on the exact
+# final tree containing all four new ungraded queries
+# (dedup_cluster_histogram, ngram_containment_pairs, sink_audit_stamps,
+# bpe_encode_fixed) — each is protocol-eligible next round.
 UNGRADED_QUERIES: tuple[str, ...] = (
     "dedup_cluster_histogram",
     "ngram_containment_pairs",
