@@ -97,7 +97,11 @@ def test_pair_ops_never_force_broadcast_of_per_doc_frames(spark):
     # is actually small (fine). Assert no hint beyond cap_hot_keys'
     # tiny over-limit key list survives in the analyzed plan, and
     # candidate generation stays an equi-join (no BNLJ).
-    for name in ["ngram_jaccard_pairs", "embedding_neardup_pairs"]:
+    for name in [
+        "ngram_jaccard_pairs",
+        "ngram_containment_pairs",
+        "embedding_neardup_pairs",
+    ]:
         df = QUERIES[name](spark, SF_CORRECT)
         analyzed = df._jdf.queryExecution().analyzed().toString()
         assert not _non_cap_broadcast_hints(analyzed), (
