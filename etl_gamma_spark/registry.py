@@ -1779,6 +1779,66 @@ def q_embedding_ivf_topk(spark, sf_dir):
     )
 
 
+_IVF_RECALL_SQL = (
+    _ivf_common_sql()
+    + f""",
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+    SELECT centroid_id FROM c CROSS JOIN q
+    ORDER BY {dist2_unrolled('q.qv', 'c.centroid', 64, _D)}, centroid_id
+    LIMIT {_IVF_PROBE}
+),
+cand AS (
+    SELECT a.vec_id FROM assign a JOIN probe USING (centroid_id)
+    WHERE a.vec_id != 0
+),
+ivf AS (
+    SELECT e.vec_id FROM e JOIN cand USING (vec_id) CROSS JOIN q
+    ORDER BY {_DUCK_COSINE} DESC, e.vec_id
+    LIMIT 10
+),
+brute AS (
+    SELECT e.vec_id FROM e CROSS JOIN q
+    WHERE e.vec_id != 0
+    ORDER BY {_DUCK_COSINE} DESC, e.vec_id
+    LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       CAST(COUNT(*) * 10 AS BIGINT) AS recall_pct
+FROM ivf JOIN brute USING (vec_id)
+"""
+)
+
+
+@query("ivf_recall_at_10", _IVF_RECALL_SQL)
+def q_ivf_recall_at_10(spark, sf_dir):
+    """ANN observability, driver-visible: recall@10 of the IVF probe
+    against exact brute-force cosine — the measure-don't-guess number an
+    operator reads before trusting approximate search at 100 TB (probe
+    more cells or retrain the quantizer when it sags). Both rankings use
+    the same bit-identical cosine and the same (cosine DESC, vec_id)
+    total order, so the overlap count is engine-exact; output is one
+    row (k, n_overlap, recall_pct) in exact integer arithmetic. The
+    pytest recall tests pin the same property in-suite; this carrier
+    makes it a hash-checked query output."""
+    from .operators.similarity import brute_force_topk
+
+    emb = spark.table("embeddings")
+    ivf = ivf_topk(
+        emb, query_id=0, k=10, n_probe=_IVF_PROBE, index=_ivf_index(spark)
+    ).select("vec_id")
+    brute = brute_force_topk(emb, query_id=0, k=10).select("vec_id")
+    cnt = ivf.join(brute, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap")
+    )
+    return cnt.selectExpr(
+        "CAST(10 AS BIGINT) AS k",
+        "n_overlap",
+        "CAST(n_overlap * 10 AS BIGINT) AS recall_pct",
+    )
+
+
 @query("embedding_ivf_persisted", _IVF_TOPK_SQL)
 def q_embedding_ivf_persisted(spark, sf_dir):
     """The written-index IVF path (VERDICT r5 item 4): build → write
@@ -7632,7 +7692,11 @@ def q_dsir_weights(spark, sf_dir):
 # final tree containing all four new ungraded queries
 # (dedup_cluster_histogram, ngram_containment_pairs, sink_audit_stamps,
 # bpe_encode_fixed) — each is protocol-eligible next round.
+# ivf_recall_at_10 enters ungraded on registration (ANN recall
+# observability; the IVF/brute machinery it composes is graded via
+# embedding_ivf_persisted + embedding_sq8_topk).
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "ivf_recall_at_10",
     "dedup_cluster_histogram",
     "ngram_containment_pairs",
     "sink_audit_stamps",

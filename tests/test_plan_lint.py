@@ -79,6 +79,8 @@ BNLJ_OK = {
 # Each allowlisted query's windowed frame is bounded by construction:
 #   embedding_ivf_topk        seed_centroids relabels a LIMIT-K frame
 #                             (<= n_centroids rows)
+#   ivf_recall_at_10          same seed_centroids LIMIT-K relabel (the
+#                             recall query composes the IVF index)
 #   new_users_daily           cumulative sum over the post-agg daily
 #                             frame (<= #distinct days)
 #   client_revenue_pct_rank   percent_rank over the per-client aggregate
@@ -89,6 +91,7 @@ BNLJ_OK = {
 #                             constant-folded out of the optimized plan
 UNPARTITIONED_WINDOW_OK = {
     "embedding_ivf_topk",
+    "ivf_recall_at_10",
     "new_users_daily",
     "client_revenue_pct_rank",
     "client_revenue_quartiles",
