@@ -6672,7 +6672,11 @@ def q_bpe_token_histogram(spark, sf_dir):
 # when no pattern occurs (the EXISTS guard), exactly bpe_segment_words'
 # anti-join exit; arg_max(s, r) picks each word's final segmentation.
 # The unmarked form (the bpe_merges docstring's counterexample) stays
-# unsound; the wrap is load-bearing. Equivalence vs the pure-Python
+# unsound; the wrap is load-bearing. Contract: corpus words must not
+# contain the marker bytes chr(2)/chr(3) themselves (control chars,
+# absent from text corpora; a word containing one could forge a
+# boundary in the oracle's string form only — the engine's fold keys
+# on real symbols either way). Equivalence vs the pure-Python
 # reference encoder is fuzzed in tests/test_round10_ops.py.
 _BPE_FIXED_MERGES: tuple[tuple[int, str, str], ...] = (
     (1, "t", "h"),
