@@ -537,6 +537,37 @@ def cluster_size_histogram(
     )
 
 
+def cluster_aware_split(
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Leakage-proof train/val/test assignment: the split is a pure
+    function of the near-dup CLUSTER id (md5 bucket, dataset_split's
+    convention), so an entire duplicate cluster always lands in ONE
+    split — the PREVENTION twin of ``split_leakage_pairs`` (which only
+    detects leakage after the fact). Hashing the document id instead
+    (``dataset_split``) sends two near-copies to different splits with
+    probability ~2·p·(1−p) per pair; on a duplicate-heavy web corpus
+    that is guaranteed eval contamination, which near-dup-aware
+    pipelines split by cluster to avoid (the dedup-before-split
+    practice). Input is :func:`neardup_clusters` output; singleton docs
+    hash on their own id (== their cluster_id), so the marginal split
+    fractions match dataset_split's on the deduplicated mass.
+
+    Output: (doc_id, cluster_id, split) — one labeled row per document.
+    Pure narrow projection over the cluster table; no extra shuffle."""
+    bucket = f"{T.hexint('CAST(cluster_id AS STRING)', T.SPARK)} % 100"
+    return clusters.selectExpr(
+        id_col,
+        "cluster_id",
+        f"""CASE WHEN {bucket} < {train_pct} THEN 'train'
+             WHEN {bucket} < {train_pct + val_pct} THEN 'val'
+             ELSE 'test' END AS split""",
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     stratum_col: str = "lang",

@@ -1394,6 +1394,29 @@ def q_neardup_dedup_corpus(spark, sf_dir):
     )
 
 
+# leakage-proof splitting: hash the CLUSTER, not the doc — the
+# prevention twin of split_leakage_pairs (dedup-before-split practice)
+@query(
+    "cluster_aware_split",
+    _CLUSTERS_RECURSIVE
+    + f"""
+SELECT doc_id, cluster_id,
+       CASE WHEN {T.hexint('CAST(cluster_id AS VARCHAR)', _D)} % 100 < 90
+              THEN 'train'
+            WHEN {T.hexint('CAST(cluster_id AS VARCHAR)', _D)} % 100 < 95
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM clusters
+""",
+)
+def q_cluster_aware_split(spark, sf_dir):
+    from .operators.dedup import cluster_aware_split
+
+    docs = spark.table("documents")
+    pairs = _mh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    return cluster_aware_split(_nd_clusters(docs, pairs))
+
+
 # the dedup decision input: cluster-size spectrum + redundant mass —
 # what cluster_prune WILL remove, read before committing a threshold
 @query(
@@ -7700,7 +7723,10 @@ def q_dsir_weights(spark, sf_dir):
 # ivf_recall_at_10 enters ungraded on registration (ANN recall
 # observability; the IVF/brute machinery it composes is graded via
 # embedding_ivf_persisted + embedding_sq8_topk).
+# cluster_aware_split enters ungraded on registration (leakage-proof
+# split; composes graded-family CC + dataset_split's hash convention).
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "cluster_aware_split",
     "ivf_recall_at_10",
     "dedup_cluster_histogram",
     "ngram_containment_pairs",

@@ -12,6 +12,7 @@ import random
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from etl_gamma_spark.registry import (
     _BPE_FIXED_MERGES,
@@ -212,3 +213,38 @@ def test_cluster_size_histogram_accounting(spark):
     assert got == {3: (1, 3, 2), 2: (1, 2, 1), 1: (2, 2, 0)}
     assert sum(d for _, d, _ in got.values()) == 7
     assert sum(r for _, _, r in got.values()) == 3  # prune removes 3 docs
+
+
+def test_cluster_aware_split_never_straddles_a_cluster(spark):
+    """The op's contract: every near-dup cluster lands whole in one
+    split — and the doc-hash split (dataset_split's bucket) WOULD have
+    straddled at least one of these clusters, demonstrating the leak
+    the cluster-keyed hash prevents."""
+    from etl_gamma_spark.functions import text as T
+    from etl_gamma_spark.operators.dedup import cluster_aware_split
+
+    # 40 docs in 8 clusters of 5 (ids chosen so doc-hash buckets differ
+    # within clusters with overwhelming probability)
+    rows = [(c * 100 + i, c * 100) for c in range(8) for i in range(5)]
+    clusters = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    labeled = cluster_aware_split(clusters, train_pct=60, val_pct=20)
+    per_cluster = {
+        r.cluster_id: r.n
+        for r in labeled.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .collect()
+    }
+    assert set(per_cluster.values()) == {1}  # no cluster straddles
+    splits = {r.split for r in labeled.collect()}
+    assert len(splits) > 1  # the hash actually spreads across splits
+    doc_buckets = clusters.selectExpr(
+        "cluster_id",
+        f"{T.hexint('CAST(doc_id AS STRING)', T.SPARK)} % 100 < 60 AS in_train",
+    )
+    straddled = (
+        doc_buckets.groupBy("cluster_id")
+        .agg(F.countDistinct("in_train").alias("n"))
+        .filter("n > 1")
+        .count()
+    )
+    assert straddled > 0  # the doc-hash split would have leaked
