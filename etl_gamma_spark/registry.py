@@ -7715,11 +7715,12 @@ def q_dsir_weights(spark, sf_dir):
 # graded-family machinery, the two-aggregate histogram pytest-checked).
 #
 # Banked for the round-11 rotation: the round-10 end-of-round driver_sim
-# ran green at sf0.01 (167/165/0) AND sf0.1 (167/165/0) on the exact
+# ran green at sf0.01 (168/166/0) AND sf0.1 (168/166/0) on the exact
 # final tree containing all six new ungraded queries
-# (ivf_recall_at_10, dedup_cluster_histogram, ngram_containment_pairs,
-# sink_audit_stamps, bpe_encode_fixed — plus minhash_index_maintain,
-# rotated in this round) — each is protocol-eligible next round.
+# (cluster_aware_split, ivf_recall_at_10, dedup_cluster_histogram,
+# ngram_containment_pairs, sink_audit_stamps, bpe_encode_fixed — plus
+# minhash_index_maintain, rotated in and graded this round) — each is
+# protocol-eligible next round.
 # ivf_recall_at_10 enters ungraded on registration (ANN recall
 # observability; the IVF/brute machinery it composes is graded via
 # embedding_ivf_persisted + embedding_sq8_topk).
