@@ -922,7 +922,15 @@ def append_chunk_index(
     batch = chunk_fingerprint_index(
         accepted_docs, text_col, id_col, w, mask_mod
     )
-    novel = batch.join(stored.select("fh"), "fh", "left_anti")
+    # Materialize the novelty anti-join BEFORE the append job: the probe
+    # reads index_path and the append writes into it — relying on Spark's
+    # listing snapshot is fragile under concurrent appenders or
+    # list-inconsistent committers (ADVICE r10). The eager checkpoint
+    # completes the read entirely before any write begins, matching the
+    # sibling append helpers (which never read the stored index).
+    novel = batch.join(stored.select("fh"), "fh", "left_anti").localCheckpoint(
+        eager=True
+    )
     novel.write.mode("append").parquet(index_path)
     if compact_target_mb is not None:
         from ..sources.sink import compact_small_files

@@ -3927,9 +3927,15 @@ def q_substring_index_maintain(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 17 != 0)
     tmp = _tf.mkdtemp(prefix="etl_gamma_substr_idx_")
     try:
-        DD.write_substring_index(corpus.filter(F.col("doc_id") % 2 == 0), tmp)
+        # pmod: a true two-way partition for ANY integer id (ADVICE r10 —
+        # sign-preserving % silently drops negative ids from both halves).
+        DD.write_substring_index(
+            corpus.filter(F.pmod(F.col("doc_id"), 2) == 0), tmp
+        )
         DD.append_substring_index(
-            corpus.filter(F.col("doc_id") % 2 == 1), tmp, compact_target_mb=64
+            corpus.filter(F.pmod(F.col("doc_id"), 2) != 0),
+            tmp,
+            compact_target_mb=64,
         )
         stored = spark.read.parquet(tmp)
         return DD.incremental_substring_spans(batch, stored).localCheckpoint(
@@ -6250,9 +6256,17 @@ def q_minhash_index_maintain(spark, sf_dir):
     corpus = docs.filter("doc_id % 10 <> 0")
     tmp = _tf.mkdtemp(prefix="etl_gamma_minhash_idx_")
     try:
-        DD.write_minhash_index(corpus.filter(F.col("doc_id") % 2 == 0), tmp)
+        # pmod splits the corpus into a true partition for ANY integer id
+        # (sign-preserving % would drop negative ids from both halves —
+        # ADVICE r10); fixture ids are non-negative, so the graded answer
+        # is unchanged.
+        DD.write_minhash_index(
+            corpus.filter(F.pmod(F.col("doc_id"), 2) == 0), tmp
+        )
         DD.append_minhash_index(
-            corpus.filter(F.col("doc_id") % 2 == 1), tmp, compact_target_mb=64
+            corpus.filter(F.pmod(F.col("doc_id"), 2) != 0),
+            tmp,
+            compact_target_mb=64,
         )
         stored = spark.read.parquet(tmp)
         return DD.incremental_neardup_pairs(batch, stored).localCheckpoint(
@@ -6722,6 +6736,18 @@ _BPE_FIXED_MERGES: tuple[tuple[int, str, str], ...] = (
 def _bpe_encode_fixed_sql(
     d: str, merges: tuple[tuple[int, str, str], ...] = _BPE_FIXED_MERGES
 ) -> str:
+    # Enforce the documented marker-byte contract (ADVICE r10): symbols
+    # are interpolated into single-quoted SQL literals and delimited by
+    # \x02/\x03 markers, so a quote would break the generated SQL and a
+    # marker byte would forge a boundary. The shipped table is safe; the
+    # fuzz tests pass their own, so the contract must be enforced here.
+    for _r, _a, _b in merges:
+        for _sym in (_a, _b):
+            if "'" in _sym or "\x02" in _sym or "\x03" in _sym:
+                raise ValueError(
+                    "BPE merge symbols must not contain single quotes or "
+                    f"the \\x02/\\x03 marker bytes: {_sym!r}"
+                )
     merge_rows = ",\n        ".join(
         f"({r}, '{a}', '{b}')" for r, a, b in merges
     )
@@ -7726,13 +7752,42 @@ def q_dsir_weights(spark, sf_dir):
 # embedding_ivf_persisted + embedding_sq8_topk).
 # cluster_aware_split enters ungraded on registration (leakage-proof
 # split; composes graded-family CC + dataset_split's hash convention).
+# Round-11 rotation (ONE batch, per the round-10 protocol rule): IN are
+# the six banked round-10 registrations (cluster_aware_split,
+# ivf_recall_at_10, dedup_cluster_histogram, ngram_containment_pairs,
+# sink_audit_stamps, bpe_encode_fixed — both-SF driver_sim proof banked
+# on the final r10 tree, registry note above), the two never-graded
+# streaming carriers (streaming_dedup_watermark, streaming_dim_enrich —
+# VERDICT r10 item 4), and the six oldest never-graded tail entries
+# (also_bought_topk, boilerplate_chunks, cap_docs_per_source,
+# token_histogram, doc_sliding_chunks, export_shards). OUT are the 14
+# most-proven graded queries; banked-green-rounds audit computed from
+# CORRECTNESS_r{1..10}.json:
+#   clients_never_transferred   10 (r1-r10)   receita_farmer_m_presente 10
+#   responsibility_periods      10            ultimas_datas_meses       10
+#   fechamento_m_presente        9 (r2-r10)   receita_cliente            9
+#   receita_produto_f_m_passado  9            responsibility_filter      9
+#   sink_overwrite_scope         7 (r4-r10)   schema_evolution           5
+#   rrf_fusion                   4 (r7-r10)   html_text_extract          3
+#   tpch_q1_pricing_summary      3 (r8-r10)   receita_farmer_m_passado_one
+#                                             3 (r2,r3,r10 — P5 graded
+#                                             direct in r10)
+# Both-SF driver_sim re-run green on THIS round's tree after the edit.
 UNGRADED_QUERIES: tuple[str, ...] = (
-    "cluster_aware_split",
-    "ivf_recall_at_10",
-    "dedup_cluster_histogram",
-    "ngram_containment_pairs",
-    "sink_audit_stamps",
-    "bpe_encode_fixed",
+    "clients_never_transferred",
+    "receita_farmer_m_presente",
+    "responsibility_periods",
+    "ultimas_datas_meses",
+    "fechamento_m_presente",
+    "receita_cliente",
+    "receita_produto_f_m_passado",
+    "responsibility_filter",
+    "sink_overwrite_scope",
+    "schema_evolution",
+    "rrf_fusion",
+    "html_text_extract",
+    "tpch_q1_pricing_summary",
+    "receita_farmer_m_passado_one",
     "receita_farmer_m_passado",
     "responsibility_enrich",
     "fechamento_periodo",
@@ -7790,7 +7845,6 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "receita_rolling_3m",
     "supplier_window_overlaps",
     "event_key_skew",
-    "streaming_dim_enrich",
     "bpe_merges",
     "bpe_token_histogram",
     "user_mode_event_type",
@@ -7807,15 +7861,10 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "streaming_windowed_events",
     "ngram_jaccard_pairs",
     "cluster_prune",
-    "cap_docs_per_source",
     "user_rank_by_events",
     "clients_per_farmer_list",
     "client_revenue_pct_rank",
-    "also_bought_topk",
-    "streaming_dedup_watermark",
-    "doc_sliding_chunks",
     "purchase_nearest_view",
-    "token_histogram",
     "cumulative_revenue",
     "orders_expectations",
     "receita_unpivot",
@@ -7823,8 +7872,6 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "clients_churned_feb",
     "lang_id",
     "active_clients_dedup_union",
-    "boilerplate_chunks",
-    "export_shards",
     "receita_gap_fill",
     "exact_dedup",
     "stratified_sample",

@@ -60,6 +60,17 @@ def test_bpe_fixed_oracle_matches_python_on_hand_cases():
     assert _duck_encode(rows, merges) == _py_encode(rows, merges)
 
 
+def test_bpe_fixed_oracle_rejects_contract_breaking_symbols():
+    """ADVICE r10: symbols land in single-quoted SQL literals delimited
+    by \\x02/\\x03 markers — the generator must refuse symbols that
+    would break or forge the generated oracle, not emit wrong SQL."""
+    for bad in ("o'brien", "a\x02b", "c\x03"):
+        with pytest.raises(ValueError):
+            _bpe_encode_fixed_sql(_D, ((1, bad, "x"),))
+        with pytest.raises(ValueError):
+            _bpe_encode_fixed_sql(_D, ((1, "x", bad),))
+
+
 def test_bpe_fixed_oracle_merges_symbol_runs_like_the_fold():
     # the documented divergence class for the UNMARKED restatement:
     # 'aaaa' under pair (a,a) must become [aa, aa]; 'aaa' -> [aa, a].
@@ -150,14 +161,22 @@ def test_stamp_audit_pinned_vs_now(spark):
 
     from etl_gamma_spark.sources.sink import stamp_audit
 
+    # collect() renders TimestampType as naive datetimes in the DRIVER's
+    # local timezone (ADVICE r10: a naive-literal comparison assumed a
+    # UTC host) — normalize both sides to aware UTC instants instead.
+    def _utc(naive):
+        return naive.astimezone(dt.timezone.utc)
+
     df = spark.range(5)
     pinned = stamp_audit(df, as_of="1996-01-15 07:30:00")
-    vals = {r.updated_at for r in pinned.collect()}
-    assert vals == {dt.datetime(1996, 1, 15, 7, 30)}
-    now_vals = {r.updated_at for r in stamp_audit(df).collect()}
+    vals = {_utc(r.updated_at) for r in pinned.collect()}
+    assert vals == {
+        dt.datetime(1996, 1, 15, 7, 30, tzinfo=dt.timezone.utc)
+    }
+    now_vals = {_utc(r.updated_at) for r in stamp_audit(df).collect()}
     assert len(now_vals) == 1  # one stamp per write, vectorized
     assert abs(
-        (now_vals.pop() - dt.datetime.now()).total_seconds()
+        (now_vals.pop() - dt.datetime.now(dt.timezone.utc)).total_seconds()
     ) < 600
 
 

@@ -170,8 +170,18 @@ PROBE_QUERIES = [
     # directed containment: at 100 copies every shingle's df exceeds the
     # max_df=50 cap, so the guard withdraws the pair machinery from the
     # all-duplicates regime (like substring_dup_spans) and the measured
-    # wall is the linear shingle/size passes
+    # wall is the linear shingle/size passes. At 10 copies the cap does
+    # NOT saturate (df ≈ 10-20 per replicated shingle < 50), so the 10x
+    # row exercises the directed pair join itself — measure it there
+    # (VERDICT r10 item 3).
     "ngram_containment_pairs",
+    # round-11 (VERDICT r10 item 5): the two CC-composition reports —
+    # narrow aggregates over neardup_clusters' output, so their 100x
+    # cost is the shared CC upstream plus one groupBy each; the
+    # histogram at 100x is the operator's actual use-case (reading the
+    # duplicate-mass spectrum of a duplicate-heavy corpus)
+    "dedup_cluster_histogram",
+    "cluster_aware_split",
 ]
 
 
