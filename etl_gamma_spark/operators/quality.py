@@ -840,3 +840,141 @@ def dsir_weights(
         " AS DECIMAL(18,0)) * CAST(0.000000001 AS DECIMAL(10,9))"
         " AS DECIMAL(18,9)) AS avg_w",
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_pred: str,
+    k: int = 100,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The selection step DSIR exists for: keep the ``k`` documents whose
+    importance weight says they look most like the target domain
+    (Xie et al. 2023 select by top importance weight; the paper resamples,
+    but with deterministic weights the top-k is the reproducible variant
+    a data pipeline actually ships). Composes :func:`dsir_weights` with a
+    global top-k — ``avg_w`` is an exact DECIMAL(18,9), so the order is
+    engine-identical, and the doc-id tiebreak makes it total.
+
+    Scale posture: the dsir_weights pipeline (two corpus passes, bounded
+    model state) followed by TakeOrdered(k) — per-partition heaps of k
+    rows, no global sort materialization.
+    """
+    w = dsir_weights(docs, target_pred, n_buckets, text_col, id_col)
+    return w.orderBy(F.desc("avg_w"), F.col(id_col)).limit(k)
+
+
+def priority_sample(
+    docs: DataFrame,
+    k: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = 1 << 20,
+) -> DataFrame:
+    """Weighted sample-without-replacement of ``k`` documents per group,
+    inclusion probability increasing in document quality — priority
+    sampling (Duffield, Lund, Thorup 2007, public): row i gets priority
+    p_i = w_i / u_i with u_i uniform on (0,1], the k highest priorities
+    per group are the sample, and w_est_i = max(w_i, tau) (tau = the
+    (k+1)-th priority, 0 if the group has <= k rows) makes any
+    subset-sum of w estimable without bias from the sample alone — the
+    principled way to downsample a corpus stratum while keeping its
+    aggregate statistics recoverable.
+
+    Deterministic AND engine-portable by construction: u_i maps the
+    md5-based hexint of the doc id onto the (0,1] lattice
+    ((h % m + 1) / (m + 1) — integers below 2^53 are exact in a double,
+    and IEEE division is correctly rounded in both engines), w_i is the
+    shared-verbatim quality_expr double, and priorities involve ONLY
+    division and comparison — no transcendentals (the ln-based
+    Efraimidis-Spirtakis keying would break bit-parity; CLAUDE.md ln
+    rule), so every priority is bit-identical across engines and the
+    (p DESC, doc_id) order is total.
+
+    Scale posture: one spread narrow projection (the md5/regex work runs
+    once per row, 5 scalar columns out), one per-group window over that
+    narrow frame (the topk_per_group shape — partitions carry 5 scalars
+    per row, never text), a bounded (k+1 rows per group) eager
+    checkpoint feeding both the sample and the tau lookup (two
+    consumers — the cap_hot_keys caller rule), and a broadcast tau
+    attach. A corpus-scale hot group serializes only the narrow frame's
+    sort, not document payloads; at 1000-executor scale the windowed
+    stage is the standard per-key top-k pattern.
+    """
+    from .temporal import topk_per_group
+
+    base = (
+        spread(docs)
+        .selectExpr(
+            id_col,
+            group_col,
+            f"({T.quality_expr(text_col, S)}) AS w",
+            f"(CAST({T.hexint(T.tostr(id_col, S), S)} % {m} + 1 AS DOUBLE)"
+            f" / {float(m + 1)}) AS u",
+        )
+        .withColumn("p", F.expr("w / u"))
+    )
+    ranked = topk_per_group(base, group_col, "p", k + 1, id_col).localCheckpoint()
+    tau = ranked.filter(F.col("rank") == k + 1).select(
+        group_col, F.col("p").alias("__tau")
+    )
+    return (
+        ranked.filter(F.col("rank") <= k)
+        .join(F.broadcast(tau), group_col, "left")
+        .withColumn(
+            "w_est",
+            F.expr("greatest(w, coalesce(__tau, CAST(0.0 AS DOUBLE)))"),
+        )
+        .select(group_col, id_col, "rank", "w", "u", "p", "w_est")
+    )
+
+
+def lang_quality_mix(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The curation decision table: predicted language x quality decile,
+    with document count, character mass, and the permille share of the
+    corpus in each cell — what you read before choosing per-language
+    keep thresholds (the cross of lang_id and quality_prune's signal).
+
+    Engine parity: the language argmax and the quality score are the
+    shared-verbatim expressions (functions/text.py — already graded
+    through lang_id / quality_prune); the decile is floor of a
+    bit-identical double (tie-free: the score is a ratio sum that never
+    lands exactly on a tenth except at the exact-integer endpoints,
+    where floor agrees anyway); shares are HALF-truncating integer
+    division (T.idiv, non-negative).
+
+    Scale posture: one spread projection, ONE hash aggregate to a
+    <= n_langs x 11 frame, then a 1-row broadcast total attach
+    (bcast_attach — BroadcastHashJoin, codegen kept). Linear scan,
+    bounded output.
+    """
+    s = spread(docs).selectExpr(
+        id_col,
+        f"length({text_col}) AS len",
+        *T.lang_scores(text_col, S),
+        f"({T.quality_expr(text_col, S)}) AS q",
+    )
+    lab = s.selectExpr(
+        f"{T.lang_pick_expr()} AS predicted_lang",
+        "CAST(floor(q * 10) AS INTEGER) AS q_decile",
+        "len",
+    )
+    g = lab.groupBy("predicted_lang", "q_decile").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(len) AS BIGINT)").alias("n_chars"),
+    )
+    tot = g.agg(F.expr("CAST(SUM(n_docs) AS BIGINT)").alias("__n"))
+    return bcast_attach(g, tot, "n_docs", "__n").selectExpr(
+        "predicted_lang",
+        "q_decile",
+        "n_docs",
+        "n_chars",
+        f"{T.idiv('n_docs * 1000', '__n', S)} AS permille_docs",
+    )

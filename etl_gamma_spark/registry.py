@@ -7430,6 +7430,116 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(spark.table("documents"), _DSIR_TARGET)
 
 
+# ---------------------------------------------------------------------------
+# round-11 additions: the DSIR selection step (weights -> kept top-k),
+# priority sampling (Duffield-Lund-Thorup weighted sample-without-
+# replacement with the unbiased subset-sum estimator — deterministic and
+# transcendental-free, so fully oracle-checkable), and the language x
+# quality curation crosstab. All enter UNGRADED on registration; rotate
+# in a later round under the banked-green protocol.
+# ---------------------------------------------------------------------------
+
+_DSIR_SELECT_K = 100
+
+
+@query(
+    "dsir_select",
+    _dsir_sql(_D) + f"ORDER BY avg_w DESC, doc_id LIMIT {_DSIR_SELECT_K}",
+)
+def q_dsir_select(spark, sf_dir):
+    """The step DSIR exists for: keep the top-k documents by importance
+    weight (quality.py::dsir_select docstring). avg_w is an exact
+    DECIMAL(18,9) with a doc_id tiebreak, so the kept SET is
+    deterministic and engine-identical; the plan is dsir_weights +
+    TakeOrdered(k) (per-partition heaps, no global sort)."""
+    from .operators.quality import dsir_select
+
+    return dsir_select(
+        spark.table("documents"), _DSIR_TARGET, k=_DSIR_SELECT_K
+    )
+
+
+_PRIO_K = 5
+_PRIO_M = 1 << 20
+
+
+def _priority_sample_sql(d: str, k: int = _PRIO_K, m: int = _PRIO_M) -> str:
+    return f"""
+WITH base AS (
+    SELECT doc_id, source,
+           ({T.quality_expr('text', d)}) AS w,
+           (CAST({T.hexint(T.tostr('doc_id', d), d)} % {m} + 1 AS DOUBLE)
+            / {float(m + 1)}) AS u
+    FROM documents
+),
+scored AS (SELECT *, w / u AS p FROM base),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY p DESC, doc_id) AS rank
+    FROM scored
+),
+tau AS (
+    SELECT source, MAX(CASE WHEN rank = {k + 1} THEN p END) AS t
+    FROM ranked WHERE rank <= {k + 1} GROUP BY source
+)
+SELECT r.source, r.doc_id, r.rank, r.w, r.u, r.p,
+       greatest(r.w, coalesce(t.t, CAST(0.0 AS DOUBLE))) AS w_est
+FROM ranked r JOIN tau t USING (source)
+WHERE r.rank <= {k}
+"""
+
+
+@query("priority_sample", _priority_sample_sql(_D))
+def q_priority_sample(spark, sf_dir):
+    """Priority sampling per source (quality.py::priority_sample) — the
+    priorities are quality/u with u a hash lattice point, only division
+    and comparison on doubles (bit-identical across engines, no
+    transcendentals), so the sample AND the DLT estimator column are
+    fully value-hash graded."""
+    from .operators.quality import priority_sample
+
+    return priority_sample(spark.table("documents"), k=_PRIO_K, m=_PRIO_M)
+
+
+def _lang_quality_mix_sql(d: str) -> str:
+    scores = ",\n           ".join(T.lang_scores("text", d))
+    return f"""
+WITH s AS (
+    SELECT doc_id, length(text) AS len,
+           {scores},
+           ({T.quality_expr('text', d)}) AS q
+    FROM documents
+),
+lab AS (
+    SELECT {T.lang_pick_expr()} AS predicted_lang,
+           CAST(floor(q * 10) AS INTEGER) AS q_decile, len
+    FROM s
+),
+g AS (
+    SELECT predicted_lang, q_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len) AS BIGINT) AS n_chars
+    FROM lab GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM g)
+SELECT predicted_lang, q_decile, n_docs, n_chars,
+       {T.idiv('n_docs * 1000', 'n', d)} AS permille_docs
+FROM g CROSS JOIN tot
+"""
+
+
+@query("lang_quality_mix", _lang_quality_mix_sql(_D))
+def q_lang_quality_mix(spark, sf_dir):
+    """Language x quality-decile curation crosstab
+    (quality.py::lang_quality_mix): shared-verbatim language argmax and
+    quality score, ONE hash aggregate to a bounded frame, 1-row
+    broadcast total via bcast_attach (BroadcastHashJoin, codegen kept —
+    the oracle's CROSS JOIN tot is the literal-1-row benign case)."""
+    from .operators.quality import lang_quality_mix
+
+    return lang_quality_mix(spark.table("documents"))
+
+
 # Round-7 rotation: the three round-7 operator families move INTO the
 # graded window (rrf_fusion — hybrid retrieval fusion;
 # tpch_q6_forecast_revenue — the pure scan-predicate showcase;
@@ -7773,7 +7883,19 @@ def q_dsir_weights(spark, sf_dir):
 #                                             3 (r2,r3,r10 — P5 graded
 #                                             direct in r10)
 # Both-SF driver_sim re-run green on THIS round's tree after the edit.
+#
+# Round-11 registrations (all enter ungraded; rotate in a later round):
+#   dsir_select        — DSIR's selection step; the dsir_weights pipeline
+#                        (graded r7-r10) + an exact-decimal TakeOrdered
+#   priority_sample    — DLT weighted sampling; transcendental-free
+#                        priorities, per-group top-k window (the graded
+#                        tfidf_top_terms / topk_users family shape)
+#   lang_quality_mix   — lang x quality crosstab; shared-verbatim exprs
+#                        already graded via lang_id / quality_prune
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "dsir_select",
+    "priority_sample",
+    "lang_quality_mix",
     "clients_never_transferred",
     "receita_farmer_m_presente",
     "responsibility_periods",

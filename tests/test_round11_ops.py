@@ -1,0 +1,126 @@
+"""Round-11 additions: the DSIR selection step, priority sampling
+(Duffield-Lund-Thorup 2007), and the language x quality curation
+crosstab.
+
+priority_sample's value is its estimator contract: the k highest
+priorities p = w/u per group plus tau (the (k+1)-th priority) make
+w_est = max(w, tau) an unbiased estimator of any subset-sum of w over
+the FULL group from the sample alone. These tests pin the mechanical
+invariants (sample size, tau derivation, estimator formula, small-group
+degeneracy) against a hand-computed reference; unbiasedness itself is a
+property of the scheme (the cited public paper), not of one draw."""
+
+import hashlib
+
+import pytest
+
+from etl_gamma_spark.operators.quality import (
+    dsir_select,
+    dsir_weights,
+    lang_quality_mix,
+    priority_sample,
+)
+
+M = 1 << 20
+
+
+def _u(doc_id: int) -> float:
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+    return float(h % M + 1) / float(M + 1)
+
+
+def test_priority_sample_matches_hand_computed_reference(spark):
+    # two groups: 'a' bigger than k (tau binds), 'b' smaller (tau = 0)
+    rows = [(i, "a", f"doc {i} " + "tok " * (i % 7 + 2)) for i in range(10)]
+    rows += [(100 + i, "b", f"short {i} text here") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    k = 4
+    got = {
+        r.doc_id: r for r in priority_sample(docs, k=k, m=M).collect()
+    }
+
+    # reference: recompute w from the collected rows (w itself is the
+    # shared quality_expr — pinned elsewhere), rank by p = w/u
+    base = docs.selectExpr(
+        "doc_id",
+        "source",
+    ).collect()
+    w_by_id = {r.doc_id: got[r.doc_id].w for r in base if r.doc_id in got}
+    for g in ("a", "b"):
+        members = [r.doc_id for r in base if r.source == g]
+        # priorities for every member need w for every member — pull from
+        # a k=len run (samples everything, tau never binds)
+        full = {
+            r.doc_id: r
+            for r in priority_sample(docs, k=len(members), m=M).collect()
+            if r.source == g
+        }
+        prios = sorted(
+            ((full[i].w / _u(i), i) for i in members),
+            key=lambda t: (-t[0], t[1]),
+        )
+        expect_ids = [i for _, i in prios[:k]]
+        got_ids = [i for i in members if i in got]
+        assert sorted(got_ids) == sorted(expect_ids)
+        tau = prios[k][0] if len(prios) > k else 0.0
+        for i in expect_ids:
+            assert got[i].p == pytest.approx(full[i].w / _u(i), abs=0)
+            assert got[i].w_est == max(got[i].w, tau)
+        # u is the documented lattice point
+        for i in expect_ids:
+            assert got[i].u == _u(i)
+
+
+def test_priority_sample_small_group_keeps_everything(spark):
+    docs = spark.createDataFrame(
+        [(1, "only", "alpha beta gamma"), (2, "only", "delta epsilon zeta")],
+        "doc_id long, source string, text string",
+    )
+    out = priority_sample(docs, k=5).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+    # no (k+1)-th priority -> tau = 0 -> the estimator is w itself
+    for r in out:
+        assert r.w_est == r.w
+
+
+def test_dsir_select_is_the_topk_of_dsir_weights(spark):
+    docs = spark.createDataFrame(
+        [
+            (i, "src1" if i % 3 == 0 else "srcX",
+             f"alpha beta doc{i} gamma delta word{i % 5}")
+            for i in range(30)
+        ],
+        "doc_id long, source string, text string",
+    )
+    pred = "source IN ('src1')"
+    k = 7
+    all_w = dsir_weights(docs, pred).collect()
+    expect = sorted(all_w, key=lambda r: (-r.avg_w, r.doc_id))[:k]
+    got = dsir_select(docs, pred, k=k).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in expect]
+    assert [r.avg_w for r in got] == [r.avg_w for r in expect]
+
+
+def test_lang_quality_mix_accounting(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog of it"),
+            (2, "der und die das ein ist nicht von mit sich"),
+            (3, "zzz qqq xxx www"),
+            (4, "the of and to in it is was he for"),
+        ],
+        "doc_id long, text string",
+    )
+    out = lang_quality_mix(docs).collect()
+    assert sum(r.n_docs for r in out) == 4
+    # every cell's permille is floor(n*1000/4); totals stay within
+    # truncation slack of 1000
+    total_permille = sum(r.permille_docs for r in out)
+    assert 1000 - len(out) < total_permille <= 1000
+    assert sum(r.n_chars for r in out) == sum(
+        len(r.text) for r in docs.collect()
+    )
+    langs = {r.predicted_lang for r in out}
+    assert "en" in langs and ("de" in langs) and ("und" in langs)
+    for r in out:
+        assert 0 <= r.q_decile <= 10
