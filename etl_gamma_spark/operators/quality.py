@@ -966,9 +966,18 @@ def lang_quality_mix(
         "CAST(floor(q * 10) AS INTEGER) AS q_decile",
         "len",
     )
-    g = lab.groupBy("predicted_lang", "q_decile").agg(
-        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
-        F.expr("CAST(SUM(len) AS BIGINT)").alias("n_chars"),
+    # materialize the bounded (<= n_langs x 11 rows) aggregate before
+    # deriving the total from it: with two consumers the md5/regex-heavy
+    # corpus projection would otherwise run twice (exchange reuse does
+    # not fire across the differing consumer plans here — measured, the
+    # build side re-planned the full scan)
+    g = (
+        lab.groupBy("predicted_lang", "q_decile")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(SUM(len) AS BIGINT)").alias("n_chars"),
+        )
+        .localCheckpoint()
     )
     tot = g.agg(F.expr("CAST(SUM(n_docs) AS BIGINT)").alias("__n"))
     return bcast_attach(g, tot, "n_docs", "__n").selectExpr(

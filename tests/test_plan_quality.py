@@ -711,3 +711,37 @@ def test_intradoc_spans_plan_shape(spark):
         intradoc_repeat_spans(docs)._jdf.queryExecution().analyzed().toString()
     )
     assert not _non_cap_broadcast_hints(analyzed)
+
+
+def test_priority_sample_plan_shape(spark):
+    # the only window runs over the 5-scalar narrow frame (never document
+    # text); tau attaches by BroadcastHashJoin; the ranked frame is a
+    # materialized RDD (eager checkpoint — two consumers), so the final
+    # plan scans no parquet and re-derives nothing
+    plan = _explain(QUERIES["priority_sample"](spark, SF_CORRECT))
+    assert plan.count("Location: InMemoryFileIndex") == 0, plan
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_select_takeordered_no_global_sort(spark):
+    # the selection is per-partition heaps (TakeOrdered), never a
+    # rangepartitioned global sort materialization
+    plan = _explain(QUERIES["dsir_select"](spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_lang_quality_mix_single_scan_bounded_agg(spark):
+    # the corpus-scanning aggregate is materialized (bounded frame), so
+    # the final plan reads NO parquet and the heavy projection cannot
+    # run once per consumer; the 1-row total attaches by
+    # BroadcastHashJoin (bcast_attach), codegen intact
+    plan = _explain(QUERIES["lang_quality_mix"](spark, SF_CORRECT))
+    assert plan.count("Location: InMemoryFileIndex") == 0, plan
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan

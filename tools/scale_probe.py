@@ -182,6 +182,14 @@ PROBE_QUERIES = [
     # duplicate-mass spectrum of a duplicate-heavy corpus)
     "dedup_cluster_histogram",
     "cluster_aware_split",
+    # round-11 additions: DSIR selection (bounded-model pipeline + a
+    # TakeOrdered — expect the dsir_weights curve), priority sampling
+    # (one narrow projection + per-group top-k window over 5 scalar
+    # columns), and the lang x quality crosstab (one hash agg to a
+    # bounded frame)
+    "dsir_select",
+    "priority_sample",
+    "lang_quality_mix",
 ]
 
 
