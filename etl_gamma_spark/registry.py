@@ -7540,6 +7540,143 @@ def q_lang_quality_mix(spark, sf_dir):
     return lang_quality_mix(spark.table("documents"))
 
 
+_SWEEP_PROBES = (1, 2, 4, 8)
+
+
+def _ivf_recall_sweep_sql() -> str:
+    """Per-n_probe recall blocks over the shared IVF CTE prefix — the
+    same machinery as _IVF_RECALL_SQL, parameterized by probe width."""
+    blocks = []
+    for np_ in _SWEEP_PROBES:
+        blocks.append(
+            f"""probe{np_} AS (
+    SELECT centroid_id FROM c CROSS JOIN q
+    ORDER BY {dist2_unrolled('q.qv', 'c.centroid', 64, _D)}, centroid_id
+    LIMIT {np_}
+),
+cand{np_} AS (
+    SELECT a.vec_id FROM assign a JOIN probe{np_} USING (centroid_id)
+    WHERE a.vec_id != 0
+),
+ivf{np_} AS (
+    SELECT e.vec_id FROM e JOIN cand{np_} USING (vec_id) CROSS JOIN q
+    ORDER BY {_DUCK_COSINE} DESC, e.vec_id
+    LIMIT 10
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({np_} AS BIGINT) AS n_probe,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_overlap,"
+        f" CAST(COUNT(*) * 10 AS BIGINT) AS recall_pct"
+        f" FROM ivf{np_} JOIN brute USING (vec_id)"
+        for np_ in _SWEEP_PROBES
+    )
+    return (
+        _ivf_common_sql()
+        + """,
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+"""
+        + ",\n".join(blocks)
+        + f""",
+brute AS (
+    SELECT e.vec_id FROM e CROSS JOIN q
+    WHERE e.vec_id != 0
+    ORDER BY {_DUCK_COSINE} DESC, e.vec_id
+    LIMIT 10
+)
+"""
+        + selects
+    )
+
+
+@query("ivf_recall_sweep", _ivf_recall_sweep_sql())
+def q_ivf_recall_sweep(spark, sf_dir):
+    """The ANN tuning curve: recall@10 at n_probe in (1, 2, 4, 8) against
+    the exact brute-force ranking — how an operator picks the probe
+    width for a 100 TB corpus (widen until recall plateaus, every extra
+    cell is linear probe cost). Extends graded ivf_recall_at_10 from a
+    point to the curve: same bit-identical cosine, same total order,
+    exact integer overlap counts per sweep leg; the four legs reuse ONE
+    index build and ONE materialized brute-force top-10 (10-row
+    checkpoint — the probes join against it, never recompute it)."""
+    from .operators.similarity import brute_force_topk
+
+    emb = spark.table("embeddings")
+    index = _ivf_index(spark)
+    brute = (
+        brute_force_topk(emb, query_id=0, k=10)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    legs = []
+    for np_ in _SWEEP_PROBES:
+        ivf = ivf_topk(
+            emb, query_id=0, k=10, n_probe=np_, index=index
+        ).select("vec_id")
+        legs.append(
+            ivf.join(brute, "vec_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+            .selectExpr(
+                f"CAST({np_} AS BIGINT) AS n_probe",
+                "n_overlap",
+                "CAST(n_overlap * 10 AS BIGINT) AS recall_pct",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _tokenizer_fertility_sql(d: str, table: str = "documents") -> str:
+    """Tokenizer fertility per predicted language — the tokens-per-word
+    and chars-per-token ratios an LLM-data team reads per language before
+    committing a tokenizer (high fertility = the tokenizer fragments that
+    language). Shared-verbatim in both dialects: the language argmax, the
+    whitespace and BPE-ish token counts, exact integer sums, and
+    truncating permille ratios (T.idiv, non-negative)."""
+    scores = ",\n           ".join(T.lang_scores("text", d))
+    return f"""
+WITH s AS (
+    SELECT {scores},
+           length(text) AS n_chars,
+           {T.asize(T.split_ws('text', d), d)} AS ws_tokens,
+           {T.bpe_token_count('text', d)} AS bpe_tokens
+    FROM {table}
+),
+lab AS (
+    SELECT {T.lang_pick_expr()} AS predicted_lang,
+           n_chars, ws_tokens, bpe_tokens
+    FROM s
+),
+g AS (
+    SELECT predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM lab GROUP BY 1
+)
+SELECT predicted_lang, n_docs, ws_tokens, bpe_tokens, n_chars,
+       {T.idiv('bpe_tokens * 1000', 'ws_tokens', d)} AS fertility_permille,
+       {T.idiv('n_chars * 1000', 'bpe_tokens', d)} AS chars_per_token_permille
+FROM g
+"""
+
+
+@query("tokenizer_fertility", _tokenizer_fertility_sql(_D))
+def q_tokenizer_fertility(spark, sf_dir):
+    """Shared-verbatim SQL over a spread view (the text_stats pattern):
+    one scan, one bounded hash aggregate (<= n_langs rows), integer-exact
+    ratio columns."""
+    from .io import spread
+
+    spread(spark.table("documents")).createOrReplaceTempView(
+        "__documents_tokfert"
+    )
+    return spark.sql(_tokenizer_fertility_sql(_S, "__documents_tokfert"))
+
+
 # Round-7 rotation: the three round-7 operator families move INTO the
 # graded window (rrf_fusion — hybrid retrieval fusion;
 # tpch_q6_forecast_revenue — the pure scan-predicate showcase;
@@ -7892,10 +8029,16 @@ def q_lang_quality_mix(spark, sf_dir):
 #                        tfidf_top_terms / topk_users family shape)
 #   lang_quality_mix   — lang x quality crosstab; shared-verbatim exprs
 #                        already graded via lang_id / quality_prune
+#   ivf_recall_sweep   — the ANN tuning curve (recall@10 per n_probe);
+#                        extends graded ivf_recall_at_10 point-to-curve
+#   tokenizer_fertility — per-language tokens/word + chars/token ratios;
+#                        shared-verbatim exprs, one bounded aggregate
 UNGRADED_QUERIES: tuple[str, ...] = (
     "dsir_select",
     "priority_sample",
     "lang_quality_mix",
+    "ivf_recall_sweep",
+    "tokenizer_fertility",
     "clients_never_transferred",
     "receita_farmer_m_presente",
     "responsibility_periods",

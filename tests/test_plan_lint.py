@@ -89,9 +89,13 @@ BNLJ_OK = {
 #   rrf_fusion                rank windows over the two top-n_each
 #                             (20-row) lists; the lit(0) partition is
 #                             constant-folded out of the optimized plan
+#   ivf_recall_sweep          the curve variant of ivf_recall_at_10 —
+#                             same seed_centroids LIMIT-K relabel, once
+#                             per probe width
 UNPARTITIONED_WINDOW_OK = {
     "embedding_ivf_topk",
     "ivf_recall_at_10",
+    "ivf_recall_sweep",
     "new_users_daily",
     "client_revenue_pct_rank",
     "client_revenue_quartiles",

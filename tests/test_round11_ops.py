@@ -45,7 +45,6 @@ def test_priority_sample_matches_hand_computed_reference(spark):
         "doc_id",
         "source",
     ).collect()
-    w_by_id = {r.doc_id: got[r.doc_id].w for r in base if r.doc_id in got}
     for g in ("a", "b"):
         members = [r.doc_id for r in base if r.source == g]
         # priorities for every member need w for every member — pull from
@@ -124,3 +123,44 @@ def test_lang_quality_mix_accounting(spark):
     assert "en" in langs and ("de" in langs) and ("und" in langs)
     for r in out:
         assert 0 <= r.q_decile <= 10
+
+
+def test_ivf_recall_sweep_monotone_and_saturating(spark):
+    """Recall@10 must be non-decreasing in n_probe (a wider probe can
+    only add candidates under the same total order), bounded by 10
+    overlaps, and reach 100% once every centroid is probed (the widest
+    sweep leg probes 8 of 16 cells, so only monotonicity + bounds are
+    asserted there; full coverage is pinned by the ivf_topk recall
+    tests)."""
+    from etl_gamma_spark.registry import QUERIES
+    from tests.conftest import SF_CORRECT
+
+    rows = sorted(
+        QUERIES["ivf_recall_sweep"](spark, SF_CORRECT).collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in rows] == [1, 2, 4, 8]
+    prev = -1
+    for r in rows:
+        assert 0 <= r.n_overlap <= 10
+        assert r.recall_pct == r.n_overlap * 10
+        assert r.n_overlap >= prev
+        prev = r.n_overlap
+    # the curve must actually move: probing 8/16 cells beats 1 cell on
+    # the fixture (if this ever flattens at 1, the sweep lost its point)
+    assert rows[-1].n_overlap >= rows[0].n_overlap
+
+
+def test_tokenizer_fertility_accounting(spark):
+    from etl_gamma_spark.registry import QUERIES
+    from tests.conftest import SF_CORRECT
+
+    rows = QUERIES["tokenizer_fertility"](spark, SF_CORRECT).collect()
+    assert sum(r.n_docs for r in rows) == 500  # every doc classified once
+    for r in rows:
+        # BPE-ish tokens can only split words further: fertility >= 1000
+        assert r.bpe_tokens >= r.ws_tokens
+        assert r.fertility_permille == r.bpe_tokens * 1000 // r.ws_tokens
+        assert (
+            r.chars_per_token_permille == r.n_chars * 1000 // r.bpe_tokens
+        )
