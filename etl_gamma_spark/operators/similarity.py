@@ -436,6 +436,51 @@ def ivf_write_index(
     write_full_refresh(centroids, _os.path.join(base_dir, "centroids"))
 
 
+def append_ivf_index(
+    embeddings: DataFrame,
+    base_dir: str,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_target_mb: int | None = None,
+) -> None:
+    """Fold a NEW vector batch into the persisted IVF index — the ANN
+    sibling of dedup.py's append_substring_index / append_minhash_index
+    maintenance steps. Each batch vector is assigned to its nearest
+    centroid from the STORED coarse quantizer (an append never retrains
+    the quantizer — the standard IVF serving contract; retrain offline
+    and rebuild when drift accumulates) and the (vector, centroid_id)
+    rows land in the partitioned cell directories as ONE job-atomic
+    parquet append: readers see the old index until the job commits, the
+    stored vectors are never read, so the append costs O(batch). The
+    append is repartitioned BY THE PARTITION COLUMN first (one file per
+    touched cell per append — the round-9 partitioned-write rule); pass
+    ``compact_target_mb`` every N appends to bin-pack cell directories
+    through the rename-aside swap."""
+    import os as _os
+
+    spark = embeddings.sparkSession
+    cents = spark.read.parquet(_os.path.join(base_dir, "centroids"))
+    emb = embeddings.selectExpr(
+        id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v"
+    )
+    rows = _assign_to(emb, cents, dim, id_col).select(
+        id_col, F.col("v").alias(vec_col), "centroid_id"
+    )
+    rows.repartition("centroid_id").write.mode("append").partitionBy(
+        "centroid_id"
+    ).parquet(_os.path.join(base_dir, "ivf"))
+    if compact_target_mb is not None:
+        from ..sources.sink import compact_small_files
+
+        compact_small_files(
+            spark,
+            _os.path.join(base_dir, "ivf"),
+            compact_target_mb,
+            ["centroid_id"],
+        )
+
+
 def probe_cells(
     spark,
     base_dir: str,

@@ -7677,6 +7677,50 @@ def q_tokenizer_fertility(spark, sf_dir):
     return spark.sql(_tokenizer_fertility_sql(_S, "__documents_tokfert"))
 
 
+@query("ivf_index_maintain", _IVF_TOPK_SQL)
+def q_ivf_index_maintain(spark, sf_dir):
+    """The persisted IVF index's MAINTENANCE loop, driver-visible end to
+    end — the ANN member of the index-maintain family (substring r9,
+    minhash r10, chunk r10): write the partitioned index from half the
+    vectors, fold the other half in via the job-atomic append_ivf_index
+    (+ a rename-aside cell compaction), then probe the STORED index.
+    Assignment is per-row against the same stored quantizer, so the
+    final index content equals ivf_write_index over the full corpus and
+    the oracle is exactly the full-corpus IVF top-k SQL — a lost append,
+    a misrouted cell, or a corrupted compaction changes the answer. The
+    halves split on pmod (any-integer-id safe, the r10 advice rule)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .operators.similarity import (
+        append_ivf_index,
+        ivf_topk_persisted,
+        ivf_write_index,
+    )
+
+    tmp = _tf.mkdtemp(prefix="etl_gamma_ivf_maint_")
+    try:
+        emb = spark.table("embeddings")
+        cents = seed_centroids(emb, _IVF_K)
+        ivf_write_index(
+            emb.filter(F.pmod(F.col("vec_id"), 2) == 0), cents, tmp
+        )
+        append_ivf_index(
+            emb.filter(F.pmod(F.col("vec_id"), 2) != 0),
+            tmp,
+            compact_target_mb=64,
+        )
+        qv = [
+            float(x)
+            for x in emb.filter("vec_id = 0").select("embedding").head()[0]
+        ]
+        return ivf_topk_persisted(
+            spark, tmp, qv, k=10, n_probe=_IVF_PROBE, exclude_id=0
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(tmp, ignore_errors=True)
+
+
 # Round-7 rotation: the three round-7 operator families move INTO the
 # graded window (rrf_fusion — hybrid retrieval fusion;
 # tpch_q6_forecast_revenue — the pure scan-predicate showcase;
@@ -8033,12 +8077,15 @@ def q_tokenizer_fertility(spark, sf_dir):
 #                        extends graded ivf_recall_at_10 point-to-curve
 #   tokenizer_fertility — per-language tokens/word + chars/token ratios;
 #                        shared-verbatim exprs, one bounded aggregate
+#   ivf_index_maintain — the ANN index-maintain sibling (write half /
+#                        job-atomic append half / compact / probe stored)
 UNGRADED_QUERIES: tuple[str, ...] = (
     "dsir_select",
     "priority_sample",
     "lang_quality_mix",
     "ivf_recall_sweep",
     "tokenizer_fertility",
+    "ivf_index_maintain",
     "clients_never_transferred",
     "receita_farmer_m_presente",
     "responsibility_periods",

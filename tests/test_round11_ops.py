@@ -164,3 +164,52 @@ def test_tokenizer_fertility_accounting(spark):
         assert (
             r.chars_per_token_permille == r.n_chars * 1000 // r.bpe_tokens
         )
+
+
+def test_append_ivf_index_equals_full_rebuild(spark, tmp_path):
+    """The maintenance contract: write half, append half -> the stored
+    index holds exactly the rows a full-corpus ivf_write_index would,
+    and the persisted probe returns the full-build answer. Also pins the
+    compaction leaves no scratch directory behind and that appending
+    never reassigns (the stored quantizer is the assignment authority)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_gamma_spark.io import load_table
+    from etl_gamma_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_topk_persisted,
+        ivf_write_index,
+        seed_centroids,
+    )
+    from tests.conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    cents = seed_centroids(emb, 16)
+    full_dir = str(tmp_path / "full")
+    maint_dir = str(tmp_path / "maint")
+    ivf_write_index(emb, cents, full_dir)
+    ivf_write_index(emb.filter(F.pmod(F.col("vec_id"), 2) == 0), cents, maint_dir)
+    append_ivf_index(
+        emb.filter(F.pmod(F.col("vec_id"), 2) != 0),
+        maint_dir,
+        compact_target_mb=64,
+    )
+    assert not os.path.exists(maint_dir + "/ivf._compacting")
+
+    def content(d):
+        return {
+            (r.vec_id, r.centroid_id)
+            for r in spark.read.parquet(f"{d}/ivf")
+            .select("vec_id", "centroid_id")
+            .collect()
+        }
+
+    assert content(maint_dir) == content(full_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").select("embedding").head()[0]]
+    got = ivf_topk_persisted(spark, maint_dir, qv, k=10, exclude_id=0).collect()
+    want = ivf_topk_persisted(spark, full_dir, qv, k=10, exclude_id=0).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == [
+        (r.vec_id, r.cosine) for r in want
+    ]
