@@ -190,6 +190,13 @@ PROBE_QUERIES = [
     "dsir_select",
     "priority_sample",
     "lang_quality_mix",
+    # wave 2/3: the ANN tuning curve (4 probes + 1 brute leg over the
+    # replicated vectors), per-language fertility (one bounded agg), and
+    # the IVF maintenance loop (write/append/compact/probe — two disk
+    # round-trips by design, the minhash_index_maintain shape)
+    "ivf_recall_sweep",
+    "tokenizer_fertility",
+    "ivf_index_maintain",
 ]
 
 
