@@ -8079,6 +8079,17 @@ def q_ivf_index_maintain(spark, sf_dir):
 #                        shared-verbatim exprs, one bounded aggregate
 #   ivf_index_maintain — the ANN index-maintain sibling (write half /
 #                        job-atomic append half / compact / probe stored)
+#
+# Banked for the round-12 rotation: the round-11 end-of-round driver_sim
+# ran green at sf0.01 (174/172/0, 309s) AND sf0.1 (174/172/0, 791s) on
+# the exact final tree containing all six round-11 registrations
+# (dsir_select, priority_sample, lang_quality_mix, ivf_recall_sweep,
+# tokenizer_fertility, ivf_index_maintain) — each is protocol-eligible
+# next round, alongside the still-never-graded tail (receita_gap_fill,
+# receita_unpivot, purchase_nearest_view, user_rank_by_events,
+# user_mode_event_type, new_users_daily, client_revenue_pct_rank,
+# client_revenue_quartiles, clients_per_farmer_list, event_key_skew,
+# orders_expectations).
 UNGRADED_QUERIES: tuple[str, ...] = (
     "dsir_select",
     "priority_sample",
