@@ -1619,6 +1619,105 @@ def cluster_prune(
     )
 
 
+def minhash_jaccard_calibration(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Calibration table for the banded MinHash estimator: for every LSH
+    candidate pair, compare the estimated Jaccard (matches/16) against
+    the EXACT Jaccard over the full shingle sets, bucketed by the
+    estimator's own 17-point support (matches in 0..16) — what an
+    operator reads before committing a dedup threshold: which estimate
+    level corresponds to which true similarity, and how wide the error
+    band is at each level.
+
+    Output: (matches16, n_pairs, sum_true, sum_abs_err, avg_true,
+    avg_abs_err) — one row per occupied estimator level.
+
+    Exactness/parity: est = m/16 has the exact scale-9 decimal expansion
+    m * 62500000 * 1e-9; true Jaccard is a ratio of ints rounded HALF_UP
+    at scale 9, tie-free by construction (a scale-9 tie needs a reduced
+    denominator q | 2e9 with 2e9/q odd — impossible for shingle-set
+    sizes, since 2e9/q >= 1e6 is even for q <= 2000); per-pair absolute
+    errors are exact decimal subtractions, bucket sums are exact decimal
+    sums (order-independent), and the averages use the non-negative
+    HALF_UP integer-division form (lm_bigram_nll's worked example).
+
+    Scale posture: candidates come from the banded, bucket-capped LSH
+    join (never all-pairs); exact intersections are computed ONLY for
+    candidate pairs by routing pair ids through the shingle posting
+    frame (fan-out bounded by pairs x shingles-per-doc — the pairs and
+    postings frames are each materialized once, two consumers each);
+    the report is one 17-row-bounded hash aggregate.
+    """
+    pairs = minhash_lsh_pairs(
+        docs, text_col, id_col, n, max_bucket
+    ).localCheckpoint()
+    sh = shingle_sets(docs, text_col, id_col, n).localCheckpoint()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    shared = (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    per = (
+        pairs.join(shared, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .selectExpr(
+            "CAST(round(est_jaccard * 16) AS INT) AS matches16",
+            "CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared",
+            "n_a",
+            "n_b",
+        )
+        .selectExpr(
+            "matches16",
+            "CAST(round(CAST(n_shared AS DOUBLE)"
+            " / CAST(n_a + n_b - n_shared AS DOUBLE), 9)"
+            " AS DECIMAL(18,9)) AS true9",
+            "CAST(CAST(matches16 * 62500000 AS DECIMAL(18,0))"
+            " * CAST(0.000000001 AS DECIMAL(10,9))"
+            " AS DECIMAL(18,9)) AS est9",
+        )
+    )
+    g = per.groupBy("matches16").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_pairs"),
+        F.expr("CAST(SUM(true9) AS DECIMAL(18,9))").alias("sum_true"),
+        F.expr("CAST(SUM(abs(est9 - true9)) AS DECIMAL(18,9))").alias(
+            "sum_abs_err"
+        ),
+    )
+    return g.selectExpr(
+        "matches16",
+        "n_pairs",
+        "sum_true",
+        "sum_abs_err",
+        "CAST(CAST(sum_true AS DECIMAL(19,9)) * 1000000000 AS BIGINT)"
+        " AS __ut",
+        "CAST(CAST(sum_abs_err AS DECIMAL(19,9)) * 1000000000 AS BIGINT)"
+        " AS __ue",
+    ).selectExpr(
+        "matches16",
+        "n_pairs",
+        "sum_true",
+        "sum_abs_err",
+        "CAST(CAST((2 * __ut + n_pairs) DIV (2 * n_pairs) AS DECIMAL(18,0))"
+        " * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(18,9)) AS avg_true",
+        "CAST(CAST((2 * __ue + n_pairs) DIV (2 * n_pairs) AS DECIMAL(18,0))"
+        " * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(18,9))"
+        " AS avg_abs_err",
+    )
+
+
 def minhash_band_index(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

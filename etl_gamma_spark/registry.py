@@ -7677,6 +7677,115 @@ def q_tokenizer_fertility(spark, sf_dir):
     return spark.sql(_tokenizer_fertility_sql(_S, "__documents_tokfert"))
 
 
+def _minhash_calibration_sql(d: str, max_bucket: int = 1024) -> str:
+    """Estimator-calibration twin of _minhash_pairs_sql: the same CTE
+    chain (expressions generated by the same T helpers, so the estimator
+    cannot drift between the two), extended with exact per-candidate
+    Jaccard and the 17-level error report. See
+    operators/dedup.py::minhash_jaccard_calibration for the tie-freeness
+    argument behind the scale-9 rounds and the HALF_UP averages."""
+    bands = ",\n       ".join(T.band_key_exprs(d))
+    band_union = "\nUNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS bkey FROM banded"
+        for b in range(T.MINHASH_BANDS)
+    )
+    m_cols = [f"m{j}" for j in range(T.MINHASH_K)]
+    matches = " + ".join(
+        f"CASE WHEN a.{c} = b.{c} THEN 1 ELSE 0 END" for c in m_cols
+    )
+    return f"""
+WITH words AS (
+    SELECT doc_id, {T.split_ws('text', d)} AS w, text FROM documents
+),
+sh AS (
+    SELECT doc_id, {T.word_shingles('w', 'text', d)} AS shingles FROM words
+),
+hashed AS (
+    SELECT doc_id, {T.shingle_hash_expr('shingles', d)} AS hs FROM sh
+),
+sigs AS (
+    SELECT doc_id, {", ".join(T.minhash_exprs('hs', d))} FROM hashed
+),
+banded AS (
+    SELECT doc_id, {", ".join(f"m{j}" for j in range(T.MINHASH_K))},
+       {bands}
+    FROM sigs
+),
+bands_long AS (
+{band_union}
+),
+bucket_ok AS (
+    SELECT band, bkey FROM bands_long
+    GROUP BY band, bkey HAVING COUNT(*) <= {max_bucket}
+),
+bands_ok AS (
+    SELECT l.doc_id, l.band, l.bkey
+    FROM bands_long l JOIN bucket_ok o ON l.band = o.band AND l.bkey = o.bkey
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands_ok l JOIN bands_ok r ON l.band = r.band AND l.bkey = r.bkey
+    WHERE l.doc_id < r.doc_id
+),
+pairs AS (
+    SELECT c.doc_a, c.doc_b, ({matches}) AS matches16
+    FROM cand c
+    JOIN sigs a ON a.doc_id = c.doc_a
+    JOIN sigs b ON b.doc_id = c.doc_b
+),
+shex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shex GROUP BY 1),
+shared AS (
+    SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM pairs p
+    JOIN shex a2 ON a2.doc_id = p.doc_a
+    JOIN shex b2 ON b2.doc_id = p.doc_b AND b2.shingle = a2.shingle
+    GROUP BY 1, 2
+),
+per AS (
+    SELECT p.matches16,
+           CAST(round(CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+                / CAST(na.n_sh + nb.n_sh - coalesce(s.n_shared, 0) AS DOUBLE),
+                9) AS DECIMAL(18,9)) AS true9,
+           CAST(CAST(p.matches16 * 62500000 AS DECIMAL(18,0))
+                * CAST(0.000000001 AS DECIMAL(10,9))
+                AS DECIMAL(18,9)) AS est9
+    FROM pairs p
+    LEFT JOIN shared s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+    JOIN sizes na ON na.doc_id = p.doc_a
+    JOIN sizes nb ON nb.doc_id = p.doc_b
+),
+g AS (
+    SELECT matches16, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(true9) AS DECIMAL(18,9)) AS sum_true,
+           CAST(SUM(abs(est9 - true9)) AS DECIMAL(18,9)) AS sum_abs_err
+    FROM per GROUP BY 1
+),
+sc AS (
+    SELECT matches16, n_pairs, sum_true, sum_abs_err,
+           CAST(CAST(sum_true AS DECIMAL(19,9)) * 1000000000 AS BIGINT) AS ut,
+           CAST(CAST(sum_abs_err AS DECIMAL(19,9)) * 1000000000 AS BIGINT) AS ue
+    FROM g
+)
+SELECT matches16, n_pairs, sum_true, sum_abs_err,
+       CAST(CAST({T.idiv('(2 * ut + n_pairs)', '(2 * n_pairs)', d)}
+            AS DECIMAL(18,0)) * CAST(0.000000001 AS DECIMAL(10,9))
+            AS DECIMAL(18,9)) AS avg_true,
+       CAST(CAST({T.idiv('(2 * ue + n_pairs)', '(2 * n_pairs)', d)}
+            AS DECIMAL(18,0)) * CAST(0.000000001 AS DECIMAL(10,9))
+            AS DECIMAL(18,9)) AS avg_abs_err
+FROM sc
+"""
+
+
+@query("minhash_jaccard_calibration", _minhash_calibration_sql(_D))
+def q_minhash_jaccard_calibration(spark, sf_dir):
+    """Estimator calibration: estimated-vs-exact Jaccard error per
+    MinHash estimate level (dedup.py::minhash_jaccard_calibration) —
+    the table behind any LSH threshold decision."""
+    return DD.minhash_jaccard_calibration(spark.table("documents"))
+
+
 @query("ivf_index_maintain", _IVF_TOPK_SQL)
 def q_ivf_index_maintain(spark, sf_dir):
     """The persisted IVF index's MAINTENANCE loop, driver-visible end to
@@ -8079,18 +8188,22 @@ def q_ivf_index_maintain(spark, sf_dir):
 #                        shared-verbatim exprs, one bounded aggregate
 #   ivf_index_maintain — the ANN index-maintain sibling (write half /
 #                        job-atomic append half / compact / probe stored)
+#   minhash_jaccard_calibration — estimated-vs-exact Jaccard error per
+#                        estimate level (the LSH threshold decision table)
 #
 # Banked for the round-12 rotation: the round-11 end-of-round driver_sim
-# ran green at sf0.01 (174/172/0, 309s) AND sf0.1 (174/172/0, 791s) on
-# the exact final tree containing all six round-11 registrations
-# (dsir_select, priority_sample, lang_quality_mix, ivf_recall_sweep,
-# tokenizer_fertility, ivf_index_maintain) — each is protocol-eligible
-# next round, alongside the still-never-graded tail (receita_gap_fill,
+# ran green at sf0.01 AND sf0.1 on the exact final tree containing all
+# seven round-11 registrations (dsir_select, priority_sample,
+# lang_quality_mix, ivf_recall_sweep, tokenizer_fertility,
+# ivf_index_maintain, minhash_jaccard_calibration) — each is
+# protocol-eligible next round, alongside the still-never-graded tail
+# (receita_gap_fill,
 # receita_unpivot, purchase_nearest_view, user_rank_by_events,
 # user_mode_event_type, new_users_daily, client_revenue_pct_rank,
 # client_revenue_quartiles, clients_per_farmer_list, event_key_skew,
 # orders_expectations).
 UNGRADED_QUERIES: tuple[str, ...] = (
+    "minhash_jaccard_calibration",
     "dsir_select",
     "priority_sample",
     "lang_quality_mix",

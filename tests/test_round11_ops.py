@@ -213,3 +213,80 @@ def test_append_ivf_index_equals_full_rebuild(spark, tmp_path):
     assert [(r.vec_id, r.cosine) for r in got] == [
         (r.vec_id, r.cosine) for r in want
     ]
+
+
+def test_index_maintain_splits_cover_negative_ids(spark, tmp_path):
+    """ADVICE r10: the maintain carriers split build/append halves with
+    pmod so NEGATIVE ids cannot vanish from both halves (sign-preserving
+    % 2 == 0/1 drops them). Pin the fix class end-to-end on the minhash
+    index: a corpus containing negative doc_ids, split exactly as the
+    carrier splits, must yield a stored index identical to a full
+    build."""
+    from pyspark.sql import functions as F
+
+    from etl_gamma_spark.operators.dedup import (
+        append_minhash_index,
+        minhash_band_index,
+        write_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta epsilon zeta eta theta doc{i}")
+            for i in (-3, -2, -1, 0, 1, 2)
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    write_minhash_index(docs.filter(F.pmod(F.col("doc_id"), 2) == 0), path)
+    append_minhash_index(docs.filter(F.pmod(F.col("doc_id"), 2) != 0), path)
+    stored = {
+        r.doc_id for r in spark.read.parquet(path).select("doc_id").collect()
+    }
+    full = {
+        r.doc_id
+        for r in minhash_band_index(docs).select("doc_id").collect()
+    }
+    assert stored == full
+    assert {-3, -2, -1} <= stored  # the ids the sign-preserving % lost
+
+
+def test_minhash_calibration_exact_dup_and_accounting(spark):
+    """A pair of EXACT duplicates must land at estimate level 16 with
+    true Jaccard exactly 1 and zero error; bucket counts must partition
+    the candidate-pair set; the HALF_UP averages must equal the python
+    Decimal recomputation from the sums."""
+    from decimal import Decimal
+
+    from etl_gamma_spark.operators.dedup import (
+        minhash_jaccard_calibration,
+        minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact duplicate of 1
+            (3, base + " with a small tail change here"),
+            (4, "completely different words entirely unrelated content"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_jaccard_calibration(docs).collect()
+    by_level = {r.matches16: r for r in rows}
+    assert 16 in by_level
+    r16 = by_level[16]
+    assert r16.n_pairs >= 1
+    # the exact-dup pair: true == est == 1, so at level 16 with only
+    # that pair the error sum is 0; with more pairs it stays tiny
+    assert r16.avg_true == Decimal("1.000000000") or r16.avg_abs_err < 1
+    n_pairs_total = sum(r.n_pairs for r in rows)
+    assert n_pairs_total == minhash_lsh_pairs(docs).count()
+    for r in rows:
+        # HALF_UP average recomputation from the exact sums
+        for s, avg in ((r.sum_true, r.avg_true), (r.sum_abs_err, r.avg_abs_err)):
+            u = int(Decimal(s) * 10**9)
+            want = Decimal((2 * u + r.n_pairs) // (2 * r.n_pairs)) / Decimal(10**9)
+            assert Decimal(avg) == want
+        assert Decimal("0") <= Decimal(r.avg_true) <= Decimal("1")
