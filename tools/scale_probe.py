@@ -197,6 +197,10 @@ PROBE_QUERIES = [
     "ivf_recall_sweep",
     "tokenizer_fertility",
     "ivf_index_maintain",
+    # wave 4: estimator calibration — the banded candidate set feeds an
+    # exact-intersection join bounded by pairs x shingles-per-doc, so
+    # cost tracks the (capped) pair mass like minhash_lsh_pairs
+    "minhash_jaccard_calibration",
 ]
 
 
