@@ -899,3 +899,143 @@ def sq8_topk(
     )
     scored = cand.selectExpr(id_col, f"{cosine_expr('v', 'qv')} AS cosine")
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+# --- PQ (product quantization / ADC compressed-domain search) ---------------
+#
+# Completes the compressed-domain family after SQ8 (global-range scalar
+# codes): PQ splits each vector into M subvectors and replaces every
+# subvector with the id of its nearest entry in a per-subspace codebook,
+# so a vector costs M small ints at rest and the query-time distance is
+# an ADC (asymmetric distance computation) TABLE LOOKUP — the classic
+# Jegou/Douze/Schmid 2011 design. Everything here is exact integer
+# arithmetic over the SQ8 integer codes (subvector slices of the same
+# bit-identical code arrays the sq8_topk oracle checks), so assignment,
+# the lookup table, and the candidate cut are all fully oracle-checkable:
+# the seeded codebook (first n_codes vectors by id, like seed_centroids)
+# is the registered-query quantizer; a k-means-trained codebook is the
+# offline quality upgrade, exactly as train_centroids is for IVF.
+#
+# Scale posture: codes at rest are M bytes/vector (8 here vs 64 for SQ8,
+# 256 for float32) — the candidate stage scans and shuffles ONLY them.
+# The ADC lookup table is M x n_codes integers built from the query
+# alone (128 values), broadcast; candidate scoring is one broadcast
+# hash join + an integer sum — no floats until the ``rerank``-row exact
+# cosine stage. At 100 TB the assignment table is a written index
+# (like ivf_write_index), not a per-query derivation.
+
+
+def pq_sub_expr(codes: str, m: str, sub_dim: int, d: str = S) -> str:
+    """Subvector ``m`` (0-based expression) of a flat SQ8 code array —
+    a 1-based ``sub_dim``-wide slice, dialect-paired."""
+    return T.aslice(codes, f"(({m}) * {sub_dim} + 1)", sub_dim, d)
+
+
+def pq_codebook(
+    codes: DataFrame,
+    n_codes: int = 16,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(m, code_id, entry): per-subspace integer codebooks seeded from the
+    first ``n_codes`` vectors by id (dense code_id 0..n-1). ``codes`` is
+    an sq8_codes frame (id, v, c). m_sub * n_codes rows — broadcast-sized
+    at any corpus scale (the codebook is a model, not data)."""
+    seeds = (
+        codes.orderBy(id_col)
+        .limit(n_codes)
+        .withColumn(
+            "code_id",
+            (F.row_number().over(Window.orderBy(id_col)) - 1).cast("int"),
+        )
+    )
+    return seeds.selectExpr(
+        "code_id", f"explode(sequence(0, {m_sub - 1})) AS m", "c"
+    ).selectExpr(
+        "m", "code_id", f"{pq_sub_expr('c', 'm', sub_dim)} AS entry"
+    )
+
+
+def pq_assign(
+    codes: DataFrame,
+    book: DataFrame,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, m, code_id): nearest codebook entry per (vector, subspace) by
+    exact integer squared distance, code_id tiebreak. The argmin is a
+    reducible ``min(struct(d2, code_id))`` aggregate (round-5 keep-first
+    rule — map-side combine reduces each vector's n_codes candidates
+    before the exchange), never a row_number window."""
+    subs = codes.selectExpr(
+        id_col, f"explode(sequence(0, {m_sub - 1})) AS m", "c"
+    ).selectExpr(id_col, "m", f"{pq_sub_expr('c', 'm', sub_dim)} AS sub")
+    scored = subs.join(F.broadcast(book), "m").selectExpr(
+        id_col,
+        "m",
+        "code_id",
+        f"{sq8_dist2_expr('sub', 'entry', sub_dim)} AS d2",
+    )
+    return (
+        scored.groupBy(id_col, "m")
+        .agg(F.min(F.struct("d2", "code_id")).alias("__best"))
+        .select(id_col, "m", F.col("__best.code_id").alias("code_id"))
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    rerank: int = 80,
+    dim: int = 64,
+    m_sub: int = 8,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ/ADC search:
+
+    1. candidate generation ranks the corpus by the ADC distance — the
+       integer sum over subspaces of d2(query subvector, assigned
+       codebook entry), computed as a broadcast lookup-table join on
+       (m, code_id) (the LUT is built from the query alone:
+       m_sub x n_codes integers); ``rerank`` survivors under the
+       deterministic (adc_d2, id) total order;
+    2. exact cosine rerank on the float vectors of the survivors, top-k.
+
+    Returns (id, adc_d2, cosine) — the compressed-domain distance rides
+    along for calibration. Recall vs brute force is measured in tests;
+    the dials are ``rerank`` and ``n_codes``.
+    """
+    sub_dim = dim // m_sub
+    # materialize the codes ONCE (the sq8_topk lesson): the codebook, the
+    # assignment, the query subvectors and the rerank vectors all read
+    # this frame — uncheckpointed, Catalyst would re-inline the 64-term
+    # quantization array per consumer.
+    codes = sq8_codes(embeddings, dim, id_col, vec_col).localCheckpoint()
+    book = pq_codebook(codes, n_codes, m_sub, sub_dim, id_col)
+    assign = pq_assign(codes, book, m_sub, sub_dim, id_col)
+    qsubs = (
+        codes.filter(F.col(id_col) == query_id)
+        .selectExpr(f"explode(sequence(0, {m_sub - 1})) AS m", "c")
+        .selectExpr("m", f"{pq_sub_expr('c', 'm', sub_dim)} AS qsub")
+    )
+    lut = book.join(F.broadcast(qsubs), "m").selectExpr(
+        "m", "code_id", f"{sq8_dist2_expr('qsub', 'entry', sub_dim)} AS t"
+    )
+    adc = (
+        assign.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(lut), ["m", "code_id"])
+        .groupBy(id_col)
+        .agg(F.sum("t").cast("bigint").alias("adc_d2"))
+    )
+    cand = adc.orderBy("adc_d2", id_col).limit(rerank)
+    q = codes.filter(F.col(id_col) == query_id).selectExpr(
+        "v AS qv", f"{id_col} AS __qid"
+    )
+    scored = bcast_attach(
+        codes.join(F.broadcast(cand), id_col), q, id_col, "__qid"
+    ).selectExpr(id_col, "adc_d2", f"{cosine_expr('v', 'qv')} AS cosine")
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

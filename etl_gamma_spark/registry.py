@@ -6480,6 +6480,87 @@ def q_embedding_sq8_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# embedding_pq_topk — product-quantization ADC ANN
+# (operators/similarity.py::pq_topk): per-subspace integer codebooks over
+# the SQ8 code arrays, assignment + the query's ADC lookup table + the
+# candidate cut all exact integer arithmetic (same bit-identical codes as
+# embedding_sq8_topk), exact cosine rerank on the survivors. The seeded
+# codebook (first n_codes vectors by id) is the oracle-checkable
+# quantizer — the trained-codebook upgrade stays offline, like IVF's
+# train_centroids.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces (sub_dim = 64 / 8)
+_PQ_CODES = 32  # codebook entries per subspace
+_PQ_RERANK = 80  # PQ codes are coarser than SQ8: the 4x pool read 0.4
+# recall@10 where 32 entries x 8x pool reads 1.0 (tests/test_round12_ops)
+
+
+def _pq_topk_sql(
+    k: int = 10,
+    rerank: int = _PQ_RERANK,
+    dim: int = 64,
+    m_sub: int = _PQ_M,
+    n_codes: int = _PQ_CODES,
+) -> str:
+    sub_dim = dim // m_sub
+    rmin, rmax = SIM.sq8_range_exprs("v", dim, _D)
+    sub = SIM.pq_sub_expr("c", "m", sub_dim, _D)
+    d2_assign = SIM.sq8_dist2_expr("s.sub", "b.entry", sub_dim, _D)
+    d2_lut = SIM.sq8_dist2_expr("q.qsub", "b.entry", sub_dim, _D)
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+rng AS (SELECT MIN({rmin}) AS __lo, MAX({rmax}) AS __hi FROM emb),
+codes AS (SELECT vec_id, v, {SIM.sq8_code_expr('v', dim, _D)} AS c FROM emb, rng),
+seeds AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code_id, c
+    FROM (SELECT vec_id, c FROM codes ORDER BY vec_id LIMIT {n_codes}) t
+),
+ms AS (SELECT unnest(range(0, {m_sub})) AS m),
+book AS (SELECT m, code_id, {sub} AS entry FROM seeds CROSS JOIN ms),
+subs AS (SELECT vec_id, m, {sub} AS sub FROM codes CROSS JOIN ms),
+assign AS (
+    SELECT vec_id, m, code_id FROM (
+        SELECT s.vec_id, s.m, b.code_id,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.m ORDER BY {d2_assign}, b.code_id
+               ) AS rn
+        FROM subs s JOIN book b USING (m)
+    ) r WHERE rn = 1
+),
+qsub AS (SELECT m, sub AS qsub FROM subs WHERE vec_id = 0),
+lut AS (SELECT b.m, b.code_id, {d2_lut} AS t FROM book b JOIN qsub q USING (m)),
+adc AS (
+    SELECT a.vec_id, CAST(SUM(l.t) AS BIGINT) AS adc_d2
+    FROM assign a JOIN lut l USING (m, code_id)
+    WHERE a.vec_id != 0
+    GROUP BY a.vec_id
+),
+cand AS (SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2, vec_id LIMIT {rerank}),
+q AS (SELECT v AS qv FROM emb WHERE vec_id = 0)
+SELECT e.vec_id, cand.adc_d2,
+       list_dot_product(e.v, q.qv)
+       / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+           AS cosine
+FROM cand JOIN codes e USING (vec_id) CROSS JOIN q
+ORDER BY cosine DESC, e.vec_id
+LIMIT {k}
+"""
+
+
+@query("embedding_pq_topk", _pq_topk_sql())
+def q_embedding_pq_topk(spark, sf_dir):
+    return SIM.pq_topk(
+        spark.table("embeddings"),
+        query_id=0,
+        k=10,
+        rerank=_PQ_RERANK,
+        m_sub=_PQ_M,
+        n_codes=_PQ_CODES,
+    )
+
+
+# ---------------------------------------------------------------------------
 # url_dedup / domain_mix — web-corpus URL canonicalization
 # (operators/web.py): synthetic messy URLs from fixture rows (like the
 # WAV/PNG codecs), canonicalized with engine-identical regex arithmetic,
@@ -7634,7 +7715,10 @@ def _tokenizer_fertility_sql(d: str, table: str = "documents") -> str:
     committing a tokenizer (high fertility = the tokenizer fragments that
     language). Shared-verbatim in both dialects: the language argmax, the
     whitespace and BPE-ish token counts, exact integer sums, and
-    truncating permille ratios (T.idiv, non-negative)."""
+    truncating permille ratios (T.idiv, non-negative). Divisors are
+    NULLIF-guarded identically in both dialects: a language group whose
+    docs are all empty/whitespace has bpe_tokens = 0 and sessions run
+    ANSI mode, so an unguarded DIV 0 would throw (ADVICE r11)."""
     scores = ",\n           ".join(T.lang_scores("text", d))
     return f"""
 WITH s AS (
@@ -7658,8 +7742,10 @@ g AS (
     FROM lab GROUP BY 1
 )
 SELECT predicted_lang, n_docs, ws_tokens, bpe_tokens, n_chars,
-       {T.idiv('bpe_tokens * 1000', 'ws_tokens', d)} AS fertility_permille,
-       {T.idiv('n_chars * 1000', 'bpe_tokens', d)} AS chars_per_token_permille
+       {T.idiv('bpe_tokens * 1000', 'NULLIF(ws_tokens, 0)', d)}
+           AS fertility_permille,
+       {T.idiv('n_chars * 1000', 'NULLIF(bpe_tokens, 0)', d)}
+           AS chars_per_token_permille
 FROM g
 """
 
@@ -8202,14 +8288,55 @@ def q_ivf_index_maintain(spark, sf_dir):
 # user_mode_event_type, new_users_daily, client_revenue_pct_rank,
 # client_revenue_quartiles, clients_per_farmer_list, event_key_skew,
 # orders_expectations).
+#
+# Round-12 rotation (ONE batch, per the round-10 protocol rule; VERDICT
+# r11 item 1): IN are the seven banked round-11 registrations
+# (dsir_select, priority_sample, lang_quality_mix, ivf_recall_sweep,
+# tokenizer_fertility, ivf_index_maintain, minhash_jaccard_calibration —
+# both-SF driver_sim proof banked on the final r11 tree, note above;
+# tokenizer_fertility gained the ADVICE-r11 NULLIF divisor guard this
+# round, so its eligibility rests on THIS round's both-SF driver_sim
+# re-run per the round-8 intra-round rule, re-verified after this edit)
+# plus seven of the oldest never-driver-graded tail entries
+# (receita_gap_fill, receita_unpivot, purchase_nearest_view,
+# orders_expectations, new_users_daily, user_mode_event_type,
+# event_key_skew). OUT are 14 of the 23 most-proven graded queries —
+# every member of the current window carried over from round 9 is tied
+# at 3 driver-green rounds (r9, r10, r11; audit computed from
+# CORRECTNESS_r{1..11}.json, tools note below), so the displaced 14 are
+# chosen to keep at least one graded representative per operator family
+# (ANN keeps embedding_ivf_persisted + embedding_sq8_topk; chunk/dedup
+# keeps decontaminate_corpus + the 2-round chunk carriers; profiling
+# keeps customer_fd_report/customer_k_anonymity; sessions keeps
+# batch_session_windows; JDBC keeps jdbc_roundtrip_agg):
+#   twap_hourly                  3 (r9-r11)  tpch_q5_local_supplier_volume 3
+#   supplier_shipping_coverage   3           substring_index_maintain      3
+#   streaming_interval_join      3           streaming_cdc_apply           3
+#   semdedup_persisted           3           retention_cohorts             3
+#   quality_prune                3           profile_orders                3
+#   png_header_stats             3           orders_events_join_size       3
+#   neardup_dedup_corpus         3           jpeg_header_dims              3
+# Round-12 registration (enters ungraded; rotate in a later round):
+#   embedding_pq_topk — product-quantization ADC ANN; same bit-identical
+#                       SQ8 integer codes as graded embedding_sq8_topk,
+#                       seeded per-subspace codebooks (the seed_centroids
+#                       convention graded via embedding_ivf_persisted)
 UNGRADED_QUERIES: tuple[str, ...] = (
-    "minhash_jaccard_calibration",
-    "dsir_select",
-    "priority_sample",
-    "lang_quality_mix",
-    "ivf_recall_sweep",
-    "tokenizer_fertility",
-    "ivf_index_maintain",
+    "embedding_pq_topk",
+    "twap_hourly",
+    "tpch_q5_local_supplier_volume",
+    "supplier_shipping_coverage",
+    "substring_index_maintain",
+    "streaming_interval_join",
+    "streaming_cdc_apply",
+    "semdedup_persisted",
+    "retention_cohorts",
+    "quality_prune",
+    "profile_orders",
+    "png_header_stats",
+    "orders_events_join_size",
+    "neardup_dedup_corpus",
+    "jpeg_header_dims",
     "clients_never_transferred",
     "receita_farmer_m_presente",
     "responsibility_periods",
@@ -8280,11 +8407,8 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "cms_topk",
     "receita_rolling_3m",
     "supplier_window_overlaps",
-    "event_key_skew",
     "bpe_merges",
     "bpe_token_histogram",
-    "user_mode_event_type",
-    "new_users_daily",
     "simhash_neardup_pairs",
     "curation_pipeline",
     "revenue_percentiles",
@@ -8300,15 +8424,11 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "user_rank_by_events",
     "clients_per_farmer_list",
     "client_revenue_pct_rank",
-    "purchase_nearest_view",
     "cumulative_revenue",
-    "orders_expectations",
-    "receita_unpivot",
     "client_revenue_quartiles",
     "clients_churned_feb",
     "lang_id",
     "active_clients_dedup_union",
-    "receita_gap_fill",
     "exact_dedup",
     "stratified_sample",
     "topk_users_per_event_type",

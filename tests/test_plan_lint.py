@@ -92,7 +92,11 @@ BNLJ_OK = {
 #   ivf_recall_sweep          the curve variant of ivf_recall_at_10 —
 #                             same seed_centroids LIMIT-K relabel, once
 #                             per probe width
+#   embedding_pq_topk         pq_codebook relabels a LIMIT-n_codes frame
+#                             (<= 32 rows) with dense code ids — the PQ
+#                             twin of the seed_centroids pattern
 UNPARTITIONED_WINDOW_OK = {
+    "embedding_pq_topk",
     "embedding_ivf_topk",
     "ivf_recall_at_10",
     "ivf_recall_sweep",

@@ -543,6 +543,24 @@ def test_sq8_topk_reads_materialized_codes(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_pq_topk_plan_shape(spark):
+    # PQ/ADC search: the quantizer must stay out of the search stage (the
+    # same materialized-codes rule as SQ8 — a floor( in the plan means the
+    # 64-term quantization re-inlined per consumer); every join is a
+    # broadcast hash join (codebook, LUT, candidate set, query row — all
+    # broadcast-sized by construction); the candidate cut and the final
+    # cut are TakeOrdered, never global sorts.
+    plan = _explain(QUERIES["embedding_pq_topk"](spark, SF_CORRECT))
+    assert "floor(" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # 4 TakeOrdered ops x 2 (formatted explain prints tree + details):
+    # the final top-k, the rerank candidate cut, and the bounded
+    # codebook-seed limit once per book consumer (assignment + LUT)
+    assert plan.count("TakeOrderedAndProject") == 8
+    assert "rangepartitioning" not in plan
+
+
 def test_mode_per_group_reducible_no_window(spark):
     # keep-first discipline: mode must reduce through partial aggregates
     # (the struct-min final is a SortAggregate — still partial+final, so

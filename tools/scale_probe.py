@@ -82,6 +82,10 @@ PROBE_QUERIES = [
     # the candidate stage is the part that scales) and the URL ops
     # (narrow projections + one hash agg — expect ~linear).
     "embedding_sq8_topk",
+    # round-12: the PQ/ADC sibling — codebook and LUT are corpus-size-
+    # independent (32x8 entries), so the scaling parts are the one-pass
+    # assignment (N x m_sub argmin rows) and the integer ADC aggregate
+    "embedding_pq_topk",
     "url_dedup",
     "domain_mix",
     # round-6 fourth batch (minhash_lsh_pairs above already covers the
