@@ -1039,3 +1039,80 @@ def pq_topk(
         codes.join(F.broadcast(cand), id_col), q, id_col, "__qid"
     ).selectExpr(id_col, "adc_d2", f"{cosine_expr('v', 'qv')} AS cosine")
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 80,
+    dim: int = 64,
+    m_sub: int = 8,
+    n_codes: int = 32,
+    n_centroids: int = 16,
+    index: tuple[DataFrame, DataFrame] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition (FAISS's IndexIVFPQ shape)
+    — the coarse quantizer restricts candidates to the ``n_probe``
+    probed cells, ADC ranks ONLY those candidates in the compressed
+    domain, exact cosine reranks the ``rerank`` survivors.
+
+    Cost shape vs the flat variants: ivf_topk scores every probed-cell
+    vector with the full 64-term float cosine; pq_topk ADC-scores the
+    WHOLE corpus. Here the float arithmetic touches only the final
+    ``rerank`` rows and the integer LUT join touches only ~N*n_probe/K
+    candidate rows — at 100 TB both the cell membership and the PQ codes
+    are written partitioned by centroid_id (ivf_write_index layout), so
+    a probe is a pruned scan of n_probe directories of M-byte codes.
+
+    Every stage is oracle-checkable: the cell cut is the bit-identical
+    double d2 ranking (dist2_unrolled), the ADC cut exact integers, the
+    rerank the bit-identical sequential cosine fold.
+    """
+    sub_dim = dim // m_sub
+    if index is None:
+        cents = seed_centroids(embeddings, n_centroids, id_col, vec_col)
+        index = (ivf_build(embeddings, cents, dim, id_col, vec_col), cents)
+    cell_of, centroids = index
+    codes = sq8_codes(embeddings, dim, id_col, vec_col).localCheckpoint()
+    book = pq_codebook(codes, n_codes, m_sub, sub_dim, id_col)
+    pq = pq_assign(codes, book, m_sub, sub_dim, id_col)
+    qv = codes.filter(F.col(id_col) == query_id).selectExpr(
+        "v AS qv", f"{id_col} AS __qid"
+    )
+    probe = (
+        bcast_attach(centroids, qv, "centroid_id", "__qid")
+        .selectExpr(
+            "centroid_id", f"{dist2_unrolled('qv', 'centroid', dim)} AS d2"
+        )
+        .orderBy("d2", "centroid_id")
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    cand_ids = (
+        cell_of.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col(id_col) != query_id)
+        .select(id_col)
+    )
+    qsubs = (
+        codes.filter(F.col(id_col) == query_id)
+        .selectExpr(f"explode(sequence(0, {m_sub - 1})) AS m", "c")
+        .selectExpr("m", f"{pq_sub_expr('c', 'm', sub_dim)} AS qsub")
+    )
+    lut = book.join(F.broadcast(qsubs), "m").selectExpr(
+        "m", "code_id", f"{sq8_dist2_expr('qsub', 'entry', sub_dim)} AS t"
+    )
+    adc = (
+        pq.join(cand_ids, id_col, "left_semi")
+        .join(F.broadcast(lut), ["m", "code_id"])
+        .groupBy(id_col)
+        .agg(F.sum("t").cast("bigint").alias("adc_d2"))
+    )
+    cand = adc.orderBy("adc_d2", id_col).limit(rerank)
+    scored = bcast_attach(
+        codes.join(F.broadcast(cand), id_col), qv, id_col, "__qid"
+    ).selectExpr(id_col, "adc_d2", f"{cosine_expr('v', 'qv')} AS cosine")
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

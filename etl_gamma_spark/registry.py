@@ -6561,6 +6561,109 @@ def q_embedding_pq_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# embedding_ivfpq_topk — the IVF-PQ composition (FAISS IndexIVFPQ shape):
+# coarse cells cut the candidate set, ADC ranks only probed-cell
+# vectors in the compressed domain, exact cosine reranks the survivors.
+# Cell cut = the bit-identical double d2 ranking already graded via
+# embedding_ivf_*; ADC cut = the exact integers of embedding_pq_topk.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_topk_sql(
+    k: int = 10,
+    n_probe: int = _IVF_PROBE,
+    rerank: int = _PQ_RERANK,
+    dim: int = 64,
+    m_sub: int = _PQ_M,
+    n_codes: int = _PQ_CODES,
+    n_centroids: int = _IVF_K,
+) -> str:
+    sub_dim = dim // m_sub
+    rmin, rmax = SIM.sq8_range_exprs("v", dim, _D)
+    sub = SIM.pq_sub_expr("c", "m", sub_dim, _D)
+    d2_cell = dist2_unrolled("e.v", "cq.centroid", dim, _D)
+    d2_probe = dist2_unrolled("q.qv", "cq.centroid", dim, _D)
+    d2_assign = SIM.sq8_dist2_expr("s.sub", "b.entry", sub_dim, _D)
+    d2_lut = SIM.sq8_dist2_expr("q.qsub", "b.entry", sub_dim, _D)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cseeds AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_centroids}),
+cq AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+           v AS centroid
+    FROM cseeds
+),
+ivf AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, cq.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY {d2_cell}, cq.centroid_id
+               ) AS rn
+        FROM e CROSS JOIN cq
+    ) t WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+    SELECT centroid_id FROM cq CROSS JOIN q
+    ORDER BY {d2_probe}, centroid_id
+    LIMIT {n_probe}
+),
+cellcand AS (
+    SELECT a.vec_id FROM ivf a JOIN probe USING (centroid_id)
+    WHERE a.vec_id != 0
+),
+rng AS (SELECT MIN({rmin}) AS __lo, MAX({rmax}) AS __hi FROM e),
+codes AS (SELECT vec_id, v, {SIM.sq8_code_expr('v', dim, _D)} AS c FROM e, rng),
+pseeds AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code_id, c
+    FROM (SELECT vec_id, c FROM codes ORDER BY vec_id LIMIT {n_codes}) t
+),
+ms AS (SELECT unnest(range(0, {m_sub})) AS m),
+book AS (SELECT m, code_id, {sub} AS entry FROM pseeds CROSS JOIN ms),
+subs AS (SELECT vec_id, m, {sub} AS sub FROM codes CROSS JOIN ms),
+passign AS (
+    SELECT vec_id, m, code_id FROM (
+        SELECT s.vec_id, s.m, b.code_id,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.m ORDER BY {d2_assign}, b.code_id
+               ) AS rn
+        FROM subs s JOIN book b USING (m)
+    ) r WHERE rn = 1
+),
+qsub AS (SELECT m, sub AS qsub FROM subs WHERE vec_id = 0),
+lut AS (SELECT b.m, b.code_id, {d2_lut} AS t FROM book b JOIN qsub q USING (m)),
+adc AS (
+    SELECT a.vec_id, CAST(SUM(l.t) AS BIGINT) AS adc_d2
+    FROM passign a JOIN lut l USING (m, code_id)
+    WHERE a.vec_id IN (SELECT vec_id FROM cellcand)
+    GROUP BY a.vec_id
+),
+cand AS (SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2, vec_id LIMIT {rerank})
+SELECT e2.vec_id, cand.adc_d2,
+       list_dot_product(e2.v, q.qv)
+       / (sqrt(list_dot_product(e2.v, e2.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+           AS cosine
+FROM cand JOIN codes e2 USING (vec_id) CROSS JOIN q
+ORDER BY cosine DESC, e2.vec_id
+LIMIT {k}
+"""
+
+
+@query("embedding_ivfpq_topk", _ivfpq_topk_sql())
+def q_embedding_ivfpq_topk(spark, sf_dir):
+    return SIM.ivfpq_topk(
+        spark.table("embeddings"),
+        query_id=0,
+        k=10,
+        n_probe=_IVF_PROBE,
+        rerank=_PQ_RERANK,
+        m_sub=_PQ_M,
+        n_codes=_PQ_CODES,
+        index=_ivf_index(spark),
+    )
+
+
+# ---------------------------------------------------------------------------
 # url_dedup / domain_mix — web-corpus URL canonicalization
 # (operators/web.py): synthetic messy URLs from fixture rows (like the
 # WAV/PNG codecs), canonicalized with engine-identical regex arithmetic,
@@ -8321,8 +8424,12 @@ def q_ivf_index_maintain(spark, sf_dir):
 #                       SQ8 integer codes as graded embedding_sq8_topk,
 #                       seeded per-subspace codebooks (the seed_centroids
 #                       convention graded via embedding_ivf_persisted)
+#   embedding_ivfpq_topk — the IVF-PQ composition; cell cut + ADC cut
+#                       both individually graded via the IVF / PQ
+#                       carriers' machinery
 UNGRADED_QUERIES: tuple[str, ...] = (
     "embedding_pq_topk",
+    "embedding_ivfpq_topk",
     "twap_hourly",
     "tpch_q5_local_supplier_volume",
     "supplier_shipping_coverage",

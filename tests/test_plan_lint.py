@@ -95,8 +95,12 @@ BNLJ_OK = {
 #   embedding_pq_topk         pq_codebook relabels a LIMIT-n_codes frame
 #                             (<= 32 rows) with dense code ids — the PQ
 #                             twin of the seed_centroids pattern
+#   embedding_ivfpq_topk      composes both bounded relabels above
+#                             (seed_centroids LIMIT-K + pq_codebook
+#                             LIMIT-n_codes)
 UNPARTITIONED_WINDOW_OK = {
     "embedding_pq_topk",
+    "embedding_ivfpq_topk",
     "embedding_ivf_topk",
     "ivf_recall_at_10",
     "ivf_recall_sweep",

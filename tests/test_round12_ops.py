@@ -38,6 +38,43 @@ def test_pq_topk_recall_vs_brute_force(spark, emb):
     assert approx == approx2
 
 
+def test_ivfpq_topk_recall_and_subset_of_cells(spark, emb):
+    """IVF-PQ: recall stays useful (the n_probe=4-of-16-cell cut is the
+    recall ceiling — ivf_topk's own recall test bounds it), every result
+    must come from a probed cell, and the composition is deterministic."""
+    from pyspark.sql import functions as F
+
+    from etl_gamma_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+        ivf_build,
+        ivf_topk,
+        seed_centroids,
+    )
+
+    cents = seed_centroids(emb, 16)
+    index = (ivf_build(emb, cents), cents)
+    exact = [r.vec_id for r in brute_force_topk(emb, query_id=0, k=10).collect()]
+    got = ivfpq_topk(emb, query_id=0, k=10, n_probe=4, index=index).collect()
+    assert len(got) == 10
+    overlap = len(set(exact) & {r.vec_id for r in got}) / 10
+    # plain IVF at the same n_probe is the ceiling; ADC + 8x rerank should
+    # recover essentially all of it
+    ivf_ids = {
+        r.vec_id
+        for r in ivf_topk(emb, query_id=0, k=10, n_probe=4, index=index).collect()
+    }
+    ivf_overlap = len(set(exact) & ivf_ids) / 10
+    assert overlap >= ivf_overlap - 0.2, (overlap, ivf_overlap)
+    assert overlap >= 0.3, f"IVF-PQ recall collapsed: {overlap}"
+    # every survivor sits in one of (at most) the 4 probed cells
+    assign = {r.vec_id: r.centroid_id for r in index[0].collect()}
+    cells_of_results = {assign[r.vec_id] for r in got}
+    assert len(cells_of_results) <= 4
+    got2 = ivfpq_topk(emb, query_id=0, k=10, n_probe=4, index=index).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in got2]
+
+
 def test_pq_assignment_invariants(spark, emb):
     """Every (vector, subspace) gets exactly one code in [0, n_codes);
     a codebook SEED vector must assign to its own entry in every subspace

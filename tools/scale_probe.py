@@ -86,6 +86,10 @@ PROBE_QUERIES = [
     # independent (32x8 entries), so the scaling parts are the one-pass
     # assignment (N x m_sub argmin rows) and the integer ADC aggregate
     "embedding_pq_topk",
+    # the IVF-PQ composition: the ADC aggregate shrinks to the probed
+    # cells (~N*n_probe/K rows); the linear parts are the two one-pass
+    # assignments (cells + PQ codes) — both written indexes at scale
+    "embedding_ivfpq_topk",
     "url_dedup",
     "domain_mix",
     # round-6 fourth batch (minhash_lsh_pairs above already covers the
