@@ -1116,3 +1116,155 @@ def ivfpq_topk(
         codes.join(F.broadcast(cand), id_col), qv, id_col, "__qid"
     ).selectExpr(id_col, "adc_d2", f"{cosine_expr('v', 'qv')} AS cosine")
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def pq_write_index(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    base_dir: str,
+    dim: int = 64,
+    m_sub: int = 8,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the full IVF-PQ index — the on-disk FAISS-IVFPQ layout:
+
+    - ``base_dir/ivf``       (vec_id, vector, centroid_id) partitioned by
+                             centroid_id — the float vectors, co-located
+                             with their cell (ivf_write_index layout);
+    - ``base_dir/pq``        (vec_id, code int[m_sub], centroid_id)
+                             partitioned by centroid_id — m_sub small
+                             ints per vector, the ONLY thing an ADC probe
+                             scans;
+    - ``base_dir/codebook``  (m, code_id, entry int[sub_dim]) — the PQ
+                             model, m_sub x n_codes rows;
+    - ``base_dir/sq8_range`` 1-row (__lo, __hi) — the scalar quantizer
+                             the codes were trained with (a probe must
+                             quantize the query with the SAME range);
+    - ``base_dir/centroids`` the coarse quantizer (probe_cells metadata).
+
+    Both data tables repartition BY THE PARTITION COLUMN before the
+    partitioned write (one file per cell per wave — the round-9 rule).
+    """
+    import os as _os
+
+    from ..sources.sink import write_full_refresh
+
+    sub_dim = dim // m_sub
+    codes = sq8_codes(embeddings, dim, id_col, vec_col).localCheckpoint()
+    book = pq_codebook(codes, n_codes, m_sub, sub_dim, id_col)
+    pq = pq_assign(codes, book, m_sub, sub_dim, id_col)
+    cells = _assign_to(
+        codes.select(id_col, "v"), centroids, dim, id_col
+    ).localCheckpoint()
+    pq_rows = (
+        pq.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("m", "code_id"))).alias("mc")
+        )
+        .selectExpr(id_col, "transform(mc, s -> s.code_id) AS code")
+        .join(cells.select(id_col, "centroid_id"), id_col)
+    )
+    emb_rows = cells.select(
+        id_col, F.col("v").alias(vec_col), "centroid_id"
+    )
+    write_full_refresh(emb_rows, _os.path.join(base_dir, "ivf"), ["centroid_id"])
+    write_full_refresh(pq_rows, _os.path.join(base_dir, "pq"), ["centroid_id"])
+    write_full_refresh(book, _os.path.join(base_dir, "codebook"))
+    write_full_refresh(centroids, _os.path.join(base_dir, "centroids"))
+    # recover the exact training range from the code frame's source the
+    # same way sq8_codes derived it (one MIN/MAX aggregate)
+    rmin, rmax = sq8_range_exprs("v", dim)
+    rng = (
+        codes.selectExpr(f"{rmin} AS __rmin", f"{rmax} AS __rmax")
+        .agg(F.min("__rmin").alias("__lo"), F.max("__rmax").alias("__hi"))
+    )
+    write_full_refresh(rng, _os.path.join(base_dir, "sq8_range"))
+
+
+def _py_sq8_codes(vec: list[float], lo: float, hi: float) -> list[int]:
+    """Driver-side SQ8 quantization of a query vector — the SAME
+    left-associative IEEE ops as sq8_code_expr ((x - lo) * 255.0, then
+    divide, floor, clamp), so the integer codes are bit-identical to the
+    engine-quantized ones. Serving-shape metadata arithmetic, like
+    probe_cells."""
+    import math as _math
+
+    out = []
+    for x in vec:
+        denom = hi - lo
+        if denom == 0.0:
+            raise ValueError("degenerate SQ8 range (constant corpus)")
+        c = _math.floor(((float(x) - lo) * 255.0) / denom)
+        out.append(int(min(255.0, max(0.0, c))))
+    return out
+
+
+def ivfpq_topk_persisted(
+    spark,
+    base_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 80,
+    m_sub: int = 8,
+    n_codes: int = 32,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search against the WRITTEN index — the serving path:
+
+    1. probe-cell selection on the driver over the centroid metadata
+       (probe_cells' contract; the coarse quantizer never scales with
+       the corpus);
+    2. the query is SQ8-quantized driver-side with the STORED range and
+       the ADC lookup table (m_sub x n_codes exact integers) is computed
+       from the stored codebook — pure metadata arithmetic;
+    3. the ADC scan reads ONLY the probed cells of ``base_dir/pq``
+       (static partition pruning on centroid_id) and scores each row
+       with a FLAT codegen expression — the LUT is inlined as m_sub
+       array literals, so candidate scoring is element_at lookups + an
+       integer sum, no join, no shuffle before the rerank TakeOrdered;
+    4. exact cosine rerank reads only the probed cells of
+       ``base_dir/ivf`` (pruned again) joined to the ``rerank``
+       surviving ids (broadcast).
+    """
+    import os as _os
+
+    cells = probe_cells(spark, base_dir, query_vec, n_probe)
+    rng = spark.read.parquet(_os.path.join(base_dir, "sq8_range")).head()
+    qcodes = _py_sq8_codes([float(x) for x in query_vec], rng["__lo"], rng["__hi"])
+    sub_dim = len(qcodes) // m_sub
+    book = spark.read.parquet(_os.path.join(base_dir, "codebook")).collect()
+    entries = {(r.m, r.code_id): list(r.entry) for r in book}
+    lut = {}
+    for (m, cid), entry in entries.items():
+        qsub = qcodes[m * sub_dim : (m + 1) * sub_dim]
+        lut[(m, cid)] = sum((a - b) * (a - b) for a, b in zip(qsub, entry))
+    terms = []
+    for m in range(m_sub):
+        arr = ", ".join(str(lut[(m, j)]) for j in range(n_codes))
+        terms.append(f"element_at(array({arr}), element_at(code, {m + 1}) + 1)")
+    adc_expr = "CAST(" + " + ".join(terms) + " AS BIGINT)"
+    pq = spark.read.parquet(_os.path.join(base_dir, "pq")).filter(
+        F.col("centroid_id").isin(cells)
+    )
+    if exclude_id is not None:
+        pq = pq.filter(F.col(id_col) != exclude_id)
+    cand = (
+        pq.selectExpr(id_col, f"{adc_expr} AS adc_d2")
+        .orderBy("adc_d2", id_col)
+        .limit(rerank)
+    )
+    vecs = spark.read.parquet(_os.path.join(base_dir, "ivf")).filter(
+        F.col("centroid_id").isin(cells)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = (
+        vecs.join(F.broadcast(cand), id_col)
+        .withColumn("__qv", q)
+        .selectExpr(id_col, "adc_d2", f"{cosine_expr(vec_col, '__qv')} AS cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

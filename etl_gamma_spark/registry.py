@@ -6663,6 +6663,51 @@ def q_embedding_ivfpq_topk(spark, sf_dir):
     )
 
 
+@query("embedding_ivfpq_persisted", _ivfpq_topk_sql())
+def q_embedding_ivfpq_persisted(spark, sf_dir):
+    """The written-index IVF-PQ path (the FAISS-on-disk serving shape):
+    build → write cells + PQ codes partitioned by centroid_id + codebook
+    + quantizer metadata → the probe quantizes the query driver-side
+    with the STORED range, inlines the ADC lookup table as literal
+    arrays (candidate scoring is a flat codegen expression over a
+    partition-pruned scan of M-int codes — no join, no shuffle before
+    the rerank TakeOrdered), and exact-reranks against the pruned float
+    cells. Same oracle as embedding_ivfpq_topk — the persisted index
+    must return the in-memory composition's answer."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .operators.similarity import ivfpq_topk_persisted, pq_write_index
+
+    tmp = _tf.mkdtemp(prefix="etl_gamma_ivfpq_")
+    try:
+        emb = spark.table("embeddings")
+        pq_write_index(
+            emb,
+            seed_centroids(emb, _IVF_K),
+            tmp,
+            m_sub=_PQ_M,
+            n_codes=_PQ_CODES,
+        )
+        qv = [
+            float(x)
+            for x in emb.filter("vec_id = 0").select("embedding").head()[0]
+        ]
+        return ivfpq_topk_persisted(
+            spark,
+            tmp,
+            qv,
+            k=10,
+            n_probe=_IVF_PROBE,
+            rerank=_PQ_RERANK,
+            m_sub=_PQ_M,
+            n_codes=_PQ_CODES,
+            exclude_id=0,
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # url_dedup / domain_mix — web-corpus URL canonicalization
 # (operators/web.py): synthetic messy URLs from fixture rows (like the
@@ -8427,9 +8472,13 @@ def q_ivf_index_maintain(spark, sf_dir):
 #   embedding_ivfpq_topk — the IVF-PQ composition; cell cut + ADC cut
 #                       both individually graded via the IVF / PQ
 #                       carriers' machinery
+#   embedding_ivfpq_persisted — the written-index IVF-PQ serving path
+#                       (same oracle as embedding_ivfpq_topk; the
+#                       embedding_ivf_persisted side-effect shape)
 UNGRADED_QUERIES: tuple[str, ...] = (
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
+    "embedding_ivfpq_persisted",
     "twap_hourly",
     "tpch_q5_local_supplier_volume",
     "supplier_shipping_coverage",

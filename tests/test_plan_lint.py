@@ -33,6 +33,7 @@ SIDE_EFFECTFUL = {
     "streaming_interval_join",
     "streaming_dedup_watermark",
     "embedding_ivf_persisted",
+    "embedding_ivfpq_persisted",
     "sink_overwrite_scope",
     "export_shards",
     "schema_evolution",

@@ -75,6 +75,54 @@ def test_ivfpq_topk_recall_and_subset_of_cells(spark, emb):
     assert [r.vec_id for r in got] == [r.vec_id for r in got2]
 
 
+def test_ivfpq_persisted_prunes_both_scans_and_matches_memory(spark, emb, tmp_path):
+    """The written IVF-PQ index: BOTH scans (the M-int PQ codes for ADC
+    and the float cells for rerank) must partition-prune to the probed
+    cells, the ADC stage must be join-free (the LUT is inlined as
+    literal arrays), and the persisted answer must equal the in-memory
+    composition's bit-for-bit."""
+    import re as _re
+
+    from etl_gamma_spark.operators.similarity import (
+        ivf_build,
+        ivfpq_topk,
+        ivfpq_topk_persisted,
+        pq_write_index,
+        probe_cells,
+        seed_centroids,
+    )
+    from tests.test_plan_quality import _explain
+
+    base = str(tmp_path / "ivfpq_index")
+    pq_write_index(emb, seed_centroids(emb, 16), base, m_sub=8, n_codes=32)
+    qv = [float(x) for x in emb.filter("vec_id = 0").select("embedding").head()[0]]
+    cells = probe_cells(spark, base, qv, n_probe=4)
+
+    topk = ivfpq_topk_persisted(
+        spark, base, qv, k=10, n_probe=4, rerank=80, n_codes=32, exclude_id=0
+    )
+    plan = _explain(topk)
+    filters = _re.findall(
+        r"PartitionFilters: \[centroid_id[^ ]* IN \(([^)]*)\)", plan
+    )
+    assert len(filters) == 2, f"expected 2 pruned scans:\n{plan}"
+    for f in filters:
+        assert {int(x) for x in f.split(",")} == set(cells)
+    # ADC candidate generation is join-free: exactly one join in the
+    # whole plan (rerank ids onto the float cells), broadcast hash
+    assert plan.count("BroadcastHashJoin") == 2  # tree + details
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    cents = seed_centroids(emb, 16)
+    mem = ivfpq_topk(
+        emb, query_id=0, k=10, n_probe=4, rerank=80, n_codes=32,
+        index=(ivf_build(emb, cents), cents),
+    )
+    got = [(r[0], r[1], r[2]) for r in topk.collect()]
+    want = [(r[0], r[1], r[2]) for r in mem.collect()]
+    assert got == want
+
+
 def test_pq_assignment_invariants(spark, emb):
     """Every (vector, subspace) gets exactly one code in [0, n_codes);
     a codebook SEED vector must assign to its own entry in every subspace

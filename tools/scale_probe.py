@@ -90,6 +90,10 @@ PROBE_QUERIES = [
     # cells (~N*n_probe/K rows); the linear parts are the two one-pass
     # assignments (cells + PQ codes) — both written indexes at scale
     "embedding_ivfpq_topk",
+    # the written-index serving path: cost = the index WRITE (two
+    # partitioned tables, linear) + a probe whose both scans prune to
+    # the probed cells
+    "embedding_ivfpq_persisted",
     "url_dedup",
     "domain_mix",
     # round-6 fourth batch (minhash_lsh_pairs above already covers the
