@@ -987,3 +987,116 @@ def lang_quality_mix(
         "n_chars",
         f"{T.idiv('n_docs * 1000', '__n', S)} AS permille_docs",
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, int],
+    token_budget: int,
+    max_epochs_milli: int = 4000,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget allocation across sources — the data-mixing PLAN a
+    training run is provisioned from (GPT-3/Llama-style: given target
+    mixture weights and a total token budget, how many epochs of each
+    source does the budget imply, and where does an epoch cap leave a
+    shortfall?). :func:`temperature_mix` sizes a DOCUMENT budget from
+    corpus counts; this op sizes a TOKEN budget against measured token
+    mass and reports the repetition (epoch) factor per source, capped.
+
+    Per configured source:
+
+      * ``n_docs`` / ``n_tokens`` — measured corpus mass (ws tokens);
+      * ``weight_ppm``     = HALF_UP(wt·10⁶ / Σwt);
+      * ``target_tokens``  = HALF_UP(budget·wt / Σwt);
+      * ``epochs_milli``   = HALF_UP(target_tokens·10³ / n_tokens) —
+        1000 = one pass over the source;
+      * ``epochs_capped_milli`` = LEAST(epochs_milli, max_epochs_milli) —
+        the repetition ceiling (data-constrained regime: repeating a
+        source beyond a few epochs stops helping);
+      * ``realized_tokens`` = epochs_capped_milli·n_tokens DIV 10³
+        (floor — a budget is a ceiling, never overdrawn by rounding);
+      * ``deficit_tokens``  = target_tokens − realized_tokens (> 0 ⇒ the
+        cap binds and the budget share is re-allocatable).
+
+    Every division is the engine-pair HALF_UP integer form on
+    non-negative operands (T.idiv lesson ladder), widened through
+    T.wint before scaling so a 10¹³-token source times 10⁶ cannot
+    overflow int64; an all-empty-text source divides by
+    NULLIF(n_tokens, 0) → NULL epochs, never an ANSI throw. Sources
+    absent from ``weights`` are excluded (they get no budget share).
+
+    Scale posture: one spread scan → hash aggregate to ≤ |sources| rows
+    (map-side combined), a broadcast join against the literal weight
+    table, then scalar integer projections. The corpus is touched once;
+    nothing wider than the source list ever shuffles.
+    """
+    spark = docs.sparkSession
+    wsum = sum(weights.values())  # literal config — exact, shared w/ oracle
+    wdf = spark.createDataFrame(
+        list(weights.items()), f"{stratum_col} string, wt long"
+    )
+    counts = (
+        spread(docs)
+        .groupBy(stratum_col)
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr(
+                f"CAST(SUM(CAST({T.asize(T.split_ws(text_col, S), S)}"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("n_tokens"),
+        )
+        .join(F.broadcast(wdf), stratum_col)
+    )
+    t = counts.selectExpr(
+        stratum_col,
+        "n_docs",
+        "n_tokens",
+        "CAST(" + T.idiv(f"2000000 * {T.wint('wt', S)} + {wsum}", str(2 * wsum), S)
+        + " AS BIGINT) AS weight_ppm",
+        "CAST(" + T.idiv(f"{2 * token_budget} * {T.wint('wt', S)} + {wsum}", str(2 * wsum), S)
+        + " AS BIGINT) AS target_tokens",
+    )
+    e = t.selectExpr(
+        stratum_col,
+        "n_docs",
+        "n_tokens",
+        "weight_ppm",
+        "target_tokens",
+        "CAST(" + T.idiv(f"2000 * {T.wint('target_tokens', S)} + n_tokens", "NULLIF(2 * n_tokens, 0)", S)
+        + " AS BIGINT) AS epochs_milli",
+    )
+    return e.selectExpr(
+        stratum_col,
+        "n_docs",
+        "n_tokens",
+        "weight_ppm",
+        "target_tokens",
+        "epochs_milli",
+        # explicit NULL branch: Spark least() SKIPS nulls while DuckDB
+        # versions differ — never let the engines' LEAST-null policies meet
+        f"CASE WHEN epochs_milli IS NULL THEN NULL"
+        f" ELSE LEAST(epochs_milli, {max_epochs_milli}) END"
+        " AS epochs_capped_milli",
+    ).selectExpr(
+        stratum_col,
+        "n_docs",
+        "n_tokens",
+        "weight_ppm",
+        "target_tokens",
+        "epochs_milli",
+        "epochs_capped_milli",
+        "CAST(" + T.idiv(f"epochs_capped_milli * {T.wint('n_tokens', S)}", "1000", S)
+        + " AS BIGINT) AS realized_tokens",
+    ).selectExpr(
+        stratum_col,
+        "n_docs",
+        "n_tokens",
+        "weight_ppm",
+        "target_tokens",
+        "epochs_milli",
+        "epochs_capped_milli",
+        "realized_tokens",
+        "CAST(target_tokens - realized_tokens AS BIGINT) AS deficit_tokens",
+    )

@@ -326,3 +326,89 @@ def rrf_fuse(
         f" + coalesce(1000000000 DIV ({rrf_k} + sem_rank), 0) AS rrf_ppb",
     )
     return fused.orderBy(F.col("rrf_ppb").desc(), "doc_id").limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (PMI over the corpus bigram table)
+# ---------------------------------------------------------------------------
+
+# Bigram-space PMI ratio, text-pinned (columns c12, tot, cw1, cw2 — all
+# BIGINT counts): p(w1,w2) / (p(w1,·)·p(·,w2)) with every marginal taken
+# over the bigram event space, so the whole ratio derives from ONE count
+# table. Shared verbatim between the Spark plan and the DuckDB oracle —
+# identical text → identical IEEE evaluation order → bit-identical double.
+PMI_R_SQL = (
+    "((CAST(c12 AS DOUBLE) * CAST(tot AS DOUBLE))"
+    " / (CAST(cw1 AS DOUBLE) * CAST(cw2 AS DOUBLE)))"
+)
+PMI_S_SQL = SQRT_CHAIN("r")
+PMI9_FROM_T_SQL = f"CAST(ROUND({LN_FROM_T_SQL}, 9) AS DECIMAL(18,9))"
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information of every word
+    bigram occurring at least ``min_count`` times — the phrase-detection
+    primitive (word2vec's phrase pass, terminology extraction) over the
+    corpus bigram table.
+
+        pmi(w1,w2) = ln( p(w1,w2) / (p(w1,·) · p(·,w2)) )
+
+    with all probabilities over the bigram event space: p(w1,w2)=c12/B,
+    p(w1,·)=Σ_y c(w1,y)/B, p(·,w2)=Σ_x c(x,w2)/B — so the ratio
+    simplifies to c12·B / (cw1·cw2) and EVERYTHING derives from the one
+    distinct-bigram count table (no separate unigram pass).
+
+    Engine parity: the ratio is a shared-verbatim double expression over
+    exact integer counts; the log is the portable sqrt-chain expansion
+    (module docstring) evaluated once per DISTINCT surviving bigram and
+    quantized at scale 9 — tie-free because ln(r) is irrational for every
+    rational r ≠ 1, and r = 1 yields an exact 0.0 in both engines (the
+    sqrt chain fixes 1.0, the series of t = 0 is 0).
+
+    Output: (w1, w2, c12 BIGINT, pmi9 DECIMAL(18,9)), one row per
+    surviving bigram (unordered report; positive pmi9 ⇒ collocation).
+
+    Scale posture: one explode → hash-aggregate for bigram counts
+    (map-side combined); marginals aggregate the DISTINCT-bigram table
+    (vocabulary-scale, not corpus-scale); the min_count filter shrinks
+    the frame BEFORE the two marginal joins (vocabulary-keyed shuffle
+    joins — never broadcast: vocab grows with the corpus); the 1-row
+    total attaches via broadcast (bcast_attach, codegen kept). The sqrt
+    chain runs once per surviving bigram.
+    """
+    words = spread(docs).selectExpr(f"{T.split_ws(text_col, S)} AS __w")
+    occ = words.selectExpr(f"explode({T.word_ngrams('__w', S, 2)}) AS bg")
+    # materialize the vocabulary-scale count table: its four consumers
+    # (both marginals, the kept cut, the total) re-plan differently, so
+    # exchange reuse cannot recover the corpus explode — unmaterialized,
+    # the documents scan ran TWICE (measured in formatted explain)
+    c2 = occ.groupBy("bg").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("c12")
+    ).localCheckpoint()
+    bg_w = c2.selectExpr(
+        "bg",
+        "c12",
+        f"{T.elem(T.split_ws('bg', S), '1', S)} AS w1",
+        f"{T.elem(T.split_ws('bg', S), '2', S)} AS w2",
+    )
+    # marginals + total BEFORE the min_count cut (probabilities are over
+    # the full corpus); the cut then bounds everything downstream
+    cw1 = bg_w.groupBy("w1").agg(F.expr("CAST(SUM(c12) AS BIGINT)").alias("cw1"))
+    cw2 = bg_w.groupBy("w2").agg(F.expr("CAST(SUM(c12) AS BIGINT)").alias("cw2"))
+    tot = c2.agg(F.expr("CAST(SUM(c12) AS BIGINT)").alias("tot"))
+    kept = (
+        bg_w.filter(F.col("c12") >= min_count)
+        .join(cw1, "w1")
+        .join(cw2, "w2")
+    )
+    return (
+        bcast_attach(kept, tot, "c12", "tot")
+        .selectExpr("w1", "w2", "c12", f"{PMI_R_SQL} AS r")
+        .selectExpr("w1", "w2", "c12", f"{PMI_S_SQL} AS s")
+        .selectExpr("w1", "w2", "c12", f"{IDF_T_SQL} AS t")
+        .selectExpr("w1", "w2", "c12", f"{PMI9_FROM_T_SQL} AS pmi9")
+    )

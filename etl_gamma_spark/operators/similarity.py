@@ -1268,3 +1268,78 @@ def ivfpq_topk_persisted(
         .selectExpr(id_col, "adc_d2", f"{cosine_expr(vec_col, '__qv')} AS cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for embedding/contrastive training (FaceNet /
+    DPR style): for each anchor (the first ``n_queries`` vectors), the
+    top-``k`` most similar vectors with a DIFFERENT label — the negatives
+    a trainer most needs — plus the anchor's best same-label similarity
+    (its positive) and the margin ``pos_cosine − cosine`` (negatives with
+    a small or negative margin are the semi-hard/hard band).
+
+    Engine parity: cosines come from the sequential zip_with/aggregate
+    fold that is bit-identical with DuckDB's list_dot_product; the
+    positive is MAX over identical doubles (order-independent) and the
+    margin is one shared-verbatim subtraction of two bit-identical
+    doubles. An anchor whose label has no other member gets NULL
+    pos_cosine/margin (left join), never a dropped anchor.
+
+    Output: (query_id, vec_id, cosine, pos_cosine, margin, rank) with
+    rank 1..k per anchor (cosine desc, vec_id tiebreak — total order).
+
+    Scale posture: the anchor side broadcasts (bcast_attach — BHJ,
+    codegen kept) and the corpus is scanned once; the scored frame is
+    narrow (ids + doubles, vectors dropped) and is materialized before
+    its two consumers (the positive aggregate and the negative window
+    re-plan differently, so exchange reuse cannot fire — the round-7
+    rule); the window partitions by anchor (bounded count by
+    construction). At cluster scale the anchor set is a batch, not the
+    corpus — the same shape as knn_join, which this extends with the
+    label residual.
+    """
+    q = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    )
+    scored = (
+        bcast_attach(spread(embeddings), q, id_col, "query_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .selectExpr(
+            "query_id",
+            "qlabel",
+            id_col,
+            label_col,
+            f"{cosine_expr(vec_col, 'qv')} AS cosine",
+        )
+        .localCheckpoint()
+    )
+    pos = (
+        scored.filter(F.col(label_col) == F.col("qlabel"))
+        .groupBy("query_id")
+        .agg(F.max("cosine").alias("pos_cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    neg = (
+        scored.filter(F.col(label_col) != F.col("qlabel"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return neg.join(F.broadcast(pos), "query_id", "left").selectExpr(
+        "query_id",
+        id_col,
+        "cosine",
+        "pos_cosine",
+        "(pos_cosine - cosine) AS margin",
+        "rank",
+    )

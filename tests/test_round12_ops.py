@@ -222,3 +222,124 @@ def test_tokenizer_fertility_empty_language_group_is_null_not_error(spark):
     con.executemany("INSERT INTO documents VALUES (?, ?)", data)
     oracle = _rows_by_lang(con.execute(_tokenizer_fertility_sql(_D)).fetchall())
     assert oracle == got
+
+
+# --- round-12 batch 2: mixture_plan / collocations_pmi / hard negatives ---
+
+
+def test_mixture_plan_hand_computed(spark):
+    """Exact-integer check of every column against a hand Decimal model:
+    weights {A:2, B:1}, budget 100 tokens, cap 1.5 epochs.
+      A: 3 docs, 10 tokens -> target HALF_UP(200/3)=67,
+         epochs HALF_UP(67000/10)=6700 -> capped 1500,
+         realized floor(1500*10/1000)=15, deficit 52
+      B: 1 doc,   4 tokens -> target HALF_UP(100/3)=33,
+         epochs HALF_UP(33000/4)=8250 -> capped 1500,
+         realized floor(1500*4/1000)=6, deficit 27
+    """
+    from etl_gamma_spark.operators.quality import mixture_plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", "A"),
+            (2, "a b c", "A"),
+            (3, "a b c d e", "A"),
+            (4, "x y z w", "B"),
+            (5, "ignored entirely", "C"),  # no weight -> excluded
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.source: r.asDict()
+        for r in mixture_plan(
+            docs, {"A": 2, "B": 1}, 100, max_epochs_milli=1500
+        ).collect()
+    }
+    assert set(got) == {"A", "B"}
+    a, b = got["A"], got["B"]
+    assert (a["n_docs"], a["n_tokens"]) == (3, 10)
+    assert (b["n_docs"], b["n_tokens"]) == (1, 4)
+    assert a["weight_ppm"] == 666667 and b["weight_ppm"] == 333333
+    assert a["target_tokens"] == 67 and b["target_tokens"] == 33
+    assert a["epochs_milli"] == 6700 and b["epochs_milli"] == 8250
+    assert a["epochs_capped_milli"] == 1500 == b["epochs_capped_milli"]
+    assert a["realized_tokens"] == 15 and b["realized_tokens"] == 6
+    assert a["deficit_tokens"] == 52 and b["deficit_tokens"] == 27
+
+
+def test_collocations_pmi_hand_computed(spark):
+    """Corpus 'a b a b' has bigrams (a b) x2, (b a) x1; tot=3.
+    pmi(a,b) = ln(2*3/(2*2)) = ln(1.5); pmi(b,a) = ln(1*3/(1*1)) = ln(3).
+    The portable expansion is within 1e-8 of true ln."""
+    import math
+
+    from etl_gamma_spark.operators.retrieval import collocations_pmi
+
+    docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    got = {
+        (r.w1, r.w2): (r.c12, float(r.pmi9))
+        for r in collocations_pmi(docs, min_count=1).collect()
+    }
+    assert got[("a", "b")][0] == 2 and got[("b", "a")][0] == 1
+    assert abs(got[("a", "b")][1] - math.log(1.5)) < 1e-8
+    assert abs(got[("b", "a")][1] - math.log(3.0)) < 1e-8
+
+
+def test_collocations_pmi_min_count_cut_after_marginals(spark):
+    """The min_count filter must NOT change surviving bigrams' pmi: the
+    marginals and total are corpus-wide. 'a b' survives a min_count=2 cut
+    with the same pmi it has at min_count=1."""
+    from etl_gamma_spark.operators.retrieval import collocations_pmi
+
+    docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    all_rows = {
+        (r.w1, r.w2): r.pmi9 for r in collocations_pmi(docs, min_count=1).collect()
+    }
+    cut = {(r.w1, r.w2): r.pmi9 for r in collocations_pmi(docs, min_count=2).collect()}
+    assert set(cut) == {("a", "b")}
+    assert cut[("a", "b")] == all_rows[("a", "b")]
+
+
+def test_hard_negative_mining_semantics(spark):
+    """Anchors 0 (label 1) and 1 (label 9, unique): negatives all carry a
+    different label, rank follows cosine desc, pos_cosine is the best
+    same-label cosine, margin = pos - neg; a label-unique anchor gets
+    NULL pos/margin but keeps its negative rows."""
+    from etl_gamma_spark.operators.similarity import (
+        brute_force_topk,
+        hard_negative_mining,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 1),
+        (1, [0.0, 1.0, 0.0, 0.0], 9),   # unique label
+        (2, [0.9, 0.1, 0.0, 0.0], 1),   # 0's positive
+        (3, [0.8, 0.2, 0.0, 0.0], 2),   # 0's best negative
+        (4, [0.5, 0.5, 0.0, 0.0], 2),
+        (5, [0.0, 0.9, 0.1, 0.0], 2),   # 1's best negative
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negative_mining(emb, n_queries=2, k=2).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.query_id, []).append(r)
+    labels = {v: lb for v, _, lb in rows}
+    for qid, rs in by_anchor.items():
+        rs.sort(key=lambda r: r.rank)
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        for r in rs:
+            assert labels[r.vec_id] != labels[qid]
+    # anchor 0: positive is vec 2; its cosine must equal the brute-force
+    # same-label max, and margins are consistent
+    a0 = by_anchor[0]
+    assert a0[0].vec_id == 3
+    assert a0[0].pos_cosine is not None
+    for r in a0:
+        assert abs(r.margin - (r.pos_cosine - r.cosine)) == 0.0
+    # anchor 1: unique label -> NULL positive, rows kept
+    a1 = by_anchor[1]
+    assert len(a1) == 2 and a1[0].vec_id == 5
+    assert all(r.pos_cosine is None and r.margin is None for r in a1)

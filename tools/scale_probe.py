@@ -213,6 +213,15 @@ PROBE_QUERIES = [
     # exact-intersection join bounded by pairs x shingles-per-doc, so
     # cost tracks the (capped) pair mass like minhash_lsh_pairs
     "minhash_jaccard_calibration",
+    # round-12 batch 2: token-budget mixture plan (one scan → 10-row
+    # report), PMI collocations (explode + vocabulary-scale aggregates;
+    # replica suffix tokens add ~one new bigram type per copy, so the
+    # surviving report stays near-constant while the count pass grows
+    # linearly), and hard-negative mining (20 broadcast anchors × the
+    # replicated corpus — linear in N, vectors never shuffle)
+    "mixture_token_plan",
+    "collocations_pmi",
+    "hard_negative_mining",
 ]
 
 
