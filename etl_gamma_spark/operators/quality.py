@@ -1100,3 +1100,56 @@ def mixture_plan(
         "realized_tokens",
         "CAST(target_tokens - realized_tokens AS BIGINT) AS deficit_tokens",
     )
+
+
+def packing_efficiency(
+    docs: DataFrame,
+    capacity: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Packing-efficiency report over :func:`sequence_pack`'s plan — the
+    observability half of concat-and-chunk packing: per source, how many
+    ``capacity``-token training bins the stream fills, how full they are,
+    and how many documents straddle a bin boundary (the rows an
+    attention-mask or doc-boundary loss treatment has to care about).
+
+      * ``n_bins``        = MAX(bin_last) + 1 (the stream is contiguous);
+      * ``pad_tokens``    = n_bins·capacity − total_tokens (≥ 0 — only
+        the final bin is ever partial);
+      * ``util_permille`` = HALF_UP(total_tokens·10³ / (n_bins·capacity));
+      * ``straddlers``    = documents with bin_first ≠ bin_last.
+
+    All integer arithmetic (the HALF_UP family, widened through T.wint
+    before scaling). Scale posture: sequence_pack's one per-source
+    window shuffle, then ONE reducible aggregate to a |sources|-row
+    report — MAX/SUM/COUNT all combine map-side.
+    """
+    packed = sequence_pack(
+        docs, capacity=capacity, text_col=text_col,
+        id_col=id_col, part_col=part_col,
+    )
+    g = packed.groupBy(part_col).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(n_tokens) AS BIGINT)").alias("total_tokens"),
+        F.expr("CAST(MAX(bin_last) + 1 AS BIGINT)").alias("n_bins"),
+        F.expr(
+            "CAST(SUM(CASE WHEN bin_first != bin_last THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("straddlers"),
+    )
+    util = T.idiv(
+        f"2000 * {T.wint('total_tokens', S)} + n_bins * {capacity}",
+        f"2 * n_bins * {capacity}",
+        S,
+    )
+    return g.selectExpr(
+        part_col,
+        "n_docs",
+        "total_tokens",
+        "n_bins",
+        "straddlers",
+        f"CAST(n_bins * {capacity} - total_tokens AS BIGINT) AS pad_tokens",
+        f"CAST({util} AS BIGINT) AS util_permille",
+    )

@@ -3225,7 +3225,10 @@ def q_contamination_pairs(spark, sf_dir):
     return Q.contamination_pairs(spark.table("documents"))
 
 
-def _sequence_pack_sql(d: str, capacity: int = 512) -> str:
+def _sequence_pack_ctes(d: str, capacity: int = 512) -> str:
+    """Shared CTE chain ending in ``packed`` — the full per-document
+    packing frame; _sequence_pack_sql and _packing_efficiency_sql both
+    build on it so the two oracles cannot drift."""
     # integer division dialect: Spark `a DIV b`, DuckDB `a // b`
     idiv = "DIV" if d == _S else "//"
     return f"""
@@ -3238,14 +3241,25 @@ c AS (
     SELECT doc_id, source, n_tokens,
            SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
     FROM t
-)
-SELECT doc_id, source, n_tokens,
-       CAST(cum - n_tokens AS BIGINT) AS start_offset,
-       CAST((cum - n_tokens) {idiv} {capacity} AS BIGINT) AS bin_first,
-       CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) {idiv} {capacity}
-            ELSE (cum - 1) {idiv} {capacity} END AS BIGINT) AS bin_last
-FROM c
+),
+packed AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST((cum - n_tokens) {idiv} {capacity} AS BIGINT) AS bin_first,
+           CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) {idiv} {capacity}
+                ELSE (cum - 1) {idiv} {capacity} END AS BIGINT) AS bin_last
+    FROM c
+)"""
+
+
+def _sequence_pack_sql(d: str, capacity: int = 512) -> str:
+    return (
+        _sequence_pack_ctes(d, capacity)
+        + """
+SELECT doc_id, source, n_tokens, start_offset, bin_first, bin_last
+FROM packed
 """
+    )
 
 
 @query("sequence_pack", _sequence_pack_sql(_D))
@@ -8202,6 +8216,71 @@ def q_hard_negative_mining(spark, sf_dir):
     return SIM.hard_negative_mining(spark.table("embeddings"), n_queries=20, k=5)
 
 
+def _packing_efficiency_sql(d: str, capacity: int = 512) -> str:
+    idiv = "DIV" if d == _S else "//"
+    w = T.wint("SUM(n_tokens)", d)
+    return (
+        _sequence_pack_ctes(d, capacity)
+        + f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(bin_last) + 1 AS BIGINT) AS n_bins,
+       CAST(SUM(CASE WHEN bin_first != bin_last THEN 1 ELSE 0 END)
+            AS BIGINT) AS straddlers,
+       CAST((MAX(bin_last) + 1) * {capacity} - SUM(n_tokens)
+            AS BIGINT) AS pad_tokens,
+       CAST(((2000 * {w} + (MAX(bin_last) + 1) * {capacity})
+             {idiv} (2 * (MAX(bin_last) + 1) * {capacity}))
+            AS BIGINT) AS util_permille
+FROM packed GROUP BY 1
+"""
+    )
+
+
+@query("packing_efficiency", _packing_efficiency_sql(_D))
+def q_packing_efficiency(spark, sf_dir):
+    """Bin utilization / straddle report over the sequence_pack plan
+    (operators/quality.py::packing_efficiency)."""
+    return Q.packing_efficiency(spark.table("documents"))
+
+
+def _ivf_cell_balance_sql() -> str:
+    ppm = T.idiv(
+        f"2000000 * {T.wint('n_vectors', _D)} + __n", "2 * __n", _D
+    )
+    return (
+        _ivf_common_sql()
+        + f""",
+counts AS (
+    SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS __c
+    FROM assign GROUP BY 1
+),
+filled AS (
+    SELECT c.centroid_id, CAST(COALESCE(n.__c, 0) AS BIGINT) AS n_vectors
+    FROM c LEFT JOIN counts n USING (centroid_id)
+),
+tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS __n FROM filled)
+SELECT centroid_id, n_vectors,
+       CAST({ppm} AS BIGINT) AS share_ppm,
+       (n_vectors * {_IVF_K} > 2 * __n) AS oversized
+FROM filled CROSS JOIN tot
+"""
+    )
+
+
+@query("ivf_cell_balance", _ivf_cell_balance_sql())
+def q_ivf_cell_balance(spark, sf_dir):
+    """IVF index-health report (operators/similarity.py::ivf_cell_balance):
+    per-cell population, corpus share, oversized flag — the observability
+    member of the IVF maintenance family. Same seeded quantizer as every
+    IVF carrier (_ivf_common_sql)."""
+    from .operators.similarity import ivf_cell_balance
+
+    emb = spark.table("embeddings")
+    return ivf_cell_balance(emb, seed_centroids(emb, _IVF_K), _IVF_K)
+
+
 # Round-7 rotation: the three round-7 operator families move INTO the
 # graded window (rrf_fusion — hybrid retrieval fusion;
 # tpch_q6_forecast_revenue — the pure scan-predicate showcase;
@@ -8748,6 +8827,8 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "mixture_token_plan",
     "collocations_pmi",
     "hard_negative_mining",
+    "packing_efficiency",
+    "ivf_cell_balance",
 )
 
 GRADED_QUERIES: tuple[str, ...] = tuple(

@@ -105,6 +105,9 @@ UNPARTITIONED_WINDOW_OK = {
     "embedding_ivf_topk",
     "ivf_recall_at_10",
     "ivf_recall_sweep",
+    # seed_centroids' dense relabel: row_number over the LIMIT-K seed
+    # frame (<= 16 rows by construction), same as every IVF carrier here
+    "ivf_cell_balance",
     "new_users_daily",
     "client_revenue_pct_rank",
     "client_revenue_quartiles",

@@ -343,3 +343,52 @@ def test_hard_negative_mining_semantics(spark):
     a1 = by_anchor[1]
     assert len(a1) == 2 and a1[0].vec_id == 5
     assert all(r.pos_cosine is None and r.margin is None for r in a1)
+
+
+def test_packing_efficiency_hand_computed(spark):
+    """Tokens 3,2,4 at capacity 4: cum 3,5,9 -> doc2 straddles bins 0-1,
+    doc3 straddles 1-2; n_bins=3, pad=12-9=3, util=HALF_UP(9000/12)=750."""
+    from etl_gamma_spark.operators.quality import packing_efficiency
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "A"), (2, "d e", "A"), (3, "f g h i", "A")],
+        "doc_id long, text string, source string",
+    )
+    [r] = packing_efficiency(docs, capacity=4).collect()
+    assert (r.n_docs, r.total_tokens, r.n_bins) == (3, 9, 3)
+    assert r.straddlers == 2
+    assert r.pad_tokens == 3
+    assert r.util_permille == 750
+
+
+def test_ivf_cell_balance_counts_empty_and_oversized(spark):
+    """Hand centroid table: c0 at the origin-ish cluster (8 of 10 vectors
+    -> 8*4 > 2*10, oversized), c1 and c2 with one vector each, c3 far from
+    everything (EMPTY cell still reported, share 0, not oversized)."""
+    from etl_gamma_spark.operators.similarity import ivf_cell_balance
+
+    vecs = [(i, [float(i) * 0.01, 0.0, 0.0, 0.0], 0) for i in range(8)]
+    vecs += [(8, [5.0, 5.0, 0.0, 0.0], 0), (9, [-5.0, 5.0, 0.0, 0.0], 0)]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    cents = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0, 0.0]),
+            (1, [5.0, 5.0, 0.0, 0.0]),
+            (2, [-5.0, 5.0, 0.0, 0.0]),
+            (3, [100.0, 100.0, 100.0, 100.0]),
+        ],
+        "centroid_id int, centroid array<double>",
+    )
+    got = {
+        r.centroid_id: r for r in ivf_cell_balance(emb, cents, 4, dim=4).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0].n_vectors == 8 and got[0].oversized is True
+    assert got[1].n_vectors == 1 and got[1].oversized is False
+    assert got[3].n_vectors == 0 and got[3].share_ppm == 0
+    assert got[3].oversized is False
+    assert sum(r.n_vectors for r in got.values()) == 10
+    # HALF_UP ppm: 8/10 -> 800000, 1/10 -> 100000
+    assert got[0].share_ppm == 800000 and got[1].share_ppm == 100000

@@ -222,6 +222,10 @@ PROBE_QUERIES = [
     "mixture_token_plan",
     "collocations_pmi",
     "hard_negative_mining",
+    # the two observability reports: one window + one reducible agg
+    # (packing), and one assignment pass + K-row report (cell balance)
+    "packing_efficiency",
+    "ivf_cell_balance",
 ]
 
 
