@@ -1153,3 +1153,52 @@ def packing_efficiency(
         f"CAST(n_bins * {capacity} - total_tokens AS BIGINT) AS pad_tokens",
         f"CAST({util} AS BIGINT) AS util_permille",
     )
+
+
+def classifier_threshold_sweep(
+    docs: DataFrame,
+    thresholds: tuple[int, ...] = (-50000, -20000, 0, 20000, 50000),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Operating-point sweep for the quality classifier: at each literal
+    margin threshold, how many documents survive and what corpus share
+    that is — the table read before PICKING the filter threshold
+    (:func:`hash_classifier_score` scores; :func:`quality_prune` picks by
+    percentile; this shows the whole tradeoff curve at once).
+
+    Exact integer arithmetic throughout (counts + the HALF_UP permille
+    family), so the curve hashes identically across engines.
+
+    Output: (threshold_micro BIGINT, n_kept BIGINT, keep_permille
+    BIGINT), one row per threshold.
+
+    Scale posture: classifier inference is the dominant cost (its own
+    documented shape); the sweep itself attaches the |thresholds|-row
+    literal frame by broadcast (bcast_attach — BHJ, codegen kept) to the
+    narrow (id, margin) frame and reduces with ONE map-side-combined
+    aggregate. The text never reaches the sweep.
+    """
+    if not thresholds:
+        raise ValueError("at least one threshold required")
+    spark = docs.sparkSession
+    scored = hash_classifier_score(
+        docs, text_col=text_col, id_col=id_col
+    ).select("margin_micro")
+    ts = spark.createDataFrame(
+        [(int(t),) for t in thresholds], "threshold_micro long"
+    )
+    j = bcast_attach(scored, ts, "margin_micro", "threshold_micro")
+    g = j.groupBy("threshold_micro").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN margin_micro >= threshold_micro"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_kept"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("__n"),
+    )
+    share = T.idiv(f"2000 * {T.wint('n_kept', S)} + __n", "2 * __n", S)
+    return g.selectExpr(
+        "threshold_micro",
+        "n_kept",
+        f"CAST({share} AS BIGINT) AS keep_permille",
+    )

@@ -219,3 +219,82 @@ def bpe_encode(
         .groupBy("token")
         .agg(F.sum("n").cast("bigint").alias("n_tokens"))
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_sizes: tuple[int, ...] = (256, 1024, 4096, 16384),
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-mass coverage curve for vocabulary sizing: what fraction of
+    corpus token OCCURRENCES would a top-``K``-by-frequency word
+    vocabulary cover, for each literal ``K`` — the first table read when
+    choosing a tokenizer vocab size / OOV budget (Zipf in practice:
+    coverage climbs fast then flattens; this measures YOUR corpus).
+
+    Computed exactly WITHOUT ranking the vocabulary: unigram counts
+    collapse to COUNT CLASSES (one row per distinct frequency value —
+    ~O(√corpus) rows under Zipf, bounded regardless of vocabulary size),
+    and a running sum over classes in descending-frequency order gives,
+    for each K, the full mass of classes that fit entirely plus
+    ``(K − types_above) · c`` for the class K lands in. Ties are exact:
+    same-count types are interchangeeable for mass coverage, so the
+    answer is independent of which tied types make the cut — no
+    vocabulary-scale sort, window, or top-K anywhere.
+
+    Output: (vocab_k BIGINT, covered_tokens BIGINT, coverage_permille
+    BIGINT) — covered_tokens caps at the full mass when K exceeds the
+    distinct-type count.
+
+    Scale posture: one explode → unigram hash agg (map-side combined,
+    vocabulary-scale output) → count-class agg (bounded) → ONE
+    unpartitioned running-sum window over the bounded class frame →
+    a |classes| × |vocab_sizes| conditional aggregate. The corpus is
+    touched once; nothing wider than the class frame shuffles after the
+    unigram agg.
+    """
+    from pyspark.sql import Window
+
+    if not vocab_sizes:
+        raise ValueError("at least one vocab size required")
+    words = spread(docs).selectExpr(f"{T.split_ws(text_col, S)} AS __w")
+    uni = (
+        words.selectExpr("explode(__w) AS w")
+        .groupBy("w")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("c"))
+    )
+    classes = uni.groupBy("c").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_types")
+    )
+    w = Window.orderBy(F.col("c").desc())
+    cum = classes.select(
+        "c",
+        "n_types",
+        F.sum("n_types").over(w).alias("cum_types"),
+    ).selectExpr("c", "n_types", "cum_types", "cum_types - n_types AS prev_types")
+    ks = ", ".join(str(k) for k in vocab_sizes)
+    expanded = cum.selectExpr(
+        "c", "n_types", "cum_types", "prev_types",
+        f"explode(array({ks})) AS vocab_k",
+    )
+    # per (K, class): whole class in the top-K, partial (K straddles the
+    # class), or out — exact integer mass either way
+    contrib = expanded.selectExpr(
+        "vocab_k",
+        f"""CASE WHEN cum_types <= vocab_k THEN {T.wint('c', S)} * n_types
+             WHEN prev_types < vocab_k
+               THEN {T.wint('c', S)} * (vocab_k - prev_types)
+             ELSE {T.wint('0', S)} END AS covered""",
+    )
+    g = contrib.groupBy("vocab_k").agg(
+        F.expr("CAST(SUM(covered) AS DECIMAL(38,0))").alias("__cov")
+    )
+    tot = uni.agg(
+        F.expr(f"CAST(SUM({T.wint('c', S)}) AS DECIMAL(38,0))").alias("__tot")
+    )
+    permille = T.idiv(f"2000 * {T.wint('__cov', S)} + __tot", "2 * __tot", S)
+    return bcast_attach(g, tot, "__cov", "__tot").selectExpr(
+        "CAST(vocab_k AS BIGINT) AS vocab_k",
+        "CAST(__cov AS BIGINT) AS covered_tokens",
+        f"CAST({permille} AS BIGINT) AS coverage_permille",
+    )

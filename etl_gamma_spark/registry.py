@@ -5918,7 +5918,10 @@ def q_semdedup_persisted(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _hash_clf_sql(d: str) -> str:
+def _hash_clf_ctes(d: str) -> str:
+    """Shared CTE chain ending in ``agg`` (doc_id, margin_micro) — the
+    classifier-inference oracle body; _hash_clf_sql and the threshold
+    sweep both build on it so the two cannot drift."""
     from .operators.quality import HASH_CLF_BIAS_MICRO, HASH_CLF_FEATURES
 
     return f"""
@@ -5944,11 +5947,18 @@ agg AS (
            CAST({HASH_CLF_BIAS_MICRO} + SUM(tf * w_micro) AS BIGINT) AS margin_micro
     FROM tf JOIN vocab USING (token) JOIN wt USING (fid)
     GROUP BY doc_id
-)
+)"""
+
+
+def _hash_clf_sql(d: str) -> str:
+    return (
+        _hash_clf_ctes(d)
+        + """
 SELECT doc_id, margin_micro,
        CASE WHEN margin_micro > 0 THEN 'keep' ELSE 'drop' END AS verdict
 FROM agg
 """
+    )
 
 
 @query("quality_classifier_score", _hash_clf_sql(_D))
@@ -8281,6 +8291,90 @@ def q_ivf_cell_balance(spark, sf_dir):
     return ivf_cell_balance(emb, seed_centroids(emb, _IVF_K), _IVF_K)
 
 
+_SWEEP_THRESHOLDS = (-50000, -20000, 0, 20000, 50000)
+
+
+def _clf_sweep_sql(d: str) -> str:
+    vals = ", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)
+    share = T.idiv(f"2000 * {T.wint('n_kept', d)} + __n", "2 * __n", d)
+    return (
+        _hash_clf_ctes(d)
+        + f""",
+ts(threshold_micro) AS (VALUES {vals}),
+g AS (
+    SELECT CAST(threshold_micro AS BIGINT) AS threshold_micro,
+           CAST(SUM(CASE WHEN margin_micro >= threshold_micro
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) AS BIGINT) AS __n
+    FROM agg CROSS JOIN ts
+    GROUP BY 1
+)
+SELECT threshold_micro, n_kept,
+       CAST({share} AS BIGINT) AS keep_permille
+FROM g
+"""
+    )
+
+
+@query("classifier_threshold_sweep", _clf_sweep_sql(_D))
+def q_classifier_threshold_sweep(spark, sf_dir):
+    """Operating-point sweep over the quality classifier (operators/
+    quality.py::classifier_threshold_sweep): survivors + corpus share at
+    each literal margin threshold."""
+    return Q.classifier_threshold_sweep(
+        spark.table("documents"), _SWEEP_THRESHOLDS
+    )
+
+
+_VOCAB_KS = (256, 1024, 4096, 16384)
+
+
+def _vocab_coverage_sql(d: str) -> str:
+    vals = ", ".join(f"({k})" for k in _VOCAB_KS)
+    permille = T.idiv(f"2000 * {T.wint('__cov', d)} + __tot", "2 * __tot", d)
+    return f"""
+WITH w AS (SELECT {T.split_ws('text', d)} AS __w FROM documents),
+uni AS (
+    SELECT wd, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT unnest(__w) AS wd FROM w) GROUP BY 1
+),
+classes AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_types FROM uni GROUP BY 1),
+cum AS (
+    SELECT c, n_types,
+           CAST(SUM(n_types) OVER (ORDER BY c DESC) AS BIGINT) AS cum_types
+    FROM classes
+),
+cum2 AS (
+    SELECT c, n_types, cum_types, cum_types - n_types AS prev_types FROM cum
+),
+ks(vocab_k) AS (VALUES {vals}),
+contrib AS (
+    SELECT vocab_k,
+           CASE WHEN cum_types <= vocab_k THEN {T.wint('c', d)} * n_types
+                WHEN prev_types < vocab_k
+                  THEN {T.wint('c', d)} * (vocab_k - prev_types)
+                ELSE {T.wint('0', d)} END AS covered
+    FROM cum2 CROSS JOIN ks
+),
+g AS (SELECT vocab_k, SUM(covered) AS __cov FROM contrib GROUP BY 1),
+tot AS (SELECT SUM({T.wint('c', d)}) AS __tot FROM uni)
+SELECT CAST(vocab_k AS BIGINT) AS vocab_k,
+       CAST(__cov AS BIGINT) AS covered_tokens,
+       CAST({permille} AS BIGINT) AS coverage_permille
+FROM g CROSS JOIN tot
+"""
+
+
+@query("vocab_coverage", _vocab_coverage_sql(_D))
+def q_vocab_coverage(spark, sf_dir):
+    """Token-mass coverage curve at literal vocab sizes (operators/
+    tokenize.py::vocab_coverage): exact top-K-by-frequency mass via
+    count-class cumulative sums — no vocabulary-scale rank anywhere."""
+    from .operators.tokenize import vocab_coverage
+
+    return vocab_coverage(spark.table("documents"), _VOCAB_KS)
+
+
 # Round-7 rotation: the three round-7 operator families move INTO the
 # graded window (rrf_fusion — hybrid retrieval fusion;
 # tpch_q6_forecast_revenue — the pure scan-predicate showcase;
@@ -8821,14 +8915,21 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "receita_grouping_sets",
     "embedding_topk",
     "streaming_session_windows",
-    # Round-12 second-batch additions enter ungraded on registration (the
-    # one-rotation-per-round rule — this round's graded batch already
-    # landed); rotate in r13 once banked:
+    # Round-12 second/third-batch additions enter ungraded on registration
+    # (the one-rotation-per-round rule — this round's graded batch already
+    # landed). BANKED for the r13 rotation: both-SF driver_sim green on
+    # the exact final r12 tree (/tmp/ds_r12G_sf001.log 183/181 fails=[];
+    # /tmp/ds_r12H_sf01.log 183/181 fails=[], commit of record is the
+    # ivf_cell_balance/packing_efficiency registration commit):
     "mixture_token_plan",
     "collocations_pmi",
     "hard_negative_mining",
     "packing_efficiency",
     "ivf_cell_balance",
+    # batch 4 (registered after the both-SF pass above — needs its own
+    # banked proof before rotating):
+    "classifier_threshold_sweep",
+    "vocab_coverage",
 )
 
 GRADED_QUERIES: tuple[str, ...] = tuple(

@@ -108,6 +108,9 @@ UNPARTITIONED_WINDOW_OK = {
     # seed_centroids' dense relabel: row_number over the LIMIT-K seed
     # frame (<= 16 rows by construction), same as every IVF carrier here
     "ivf_cell_balance",
+    # count-class running sum: the window runs over one row per DISTINCT
+    # frequency value (~O(sqrt corpus) under Zipf), never the vocabulary
+    "vocab_coverage",
     "new_users_daily",
     "client_revenue_pct_rank",
     "client_revenue_quartiles",

@@ -392,3 +392,54 @@ def test_ivf_cell_balance_counts_empty_and_oversized(spark):
     assert sum(r.n_vectors for r in got.values()) == 10
     # HALF_UP ppm: 8/10 -> 800000, 1/10 -> 100000
     assert got[0].share_ppm == 800000 and got[1].share_ppm == 100000
+
+
+def test_vocab_coverage_hand_computed(spark):
+    """'a a a b b c': counts 3/2/1, mass 6. K=1 -> 3 (500 permille),
+    K=2 -> 5 (HALF_UP 833), K=4 > |types| -> 6 (1000)."""
+    from etl_gamma_spark.operators.tokenize import vocab_coverage
+
+    docs = spark.createDataFrame([(1, "a a a b b c")], "doc_id long, text string")
+    got = {
+        r.vocab_k: (r.covered_tokens, r.coverage_permille)
+        for r in vocab_coverage(docs, (1, 2, 4)).collect()
+    }
+    assert got == {1: (3, 500), 2: (5, 833), 4: (6, 1000)}
+
+
+def test_vocab_coverage_partial_class(spark):
+    """'a a b b c c d': three tied types at count 2 — K=2 lands INSIDE
+    the class, covering exactly 2 of the 3 interchangeable types:
+    covered = 4 of mass 7 (HALF_UP 571)."""
+    from etl_gamma_spark.operators.tokenize import vocab_coverage
+
+    docs = spark.createDataFrame([(1, "a a b b c c d")], "doc_id long, text string")
+    got = {
+        r.vocab_k: (r.covered_tokens, r.coverage_permille)
+        for r in vocab_coverage(docs, (2,)).collect()
+    }
+    assert got == {2: (4, 571)}
+
+
+def test_classifier_threshold_sweep_consistent_with_scores(spark):
+    from etl_gamma_spark.operators.quality import (
+        classifier_threshold_sweep,
+        hash_classifier_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i % 3} common word") for i in range(12)],
+        "doc_id long, text string",
+    )
+    margins = [r.margin_micro for r in hash_classifier_score(docs).collect()]
+    assert len(margins) == 12
+    ts = (min(margins) - 1, 0, max(margins) + 1)
+    got = {
+        r.threshold_micro: (r.n_kept, r.keep_permille)
+        for r in classifier_threshold_sweep(docs, ts).collect()
+    }
+    for t in ts:
+        expect = sum(1 for m in margins if m >= t)
+        assert got[t][0] == expect
+        assert got[t][1] == (2000 * expect + 12) // 24
+    assert got[min(margins) - 1][0] == 12 and got[max(margins) + 1][0] == 0

@@ -226,6 +226,10 @@ PROBE_QUERIES = [
     # (packing), and one assignment pass + K-row report (cell balance)
     "packing_efficiency",
     "ivf_cell_balance",
+    # batch 4: the coverage curve (unigram agg → bounded class frame) and
+    # the classifier sweep (inference cost + a 5-row broadcast reduce)
+    "vocab_coverage",
+    "classifier_threshold_sweep",
 ]
 
 
