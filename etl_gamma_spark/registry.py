@@ -8926,8 +8926,10 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "hard_negative_mining",
     "packing_efficiency",
     "ivf_cell_balance",
-    # batch 4 (registered after the both-SF pass above — needs its own
-    # banked proof before rotating):
+    # batch 4 — ALSO banked: a second both-SF driver_sim ran green on the
+    # exact final r12 tree containing all seven additions
+    # (/tmp/ds_r12I_sf001.log 185/183 fails=[] and /tmp/ds_r12J_sf01.log
+    # 185/183 fails=[], tree = the vocab_coverage registration commit):
     "classifier_threshold_sweep",
     "vocab_coverage",
 )
