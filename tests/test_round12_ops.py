@@ -443,3 +443,86 @@ def test_classifier_threshold_sweep_consistent_with_scores(spark):
         assert got[t][0] == expect
         assert got[t][1] == (2000 * expect + 12) // 24
     assert got[min(margins) - 1][0] == 12 and got[max(margins) + 1][0] == 0
+
+
+def test_vocab_coverage_fuzz_vs_bruteforce(spark):
+    """Random Zipf-ish corpora (heavy tie classes) vs the obvious model:
+    sort types by count desc, take K, sum their counts. The count-class
+    cumulative form must agree EXACTLY for every K, including K inside a
+    tie class (same-count types are interchangeable) and K > |types|."""
+    import random
+
+    from etl_gamma_spark.operators.tokenize import vocab_coverage
+
+    rng = random.Random(12)
+    for trial in range(4):
+        # many types at few distinct counts -> partial-class Ks are common
+        types = [f"w{i}" for i in range(rng.randint(5, 40))]
+        counts = {t: rng.choice([1, 1, 2, 2, 3, 5, 8]) for t in types}
+        tokens = [t for t, c in counts.items() for _ in range(c)]
+        rng.shuffle(tokens)
+        # split the stream across a few documents
+        docs, i = [], 0
+        did = 0
+        while i < len(tokens):
+            j = min(len(tokens), i + rng.randint(3, 9))
+            docs.append((did, " ".join(tokens[i:j])))
+            did += 1
+            i = j
+        ks = tuple(sorted({1, 2, rng.randint(1, len(types)), len(types) + 5}))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.vocab_k: r.covered_tokens
+            for r in vocab_coverage(df, ks).collect()
+        }
+        ordered = sorted(counts.values(), reverse=True)
+        total = sum(ordered)
+        for k in ks:
+            expect = sum(ordered[:k]) if k <= len(ordered) else total
+            assert got[k] == expect, (trial, k, got[k], expect, ordered)
+
+
+def test_mixture_plan_fuzz_vs_decimal_model(spark):
+    """Random corpora/weights/budgets vs a pure-Python integer HALF_UP
+    model of every column."""
+    import random
+
+    from etl_gamma_spark.operators.quality import mixture_plan
+
+    def half_up(a, b):  # non-negative a/b
+        return (2 * a + b) // (2 * b)
+
+    rng = random.Random(34)
+    for trial in range(3):
+        sources = [f"s{i}" for i in range(rng.randint(2, 5))]
+        weights = {s: rng.randint(1, 9) for s in sources}
+        wsum = sum(weights.values())
+        budget = rng.randint(50, 5000)
+        cap = rng.choice([800, 1500, 10_000_000])
+        rows, toks = [], {}
+        did = 0
+        for s in sources:
+            toks[s] = 0
+            for _ in range(rng.randint(1, 6)):
+                n = rng.randint(1, 12)
+                rows.append((did, " ".join(f"t{j}" for j in range(n)), s))
+                toks[s] += n
+                did += 1
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {
+            r.source: r.asDict()
+            for r in mixture_plan(df, weights, budget, max_epochs_milli=cap).collect()
+        }
+        for s in sources:
+            t = toks[s]
+            target = half_up(budget * weights[s], wsum)
+            epochs = half_up(target * 1000, t)
+            capped = min(epochs, cap)
+            realized = capped * t // 1000
+            r = got[s]
+            assert r["weight_ppm"] == half_up(weights[s] * 1_000_000, wsum)
+            assert r["n_tokens"] == t and r["target_tokens"] == target
+            assert r["epochs_milli"] == epochs
+            assert r["epochs_capped_milli"] == capped
+            assert r["realized_tokens"] == realized
+            assert r["deficit_tokens"] == target - realized
