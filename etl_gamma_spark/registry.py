@@ -8934,6 +8934,21 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "vocab_coverage",
 )
 
+# R13 ROTATION PLAN (computed r12 from CORRECTNESS_r{1..11} + the r12
+# graded window): after r12's driver run, exactly 14 oracle-backed
+# queries will remain never-driver-graded — rotate ALL of them in as the
+# r13 batch (one batch, displace the 14 most-proven by the banked-rounds
+# audit): user_rank_by_events, clients_per_farmer_list,
+# client_revenue_pct_rank, client_revenue_quartiles (the four window
+# carriers from VERDICT r11 item 6), embedding_pq_topk,
+# embedding_ivfpq_topk, embedding_ivfpq_persisted (the PQ family),
+# mixture_token_plan, collocations_pmi, hard_negative_mining,
+# packing_efficiency, ivf_cell_balance, classifier_threshold_sweep,
+# vocab_coverage (the seven banked r12 additions above). That leaves
+# only bpe_merges / bpe_token_histogram never-graded — rows-only BY
+# DESIGN (iterative training; pinned instead by the exact pure-Python
+# reference-BPE equality tests).
+
 GRADED_QUERIES: tuple[str, ...] = tuple(
     n for n in QUERIES if n not in UNGRADED_QUERIES
 )
