@@ -1865,3 +1865,66 @@ def incremental_neardup_pairs(
             f"CAST(({matches}) AS DOUBLE) / {T.MINHASH_K}.0 AS est_jaccard",
         )
     )
+
+
+def boilerplate_share(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Per-document boilerplate signal: what fraction of a document's
+    chunks occur elsewhere in the corpus — the CCNet-style "duplicated
+    line share" quality feature. :func:`chunk_dedup` REMOVES repeated
+    chunks; this MEASURES them per document without rewriting anything
+    (a high share marks templated/nav-heavy pages for the quality gate;
+    the two share the word_chunks splitter).
+
+    Output: (doc_id, n_chunks BIGINT, dup_chunks BIGINT,
+    boilerplate_permille BIGINT) — dup counts chunk occurrences whose
+    chunk text appears >= 2 times corpus-wide (including within one
+    document: internal repetition is boilerplate too).
+
+    Chunk keys are md5, not xxhash64 — no downstream exact verification
+    exists to reject collisions (the round-8 posting-key rule), and the
+    shuffle carries 32-hex keys instead of chunk text either way.
+
+    Scale posture: the chunk occurrence frame (doc_id, md5) is
+    materialized once and feeds both consumers (the chunk-df aggregate
+    and the join-back probe — differing plans, exchange reuse cannot
+    fire); the df aggregate is map-side combined, so a corpus-wide hot
+    chunk arrives at its reducer pre-collapsed; the join back is
+    chunk-keyed (AQE-sized, never broadcast — the df table is
+    corpus-scale) and the final aggregate is doc-keyed. No windows,
+    no pairs.
+    """
+    base = spread(docs).selectExpr(
+        id_col, f"{T.split_ws(text_col, S)} AS __w"
+    ).selectExpr(
+        id_col, f"{T.word_chunks('__w', S, chunk_words)} AS __c"
+    )
+    occ = base.select(
+        id_col, F.explode("__c").alias("__chunk")
+    ).selectExpr(id_col, "md5(__chunk) AS __h").localCheckpoint()
+    dfs = occ.groupBy("__h").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("__df")
+    )
+    per = (
+        occ.join(dfs, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_chunks"),
+            F.expr(
+                "CAST(SUM(CASE WHEN __df > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("dup_chunks"),
+        )
+    )
+    share = T.idiv(
+        f"2000 * {T.wint('dup_chunks', S)} + n_chunks", "2 * n_chunks", S
+    )
+    return per.selectExpr(
+        id_col,
+        "n_chunks",
+        "dup_chunks",
+        f"CAST({share} AS BIGINT) AS boilerplate_permille",
+    )

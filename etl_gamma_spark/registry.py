@@ -8365,6 +8365,41 @@ FROM g CROSS JOIN tot
 """
 
 
+def _boilerplate_share_sql(d: str, chunk_words: int = 10) -> str:
+    share = T.idiv(
+        f"2000 * {T.wint('dup_chunks', d)} + n_chunks", "2 * n_chunks", d
+    )
+    return f"""
+WITH w AS (SELECT doc_id, {T.split_ws('text', d)} AS __w FROM documents),
+ch AS (SELECT doc_id, {T.word_chunks('__w', d, chunk_words)} AS __c FROM w),
+occ AS (
+    SELECT doc_id, md5(c) AS h
+    FROM (SELECT doc_id, unnest(__c) AS c FROM ch)
+),
+dfs AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM occ GROUP BY 1),
+per AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_chunks
+    FROM occ JOIN dfs USING (h)
+    GROUP BY 1
+)
+SELECT doc_id, n_chunks, dup_chunks,
+       CAST({share} AS BIGINT) AS boilerplate_permille
+FROM per
+"""
+
+
+@query("boilerplate_share", _boilerplate_share_sql(_D))
+def q_boilerplate_share(spark, sf_dir):
+    """Per-document duplicated-chunk share (operators/dedup.py::
+    boilerplate_share): the CCNet-style boilerplate quality feature —
+    measures what chunk_dedup would remove, without rewriting."""
+    from .operators.dedup import boilerplate_share
+
+    return boilerplate_share(spark.table("documents"))
+
+
 @query("vocab_coverage", _vocab_coverage_sql(_D))
 def q_vocab_coverage(spark, sf_dir):
     """Token-mass coverage curve at literal vocab sizes (operators/
@@ -8932,6 +8967,8 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     # 185/183 fails=[], tree = the vocab_coverage registration commit):
     "classifier_threshold_sweep",
     "vocab_coverage",
+    # batch 5 (needs its own banked both-SF proof before rotating):
+    "boilerplate_share",
 )
 
 # R13 ROTATION PLAN (computed r12 from CORRECTNESS_r{1..11} + the r12

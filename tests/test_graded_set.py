@@ -54,6 +54,6 @@ def test_registry_counts_match_coverage():
     """COVERAGE.md's header cites these counts — keep the doc honest by
     pinning them here, so a new registration forces a conscious doc sync
     (the round-6 advisor caught a silent 145→146 drift)."""
-    assert len(QUERIES) == 185
-    assert len(ORACLES) == 183
+    assert len(QUERIES) == 186
+    assert len(ORACLES) == 184
     assert set(QUERIES) - set(ORACLES) == {"bpe_merges", "bpe_token_histogram"}

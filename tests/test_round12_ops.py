@@ -526,3 +526,29 @@ def test_mixture_plan_fuzz_vs_decimal_model(spark):
             assert r["epochs_capped_milli"] == capped
             assert r["realized_tokens"] == realized
             assert r["deficit_tokens"] == target - realized
+
+
+def test_boilerplate_share_hand_computed(spark):
+    """chunk_words=2: doc1 = [a b, c d, a b]-style repeats across docs and
+    within one doc; every occurrence of a chunk with corpus df >= 2
+    counts as boilerplate."""
+    from etl_gamma_spark.operators.dedup import boilerplate_share
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b"),   # chunks: 'a b','c d','a b' -> 'a b' df 3
+            (2, "a b x y"),       # chunks: 'a b','x y'       -> 'a b' dup
+            (3, "p q"),           # chunk:  'p q'              -> unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.dup_chunks, r.boilerplate_permille)
+        for r in boilerplate_share(docs, chunk_words=2).collect()
+    }
+    # doc1: 3 chunks, 'a b' x2 dup (df=3), 'c d' unique -> 2/3 -> 667
+    assert got[1] == (3, 2, 667)
+    # doc2: 2 chunks, 'a b' dup -> 1/2 -> 500
+    assert got[2] == (2, 1, 500)
+    # doc3: 1 chunk, unique -> 0
+    assert got[3] == (1, 0, 0)

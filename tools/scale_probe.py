@@ -230,6 +230,10 @@ PROBE_QUERIES = [
     # the classifier sweep (inference cost + a 5-row broadcast reduce)
     "vocab_coverage",
     "classifier_threshold_sweep",
+    # batch 5: the duplicated-chunk measurement — on the near-dup replica
+    # most replica chunks ARE corpus-duplicated, so dup counts grow with
+    # the duplicate mass while the two chunk-keyed aggregates stay linear
+    "boilerplate_share",
 ]
 
 
