@@ -38,10 +38,18 @@ def cosine_expr(a: str, b: str) -> str:
     dot = DOT.format(a=a, b=b)
     na = NORM.format(v=a)
     nb = NORM.format(v=b)
-    # nullif: a zero-norm (all-zeros / padding) vector must yield NULL
+    # try_divide: a zero-norm (all-zeros / padding) vector must yield NULL
     # cosine, not a DIVIDE_BY_ZERO job abort under Spark's default ANSI
-    # mode; NULLs drop out of thresholds and sort last in rankings
-    return f"({dot}) / nullif(({na}) * ({nb}), 0.0D)"
+    # mode; NULLs drop out of thresholds and sort last in rankings.
+    # try_divide over x/nullif(y,0): identical values (same IEEE divide,
+    # NULL exactly when the denominator is 0), but nullif duplicates the
+    # denominator into an If — Spark 4's common-expression rewrite then
+    # splits the projection in two, and a two-level Project between Sort
+    # and Limit breaks the Limit(Project(Sort)) -> TakeOrderedAndProject
+    # pattern, forcing a rangepartitioning exchange (whose boundary
+    # sampling re-executes the child) on every rerank cut (measured:
+    # plans/r12/embedding_sq8_topk_*.txt).
+    return f"try_divide(({dot}), ({na}) * ({nb}))"
 
 
 def dot_unrolled(a: str, b: str, dim: int) -> str:
@@ -287,7 +295,13 @@ def seed_centroids(
     )
 
 
-def _assign_to(emb: DataFrame, cents: DataFrame, dim: int, id_col: str) -> DataFrame:
+def _assign_to(
+    emb: DataFrame,
+    cents: DataFrame,
+    dim: int,
+    id_col: str,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (small) centroid table,
     pick the argmin of the unrolled codegen'd squared distance with
     centroid_id tiebreak. Input emb must carry a pre-cast ``v``
@@ -300,17 +314,31 @@ def _assign_to(emb: DataFrame, cents: DataFrame, dim: int, id_col: str) -> DataF
     per-vector sort partitions — measured 29 min for K=782 x 200k
     vectors, where the map-side-combined aggregate reduces each vector's
     K candidates to one row before the exchange (the round-5 keep-first
-    rule; same bit-identical winner)."""
+    rule; same bit-identical winner).
+
+    ``carry`` columns ride through the aggregate via first() — they are
+    constant within each id's K fan-out rows, so first() is
+    deterministic regardless of combine order."""
     scored = bcast_attach(emb, cents, id_col, "centroid_id").selectExpr(
-        id_col, "v", "centroid_id", f"{dist2_unrolled('v', 'centroid', dim)} AS d2"
+        id_col,
+        "v",
+        *carry,
+        "centroid_id",
+        f"{dist2_unrolled('v', 'centroid', dim)} AS d2",
     )
     return (
         scored.groupBy(id_col)
         .agg(
             F.min(F.struct("d2", "centroid_id")).alias("__best"),
             F.first("v").alias("v"),
+            *[F.first(c).alias(c) for c in carry],
         )
-        .select(id_col, "v", F.col("__best.centroid_id").alias("centroid_id"))
+        .select(
+            id_col,
+            "v",
+            *carry,
+            F.col("__best.centroid_id").alias("centroid_id"),
+        )
     )
 
 
@@ -799,20 +827,25 @@ def sq8_range_exprs(vec: str, dim: int, d: str = S) -> tuple[str, str]:
     return f"least({els})", f"greatest({els})"
 
 
-def sq8_code_expr(vec: str, dim: int, d: str = S) -> str:
+def sq8_code_expr(
+    vec: str, dim: int, d: str = S, lo: str = "__lo", hi: str = "__hi"
+) -> str:
     """8-bit code array: c_i = clamp(floor((x_i - lo) * 255 / (hi - lo))).
 
     Every term is the SAME left-associative IEEE expression in both
     dialects — subtraction, multiplication and division are correctly
     rounded, so the doubles (and hence floor and the final integer codes)
-    are bit-identical across engines. ``__lo`` / ``__hi`` are the global
-    training range columns (attached 1-row frame / CTE); nullif guards a
-    degenerate constant corpus (NULL codes rather than an ANSI abort).
+    are bit-identical across engines. ``lo`` / ``hi`` default to the
+    global training range columns (attached 1-row frame / CTE); callers
+    on the literal-range serving path pass exact double literals
+    (``_dlit``) instead — same IEEE ops on the same operands, so the
+    codes stay bit-identical. nullif guards a degenerate constant corpus
+    (NULL codes rather than an ANSI abort).
     """
     z, m = ("0.0D", "255.0D") if d == S else ("0.0", "255.0")
     codes = ", ".join(
-        f"CAST(least({m}, greatest({z}, floor((({_el(vec, i, d)} - __lo) * {m})"
-        f" / nullif(__hi - __lo, {z})))) AS INT)"
+        f"CAST(least({m}, greatest({z}, floor((({_el(vec, i, d)} - {lo}) * {m})"
+        f" / nullif({hi} - {lo}, {z})))) AS INT)"
         for i in range(1, dim + 1)
     )
     return f"array({codes})" if d == S else f"[{codes}]"
@@ -862,6 +895,124 @@ def sq8_codes(
     )
 
 
+def _dlit(x: float) -> str:
+    """Exact double literal: ``repr()`` is the shortest round-trip decimal
+    and Java's ``Double.parseDouble`` is correctly rounded, so the planned
+    constant is bit-identical to the collected value. Constant-folded at
+    plan time (no per-row parse)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def collect_sq8_range(
+    embeddings: DataFrame, dim: int = 64, vec_col: str = "embedding"
+) -> tuple[float, float]:
+    """Driver-side SQ8 training range — TWO doubles of quantizer metadata
+    (the serving-shape exception, like ``probe_cells``): the same MIN/MAX
+    aggregate ``sq8_codes`` broadcasts, collected instead so quantization
+    becomes a literal-range flat projection (no 1-row attach join, no
+    checkpoint barrier, no BuildRight exchange). Raises on an empty or
+    constant corpus — the same contract ``_py_sq8_codes`` already
+    enforces on the persisted serving path."""
+    emb = embeddings.selectExpr(f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v")
+    rmin, rmax = sq8_range_exprs("v", dim)
+    row = (
+        emb.selectExpr(f"{rmin} AS __rmin", f"{rmax} AS __rmax")
+        .agg(F.min("__rmin").alias("lo"), F.max("__rmax").alias("hi"))
+        .head()
+    )
+    if row is None or row["lo"] is None or row["lo"] == row["hi"]:
+        raise ValueError("SQ8 range: empty or constant corpus")
+    return float(row["lo"]), float(row["hi"])
+
+
+def _collect_query_vec(
+    embeddings: DataFrame, query_id: int, id_col: str, vec_col: str
+) -> list[float]:
+    """One query vector, driver-side (serving-shape metadata: the query
+    is the search INPUT, never corpus data)."""
+    row = (
+        embeddings.filter(F.col(id_col) == query_id)
+        .selectExpr(f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v")
+        .head()
+    )
+    if row is None:
+        raise ValueError(f"query vector {query_id} not found")
+    return [float(x) for x in row["v"]]
+
+
+def collect_pq_codebook(
+    embeddings: DataFrame,
+    lo: float,
+    hi: float,
+    n_codes: int = 32,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """``book[m][j]`` = the j-th codebook entry of subspace ``m`` — the
+    seeded PQ quantizer (first ``n_codes`` vectors by id, dense code_id
+    0..n-1, exactly :func:`pq_codebook`'s contract) computed driver-side:
+    the seed rows are collected (bounded model-sized state) and quantized
+    with ``_py_sq8_codes`` — the SAME left-associative IEEE ops as
+    ``sq8_code_expr``, so the integer entries are bit-identical to the
+    engine-derived codebook (pinned by tests)."""
+    rows = (
+        embeddings.orderBy(id_col)
+        .limit(n_codes)
+        .selectExpr(id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v")
+        .collect()
+    )
+    rows.sort(key=lambda r: r[0])
+    codes = [_py_sq8_codes([float(x) for x in r["v"]], lo, hi) for r in rows]
+    return [
+        [c[m * sub_dim : (m + 1) * sub_dim] for c in codes]
+        for m in range(m_sub)
+    ]
+
+
+def pq_d2_array_expr(
+    c_col: str, book_m: list[list[int]], m: int, sub_dim: int
+) -> str:
+    """``array(d2(sub_m, entry_0), ..., d2(sub_m, entry_{n-1}))`` with the
+    codebook entries inlined as integer literals — the literal-LUT form
+    (round-12 lesson): per-row assignment becomes a flat codegen
+    expression over the code array, no explode, no join, no shuffle.
+    Exact integer arithmetic, so equality with :func:`pq_assign` is
+    bit-for-bit."""
+    base = m * sub_dim
+    entries = []
+    for entry in book_m:
+        terms = " + ".join(
+            f"((element_at({c_col}, {base + t + 1}) - {entry[t]})"
+            f" * (element_at({c_col}, {base + t + 1}) - {entry[t]}))"
+            for t in range(sub_dim)
+        )
+        entries.append(f"({terms})")
+    return "array(" + ", ".join(entries) + ")"
+
+
+def pq_argmin_expr(d2_arr_col: str) -> str:
+    """0-based argmin over an integer/double d2 array with lowest-index
+    tiebreak: ``array_position`` returns the FIRST occurrence of the
+    minimum — exactly the ``ORDER BY d2, code_id`` / min(struct) winner
+    the oracles compute."""
+    return (
+        f"CAST(array_position({d2_arr_col}, array_min({d2_arr_col})) - 1"
+        " AS INT)"
+    )
+
+
+def _adc_lit_term(lut_m: list[int], m: int) -> str:
+    """ADC contribution of subspace ``m``: the query-side lookup table
+    inlined as a literal int array, indexed by the per-row argmin."""
+    arr = ", ".join(str(x) for x in lut_m)
+    return (
+        f"element_at(array({arr}),"
+        f" CAST(array_position(__d2_{m}, array_min(__d2_{m})) AS INT))"
+    )
+
+
 def sq8_topk(
     embeddings: DataFrame,
     query_id: int = 0,
@@ -880,24 +1031,41 @@ def sq8_topk(
        (the bit-identical sequential fold), top-k.
 
     Recall vs brute force is measured in tests; the dial is ``rerank``.
+
+    Plan shape (optimization r12): the training range and the query codes
+    are collected driver-side (quantizer metadata — the serving-shape
+    exception), so the whole candidate stage is ONE scan → quantize
+    projection → flat integer d2 vs literal query codes → TakeOrdered.
+    Zero joins, zero shuffles, zero checkpoint jobs — where the previous
+    shape paid a range-attach broadcast, an eager codes checkpoint and a
+    query-row broadcast join. CollapseProject's duplication guard keeps
+    the quantize projection separate from the 64-reference d2 consumer
+    (both pipeline in one WholeStageCodegen stage), so codes are computed
+    once per row without a materialization barrier. The survivors carry
+    ``v`` through the bounded TakeOrdered heap, so the rerank needs no
+    second corpus scan. Bit-parity: same IEEE quantization on the same
+    operands, exact integer d2, same (d2, id) total order.
     """
-    # materialize the codes ONCE: Catalyst collapses projections, so the
-    # unrolled d2's 64 element_at(c, i) terms would each inline the full
-    # 64-term quantization array construct (64x per-row recompute — the
-    # CLAUDE.md codes/norms lesson; measured 3.2 s -> 0.6 s at sf0.1).
-    # At corpus scale the codes are a written index table, not a
-    # per-query derivation (see sq8_codes docstring).
-    codes = sq8_codes(embeddings, dim, id_col, vec_col).localCheckpoint()
-    q = codes.filter(F.col(id_col) == query_id).selectExpr(
-        "c AS qc", "v AS qv", f"{id_col} AS __qid"
+    lo, hi = collect_sq8_range(embeddings, dim, vec_col)
+    qv = _collect_query_vec(embeddings, query_id, id_col, vec_col)
+    qc = _py_sq8_codes(qv, lo, hi)
+    code = sq8_code_expr("v", dim, lo=_dlit(lo), hi=_dlit(hi))
+    d2 = " + ".join(
+        f"((element_at(c, {i}) - {qc[i - 1]}) * (element_at(c, {i}) - {qc[i - 1]}))"
+        for i in range(1, dim + 1)
     )
     cand = (
-        bcast_attach(codes.filter(F.col(id_col) != query_id), q, id_col, "__qid")
-        .selectExpr(id_col, "v", "qv", f"{sq8_dist2_expr('c', 'qc', dim)} AS d2")
+        spread(embeddings)
+        .filter(F.col(id_col) != query_id)
+        .selectExpr(id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v")
+        .selectExpr(id_col, "v", f"{code} AS c")
+        .selectExpr(id_col, "v", f"CAST({d2} AS BIGINT) AS d2")
         .orderBy("d2", id_col)
         .limit(rerank)
     )
-    scored = cand.selectExpr(id_col, f"{cosine_expr('v', 'qv')} AS cosine")
+    scored = cand.withColumn(
+        "__qv", F.array(*[F.lit(x) for x in qv])
+    ).selectExpr(id_col, f"{cosine_expr('v', '__qv')} AS cosine")
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 # --- PQ (product quantization / ADC compressed-domain search) ---------------
@@ -999,45 +1167,70 @@ def pq_topk(
 
     1. candidate generation ranks the corpus by the ADC distance — the
        integer sum over subspaces of d2(query subvector, assigned
-       codebook entry), computed as a broadcast lookup-table join on
-       (m, code_id) (the LUT is built from the query alone:
-       m_sub x n_codes integers); ``rerank`` survivors under the
-       deterministic (adc_d2, id) total order;
+       codebook entry); ``rerank`` survivors under the deterministic
+       (adc_d2, id) total order;
     2. exact cosine rerank on the float vectors of the survivors, top-k.
 
     Returns (id, adc_d2, cosine) — the compressed-domain distance rides
     along for calibration. Recall vs brute force is measured in tests;
     the dials are ``rerank`` and ``n_codes``.
+
+    Plan shape (optimization r12): the range, the codebook and the
+    query's LUT are collected/derived driver-side (model-sized quantizer
+    metadata — the round-12 literal-LUT lesson generalized from
+    ivfpq_topk_persisted to the in-memory op), so candidate generation is
+    ONE scan → quantize → per-subspace literal d2 arrays → argmin + LUT
+    lookup → TakeOrdered. Zero joins and zero shuffles where the previous
+    shape paid a codes checkpoint, an 8× subvector explode, a broadcast
+    codebook join fanning out 32×, a min-struct aggregate exchange, a
+    LUT broadcast join and a groupBy-sum exchange. Bit-parity: the
+    driver-side codebook/LUT are the same IEEE quantization + exact
+    integer arithmetic (pinned against the engine-derived
+    pq_codebook/pq_assign in tests); argmin-by-array_position picks the
+    FIRST minimum — the same (d2, code_id) winner as the oracles'
+    row_number.
     """
     sub_dim = dim // m_sub
-    # materialize the codes ONCE (the sq8_topk lesson): the codebook, the
-    # assignment, the query subvectors and the rerank vectors all read
-    # this frame — uncheckpointed, Catalyst would re-inline the 64-term
-    # quantization array per consumer.
-    codes = sq8_codes(embeddings, dim, id_col, vec_col).localCheckpoint()
-    book = pq_codebook(codes, n_codes, m_sub, sub_dim, id_col)
-    assign = pq_assign(codes, book, m_sub, sub_dim, id_col)
-    qsubs = (
-        codes.filter(F.col(id_col) == query_id)
-        .selectExpr(f"explode(sequence(0, {m_sub - 1})) AS m", "c")
-        .selectExpr("m", f"{pq_sub_expr('c', 'm', sub_dim)} AS qsub")
+    lo, hi = collect_sq8_range(embeddings, dim, vec_col)
+    book = collect_pq_codebook(
+        embeddings, lo, hi, n_codes, m_sub, sub_dim, id_col, vec_col
     )
-    lut = book.join(F.broadcast(qsubs), "m").selectExpr(
-        "m", "code_id", f"{sq8_dist2_expr('qsub', 'entry', sub_dim)} AS t"
+    qv = _collect_query_vec(embeddings, query_id, id_col, vec_col)
+    qc = _py_sq8_codes(qv, lo, hi)
+    lut = [
+        [
+            sum(
+                (qc[m * sub_dim + t] - e[t]) * (qc[m * sub_dim + t] - e[t])
+                for t in range(sub_dim)
+            )
+            for e in book[m]
+        ]
+        for m in range(m_sub)
+    ]
+    code = sq8_code_expr("v", dim, lo=_dlit(lo), hi=_dlit(hi))
+    base = (
+        spread(embeddings)
+        .filter(F.col(id_col) != query_id)
+        .selectExpr(id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v")
+        .selectExpr(id_col, "v", f"{code} AS c")
+        .selectExpr(
+            id_col,
+            "v",
+            *[
+                f"{pq_d2_array_expr('c', book[m], m, sub_dim)} AS __d2_{m}"
+                for m in range(m_sub)
+            ],
+        )
     )
-    adc = (
-        assign.filter(F.col(id_col) != query_id)
-        .join(F.broadcast(lut), ["m", "code_id"])
-        .groupBy(id_col)
-        .agg(F.sum("t").cast("bigint").alias("adc_d2"))
+    adc = " + ".join(_adc_lit_term(lut[m], m) for m in range(m_sub))
+    cand = (
+        base.selectExpr(id_col, "v", f"CAST({adc} AS BIGINT) AS adc_d2")
+        .orderBy("adc_d2", id_col)
+        .limit(rerank)
     )
-    cand = adc.orderBy("adc_d2", id_col).limit(rerank)
-    q = codes.filter(F.col(id_col) == query_id).selectExpr(
-        "v AS qv", f"{id_col} AS __qid"
-    )
-    scored = bcast_attach(
-        codes.join(F.broadcast(cand), id_col), q, id_col, "__qid"
-    ).selectExpr(id_col, "adc_d2", f"{cosine_expr('v', 'qv')} AS cosine")
+    scored = cand.withColumn(
+        "__qv", F.array(*[F.lit(x) for x in qv])
+    ).selectExpr(id_col, "adc_d2", f"{cosine_expr('v', '__qv')} AS cosine")
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
@@ -1069,52 +1262,79 @@ def ivfpq_topk(
     a probe is a pruned scan of n_probe directories of M-byte codes.
 
     Every stage is oracle-checkable: the cell cut is the bit-identical
-    double d2 ranking (dist2_unrolled), the ADC cut exact integers, the
-    rerank the bit-identical sequential cosine fold.
+    double d2 ranking (dist2_unrolled ≡ the driver-side probe fold), the
+    ADC cut exact integers, the rerank the bit-identical sequential
+    cosine fold.
+
+    Plan shape (optimization r12): probe-cell selection runs driver-side
+    over the collected centroid METADATA (probe_cells' contract applied
+    to the in-memory frame — same left-associative fold, bit-identical
+    ranking), and the ADC stage is the same literal-LUT flat projection
+    as pq_topk, restricted to probed-cell ids by one broadcast semi-join
+    against the prebuilt inverted file. One corpus scan, one broadcast
+    join, zero shuffles — where the previous shape paid a codes
+    checkpoint, a probe job, the explode/join/aggregate assignment and
+    two more exchanges.
     """
     sub_dim = dim // m_sub
     if index is None:
         cents = seed_centroids(embeddings, n_centroids, id_col, vec_col)
         index = (ivf_build(embeddings, cents, dim, id_col, vec_col), cents)
     cell_of, centroids = index
-    codes = sq8_codes(embeddings, dim, id_col, vec_col).localCheckpoint()
-    book = pq_codebook(codes, n_codes, m_sub, sub_dim, id_col)
-    pq = pq_assign(codes, book, m_sub, sub_dim, id_col)
-    qv = codes.filter(F.col(id_col) == query_id).selectExpr(
-        "v AS qv", f"{id_col} AS __qid"
+    lo, hi = collect_sq8_range(embeddings, dim, vec_col)
+    book = collect_pq_codebook(
+        embeddings, lo, hi, n_codes, m_sub, sub_dim, id_col, vec_col
     )
-    probe = (
-        bcast_attach(centroids, qv, "centroid_id", "__qid")
-        .selectExpr(
-            "centroid_id", f"{dist2_unrolled('qv', 'centroid', dim)} AS d2"
-        )
-        .orderBy("d2", "centroid_id")
-        .limit(n_probe)
-        .select("centroid_id")
-    )
-    cand_ids = (
-        cell_of.join(F.broadcast(probe), "centroid_id")
+    qv = _collect_query_vec(embeddings, query_id, id_col, vec_col)
+    qc = _py_sq8_codes(qv, lo, hi)
+    scored_cells = []
+    for row in centroids.collect():
+        d2 = 0.0
+        for x, cval in zip(qv, row["centroid"]):
+            d2 += (float(x) - float(cval)) * (float(x) - float(cval))
+        scored_cells.append((d2, int(row["centroid_id"])))
+    scored_cells.sort()
+    probed = [cid for _, cid in scored_cells[:n_probe]]
+    lut = [
+        [
+            sum(
+                (qc[m * sub_dim + t] - e[t]) * (qc[m * sub_dim + t] - e[t])
+                for t in range(sub_dim)
+            )
+            for e in book[m]
+        ]
+        for m in range(m_sub)
+    ]
+    code = sq8_code_expr("v", dim, lo=_dlit(lo), hi=_dlit(hi))
+    cand_ids = cell_of.filter(F.col("centroid_id").isin(probed)).select(id_col)
+    base = (
+        spread(embeddings)
         .filter(F.col(id_col) != query_id)
-        .select(id_col)
+        # broadcast: the probe set is n_probe cells (~n_probe*N/K ids of
+        # 8 bytes) — without the hint the planner picks a SortMergeJoin
+        # and shuffles the whole corpus by id (2 Exchange + 2 Sort,
+        # plans/r12/embedding_ivfpq_topk_after.txt history)
+        .join(F.broadcast(cand_ids), id_col, "left_semi")
+        .selectExpr(id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v")
+        .selectExpr(id_col, "v", f"{code} AS c")
+        .selectExpr(
+            id_col,
+            "v",
+            *[
+                f"{pq_d2_array_expr('c', book[m], m, sub_dim)} AS __d2_{m}"
+                for m in range(m_sub)
+            ],
+        )
     )
-    qsubs = (
-        codes.filter(F.col(id_col) == query_id)
-        .selectExpr(f"explode(sequence(0, {m_sub - 1})) AS m", "c")
-        .selectExpr("m", f"{pq_sub_expr('c', 'm', sub_dim)} AS qsub")
+    adc = " + ".join(_adc_lit_term(lut[m], m) for m in range(m_sub))
+    cand = (
+        base.selectExpr(id_col, "v", f"CAST({adc} AS BIGINT) AS adc_d2")
+        .orderBy("adc_d2", id_col)
+        .limit(rerank)
     )
-    lut = book.join(F.broadcast(qsubs), "m").selectExpr(
-        "m", "code_id", f"{sq8_dist2_expr('qsub', 'entry', sub_dim)} AS t"
-    )
-    adc = (
-        pq.join(cand_ids, id_col, "left_semi")
-        .join(F.broadcast(lut), ["m", "code_id"])
-        .groupBy(id_col)
-        .agg(F.sum("t").cast("bigint").alias("adc_d2"))
-    )
-    cand = adc.orderBy("adc_d2", id_col).limit(rerank)
-    scored = bcast_attach(
-        codes.join(F.broadcast(cand), id_col), qv, id_col, "__qid"
-    ).selectExpr(id_col, "adc_d2", f"{cosine_expr('v', 'qv')} AS cosine")
+    scored = cand.withColumn(
+        "__qv", F.array(*[F.lit(x) for x in qv])
+    ).selectExpr(id_col, "adc_d2", f"{cosine_expr('v', '__qv')} AS cosine")
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
@@ -1144,43 +1364,87 @@ def pq_write_index(
                              quantize the query with the SAME range);
     - ``base_dir/centroids`` the coarse quantizer (probe_cells metadata).
 
-    Both data tables repartition BY THE PARTITION COLUMN before the
-    partitioned write (one file per cell per wave — the round-9 rule).
+    Plan shape (optimization r12): the range and the codebook are
+    collected driver-side — bounded FIXED-SIZE quantizer metadata, the
+    serving-shape exception — so code derivation is one scan → quantize
+    → literal d2 arrays → flat argmin code array (the pq_topk candidate
+    stage, one codegen class of bounded size). The coarse-cell
+    assignment deliberately stays the broadcast ``_assign_to`` aggregate
+    and NOT a literal-centroid expression: the codebook is m_sub×n_codes
+    by construction, but K tracks the corpus (adaptive-K ivf), so a
+    K×dim literal d2 array grows the generated code with the DATA — at
+    K=16 it already pushed the fused Janino class past the plain
+    1 GiB driver heap (compile-time OOM, found by the sf0.01 driver
+    probe). The code array rides through the aggregate as a carry
+    column, so there is still no join; one exchange total (the
+    map-side-combined argmin). Versus the previous shape this drops one
+    checkpoint, the explode/join/aggregate PQ assignment, a collect_list
+    re-agg and the assignment join. The five writes are independent once
+    the base frame is materialized and run OVERLAPPED from a small
+    thread pool (guide §2.6 — the tail of one write's job backfills the
+    next's task wave).
     """
     import os as _os
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..sources.sink import write_full_refresh
 
     sub_dim = dim // m_sub
-    codes = sq8_codes(embeddings, dim, id_col, vec_col).localCheckpoint()
-    book = pq_codebook(codes, n_codes, m_sub, sub_dim, id_col)
-    pq = pq_assign(codes, book, m_sub, sub_dim, id_col)
-    cells = _assign_to(
-        codes.select(id_col, "v"), centroids, dim, id_col
-    ).localCheckpoint()
-    pq_rows = (
-        pq.groupBy(id_col)
-        .agg(
-            F.array_sort(F.collect_list(F.struct("m", "code_id"))).alias("mc")
+    spark = embeddings.sparkSession
+    lo, hi = collect_sq8_range(embeddings, dim, vec_col)
+    book = collect_pq_codebook(
+        embeddings, lo, hi, n_codes, m_sub, sub_dim, id_col, vec_col
+    )
+    code = sq8_code_expr("v", dim, lo=_dlit(lo), hi=_dlit(hi))
+    code_arr = "array(" + ", ".join(
+        pq_argmin_expr(f"__d2_{m}") for m in range(m_sub)
+    ) + ")"
+    coded = (
+        spread(embeddings)
+        .selectExpr(id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v")
+        .selectExpr(id_col, "v", f"{code} AS c")
+        .selectExpr(
+            id_col,
+            "v",
+            *[
+                f"{pq_d2_array_expr('c', book[m], m, sub_dim)} AS __d2_{m}"
+                for m in range(m_sub)
+            ],
         )
-        .selectExpr(id_col, "transform(mc, s -> s.code_id) AS code")
-        .join(cells.select(id_col, "centroid_id"), id_col)
+        .selectExpr(id_col, "v", f"{code_arr} AS code")
+        # codegen barrier, not just lineage: fused with _assign_to's
+        # sort-aggregate the single generated class passed ~37k lines
+        # and Janino's compile OOMed the plain 1 GiB driver heap. Split,
+        # each class is a shape that already compiles elsewhere
+        # (pq_topk's candidate stage / the old assignment stage).
+        .localCheckpoint()
     )
-    emb_rows = cells.select(
-        id_col, F.col("v").alias(vec_col), "centroid_id"
+    base = _assign_to(
+        coded, centroids, dim, id_col, carry=("code",)
+    ).localCheckpoint()
+    book_df = spark.createDataFrame(
+        [(m, j, book[m][j]) for m in range(m_sub) for j in range(n_codes)],
+        "m INT, code_id INT, entry ARRAY<INT>",
     )
-    write_full_refresh(emb_rows, _os.path.join(base_dir, "ivf"), ["centroid_id"])
-    write_full_refresh(pq_rows, _os.path.join(base_dir, "pq"), ["centroid_id"])
-    write_full_refresh(book, _os.path.join(base_dir, "codebook"))
-    write_full_refresh(centroids, _os.path.join(base_dir, "centroids"))
-    # recover the exact training range from the code frame's source the
-    # same way sq8_codes derived it (one MIN/MAX aggregate)
-    rmin, rmax = sq8_range_exprs("v", dim)
-    rng = (
-        codes.selectExpr(f"{rmin} AS __rmin", f"{rmax} AS __rmax")
-        .agg(F.min("__rmin").alias("__lo"), F.max("__rmax").alias("__hi"))
-    )
-    write_full_refresh(rng, _os.path.join(base_dir, "sq8_range"))
+    rng_df = spark.createDataFrame([(lo, hi)], "__lo DOUBLE, __hi DOUBLE")
+    writes = [
+        lambda: write_full_refresh(
+            base.select(id_col, F.col("v").alias(vec_col), "centroid_id"),
+            _os.path.join(base_dir, "ivf"),
+            ["centroid_id"],
+        ),
+        lambda: write_full_refresh(
+            base.select(id_col, "code", "centroid_id"),
+            _os.path.join(base_dir, "pq"),
+            ["centroid_id"],
+        ),
+        lambda: write_full_refresh(book_df, _os.path.join(base_dir, "codebook")),
+        lambda: write_full_refresh(centroids, _os.path.join(base_dir, "centroids")),
+        lambda: write_full_refresh(rng_df, _os.path.join(base_dir, "sq8_range")),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [pool.submit(w) for w in writes]:
+            fut.result()
 
 
 def _py_sq8_codes(vec: list[float], lo: float, hi: float) -> list[int]:

@@ -531,33 +531,55 @@ def test_round6_batch2_plan_shapes(spark):
     assert plan.count("Location: InMemoryFileIndex") == 2, plan
 
 
-def test_sq8_topk_reads_materialized_codes(spark):
-    # the candidate stage's unrolled d2 must read the CHECKPOINTED code
-    # arrays — without the materialization Catalyst collapses the
-    # projection and every element_at(c, i) term re-inlines the whole
-    # 64-term quantization construct (64x per-row recompute; measured
-    # 3.2 s -> 1.9 s at sf0.1). A single floor( in the final plan means
-    # the quantizer leaked back into the search stage.
+def test_sq8_topk_flat_literal_plan(spark):
+    # optimization r12: the whole candidate stage is ONE pruned parquet
+    # scan -> literal-range quantize projection -> flat integer d2 ->
+    # TakeOrdered. Zero joins, zero checkpoint scans; the only exchange
+    # is spread()'s round-robin repartition. The quantize floor( terms
+    # are INLINE now (literal range, not an attached 1-row frame), but
+    # CollapseProject's duplication guard must keep the 64-term quantize
+    # projection separate from the 64-reference d2 consumer — the plan
+    # prints the quantize projection ONCE (<=64 FLOOR calls; formatted
+    # explain truncates field lists at maxToStringFields=25). A re-inline
+    # puts 64 FLOORs inside EVERY d2 term (thousands in the plan text).
     plan = _explain(QUERIES["embedding_sq8_topk"](spark, SF_CORRECT))
-    assert "floor(" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert 1 <= plan.count("FLOOR") <= 130, plan.count("FLOOR")
+    assert "Join" not in plan, plan
+    assert "Scan ExistingRDD" not in plan  # no checkpoint barrier jobs
+    assert plan.count("TakeOrderedAndProject") == 4  # cut + final, x2
+    assert "rangepartitioning" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
 
 
-def test_pq_topk_plan_shape(spark):
-    # PQ/ADC search: the quantizer must stay out of the search stage (the
-    # same materialized-codes rule as SQ8 — a floor( in the plan means the
-    # 64-term quantization re-inlined per consumer); every join is a
-    # broadcast hash join (codebook, LUT, candidate set, query row — all
-    # broadcast-sized by construction); the candidate cut and the final
-    # cut are TakeOrdered, never global sorts.
+def test_pq_topk_flat_literal_plan(spark):
+    # optimization r12: PQ/ADC search is the same flat-literal shape as
+    # SQ8 — scan -> quantize -> per-subspace literal d2 arrays -> argmin
+    # + literal LUT lookup -> TakeOrdered. No joins (the codebook and
+    # the query LUT are inlined as literals), no explodes, no aggregate
+    # exchanges; the candidate and final cuts are TakeOrdered, never
+    # global sorts.
     plan = _explain(QUERIES["embedding_pq_topk"](spark, SF_CORRECT))
-    assert "floor(" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
-    # 4 TakeOrdered ops x 2 (formatted explain prints tree + details):
-    # the final top-k, the rerank candidate cut, and the bounded
-    # codebook-seed limit once per book consumer (assignment + LUT)
-    assert plan.count("TakeOrderedAndProject") == 8
+    assert 1 <= plan.count("FLOOR") <= 130, plan.count("FLOOR")
+    assert "Join" not in plan, plan
+    assert "Scan ExistingRDD" not in plan
+    assert "Generate" not in plan  # no subvector explode
+    assert "HashAggregate" not in plan  # no ADC groupBy-sum
+    assert plan.count("TakeOrderedAndProject") == 4
+    assert "rangepartitioning" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_ivfpq_topk_flat_literal_plan(spark):
+    # optimization r12: ivfpq = the pq flat-literal shape restricted to
+    # probed cells by ONE broadcast left-semi join against the prebuilt
+    # inverted file (driver-side probe-cell selection over centroid
+    # metadata). Everything else pins like pq_topk.
+    plan = _explain(QUERIES["embedding_ivfpq_topk"](spark, SF_CORRECT))
+    assert 1 <= plan.count("FLOOR") <= 130, plan.count("FLOOR")
+    assert plan.count("BroadcastHashJoin") == 2  # the semi-join, x2
+    assert "SortMergeJoin" not in plan
+    assert "Generate" not in plan
+    assert plan.count("TakeOrderedAndProject") == 4
     assert "rangepartitioning" not in plan
 
 
