@@ -940,79 +940,6 @@ def _collect_query_vec(
     return [float(x) for x in row["v"]]
 
 
-def collect_pq_codebook(
-    embeddings: DataFrame,
-    lo: float,
-    hi: float,
-    n_codes: int = 32,
-    m_sub: int = 8,
-    sub_dim: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> list[list[list[int]]]:
-    """``book[m][j]`` = the j-th codebook entry of subspace ``m`` — the
-    seeded PQ quantizer (first ``n_codes`` vectors by id, dense code_id
-    0..n-1, exactly :func:`pq_codebook`'s contract) computed driver-side:
-    the seed rows are collected (bounded model-sized state) and quantized
-    with ``_py_sq8_codes`` — the SAME left-associative IEEE ops as
-    ``sq8_code_expr``, so the integer entries are bit-identical to the
-    engine-derived codebook (pinned by tests)."""
-    rows = (
-        embeddings.orderBy(id_col)
-        .limit(n_codes)
-        .selectExpr(id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v")
-        .collect()
-    )
-    rows.sort(key=lambda r: r[0])
-    codes = [_py_sq8_codes([float(x) for x in r["v"]], lo, hi) for r in rows]
-    return [
-        [c[m * sub_dim : (m + 1) * sub_dim] for c in codes]
-        for m in range(m_sub)
-    ]
-
-
-def pq_d2_array_expr(
-    c_col: str, book_m: list[list[int]], m: int, sub_dim: int
-) -> str:
-    """``array(d2(sub_m, entry_0), ..., d2(sub_m, entry_{n-1}))`` with the
-    codebook entries inlined as integer literals — the literal-LUT form
-    (round-12 lesson): per-row assignment becomes a flat codegen
-    expression over the code array, no explode, no join, no shuffle.
-    Exact integer arithmetic, so equality with :func:`pq_assign` is
-    bit-for-bit."""
-    base = m * sub_dim
-    entries = []
-    for entry in book_m:
-        terms = " + ".join(
-            f"((element_at({c_col}, {base + t + 1}) - {entry[t]})"
-            f" * (element_at({c_col}, {base + t + 1}) - {entry[t]}))"
-            for t in range(sub_dim)
-        )
-        entries.append(f"({terms})")
-    return "array(" + ", ".join(entries) + ")"
-
-
-def pq_argmin_expr(d2_arr_col: str) -> str:
-    """0-based argmin over an integer/double d2 array with lowest-index
-    tiebreak: ``array_position`` returns the FIRST occurrence of the
-    minimum — exactly the ``ORDER BY d2, code_id`` / min(struct) winner
-    the oracles compute."""
-    return (
-        f"CAST(array_position({d2_arr_col}, array_min({d2_arr_col})) - 1"
-        " AS INT)"
-    )
-
-
-def _adc_lit_term(lut_m: list[int], m: int) -> str:
-    """ADC contribution of subspace ``m``: the query-side lookup table
-    inlined as a literal int array, indexed by the per-row argmin."""
-    arr = ", ".join(str(x) for x in lut_m)
-    return (
-        f"element_at(array({arr}),"
-        f" CAST(array_position(__d2_{m}, array_min(__d2_{m})) AS INT))"
-    )
-
-
 def sq8_topk(
     embeddings: DataFrame,
     query_id: int = 0,
@@ -1167,70 +1094,45 @@ def pq_topk(
 
     1. candidate generation ranks the corpus by the ADC distance — the
        integer sum over subspaces of d2(query subvector, assigned
-       codebook entry); ``rerank`` survivors under the deterministic
-       (adc_d2, id) total order;
+       codebook entry), computed as a broadcast lookup-table join on
+       (m, code_id) (the LUT is built from the query alone:
+       m_sub x n_codes integers); ``rerank`` survivors under the
+       deterministic (adc_d2, id) total order;
     2. exact cosine rerank on the float vectors of the survivors, top-k.
 
     Returns (id, adc_d2, cosine) — the compressed-domain distance rides
     along for calibration. Recall vs brute force is measured in tests;
     the dials are ``rerank`` and ``n_codes``.
-
-    Plan shape (optimization r12): the range, the codebook and the
-    query's LUT are collected/derived driver-side (model-sized quantizer
-    metadata — the round-12 literal-LUT lesson generalized from
-    ivfpq_topk_persisted to the in-memory op), so candidate generation is
-    ONE scan → quantize → per-subspace literal d2 arrays → argmin + LUT
-    lookup → TakeOrdered. Zero joins and zero shuffles where the previous
-    shape paid a codes checkpoint, an 8× subvector explode, a broadcast
-    codebook join fanning out 32×, a min-struct aggregate exchange, a
-    LUT broadcast join and a groupBy-sum exchange. Bit-parity: the
-    driver-side codebook/LUT are the same IEEE quantization + exact
-    integer arithmetic (pinned against the engine-derived
-    pq_codebook/pq_assign in tests); argmin-by-array_position picks the
-    FIRST minimum — the same (d2, code_id) winner as the oracles'
-    row_number.
     """
     sub_dim = dim // m_sub
-    lo, hi = collect_sq8_range(embeddings, dim, vec_col)
-    book = collect_pq_codebook(
-        embeddings, lo, hi, n_codes, m_sub, sub_dim, id_col, vec_col
+    # materialize the codes ONCE (the sq8_topk lesson): the codebook, the
+    # assignment, the query subvectors and the rerank vectors all read
+    # this frame — uncheckpointed, Catalyst would re-inline the 64-term
+    # quantization array per consumer.
+    codes = sq8_codes(embeddings, dim, id_col, vec_col).localCheckpoint()
+    book = pq_codebook(codes, n_codes, m_sub, sub_dim, id_col)
+    assign = pq_assign(codes, book, m_sub, sub_dim, id_col)
+    qsubs = (
+        codes.filter(F.col(id_col) == query_id)
+        .selectExpr(f"explode(sequence(0, {m_sub - 1})) AS m", "c")
+        .selectExpr("m", f"{pq_sub_expr('c', 'm', sub_dim)} AS qsub")
     )
-    qv = _collect_query_vec(embeddings, query_id, id_col, vec_col)
-    qc = _py_sq8_codes(qv, lo, hi)
-    lut = [
-        [
-            sum(
-                (qc[m * sub_dim + t] - e[t]) * (qc[m * sub_dim + t] - e[t])
-                for t in range(sub_dim)
-            )
-            for e in book[m]
-        ]
-        for m in range(m_sub)
-    ]
-    code = sq8_code_expr("v", dim, lo=_dlit(lo), hi=_dlit(hi))
-    base = (
-        spread(embeddings)
-        .filter(F.col(id_col) != query_id)
-        .selectExpr(id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v")
-        .selectExpr(id_col, "v", f"{code} AS c")
-        .selectExpr(
-            id_col,
-            "v",
-            *[
-                f"{pq_d2_array_expr('c', book[m], m, sub_dim)} AS __d2_{m}"
-                for m in range(m_sub)
-            ],
-        )
+    lut = book.join(F.broadcast(qsubs), "m").selectExpr(
+        "m", "code_id", f"{sq8_dist2_expr('qsub', 'entry', sub_dim)} AS t"
     )
-    adc = " + ".join(_adc_lit_term(lut[m], m) for m in range(m_sub))
-    cand = (
-        base.selectExpr(id_col, "v", f"CAST({adc} AS BIGINT) AS adc_d2")
-        .orderBy("adc_d2", id_col)
-        .limit(rerank)
+    adc = (
+        assign.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(lut), ["m", "code_id"])
+        .groupBy(id_col)
+        .agg(F.sum("t").cast("bigint").alias("adc_d2"))
     )
-    scored = cand.withColumn(
-        "__qv", F.array(*[F.lit(x) for x in qv])
-    ).selectExpr(id_col, "adc_d2", f"{cosine_expr('v', '__qv')} AS cosine")
+    cand = adc.orderBy("adc_d2", id_col).limit(rerank)
+    q = codes.filter(F.col(id_col) == query_id).selectExpr(
+        "v AS qv", f"{id_col} AS __qid"
+    )
+    scored = bcast_attach(
+        codes.join(F.broadcast(cand), id_col), q, id_col, "__qid"
+    ).selectExpr(id_col, "adc_d2", f"{cosine_expr('v', 'qv')} AS cosine")
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
@@ -1262,79 +1164,52 @@ def ivfpq_topk(
     a probe is a pruned scan of n_probe directories of M-byte codes.
 
     Every stage is oracle-checkable: the cell cut is the bit-identical
-    double d2 ranking (dist2_unrolled ≡ the driver-side probe fold), the
-    ADC cut exact integers, the rerank the bit-identical sequential
-    cosine fold.
-
-    Plan shape (optimization r12): probe-cell selection runs driver-side
-    over the collected centroid METADATA (probe_cells' contract applied
-    to the in-memory frame — same left-associative fold, bit-identical
-    ranking), and the ADC stage is the same literal-LUT flat projection
-    as pq_topk, restricted to probed-cell ids by one broadcast semi-join
-    against the prebuilt inverted file. One corpus scan, one broadcast
-    join, zero shuffles — where the previous shape paid a codes
-    checkpoint, a probe job, the explode/join/aggregate assignment and
-    two more exchanges.
+    double d2 ranking (dist2_unrolled), the ADC cut exact integers, the
+    rerank the bit-identical sequential cosine fold.
     """
     sub_dim = dim // m_sub
     if index is None:
         cents = seed_centroids(embeddings, n_centroids, id_col, vec_col)
         index = (ivf_build(embeddings, cents, dim, id_col, vec_col), cents)
     cell_of, centroids = index
-    lo, hi = collect_sq8_range(embeddings, dim, vec_col)
-    book = collect_pq_codebook(
-        embeddings, lo, hi, n_codes, m_sub, sub_dim, id_col, vec_col
+    codes = sq8_codes(embeddings, dim, id_col, vec_col).localCheckpoint()
+    book = pq_codebook(codes, n_codes, m_sub, sub_dim, id_col)
+    pq = pq_assign(codes, book, m_sub, sub_dim, id_col)
+    qv = codes.filter(F.col(id_col) == query_id).selectExpr(
+        "v AS qv", f"{id_col} AS __qid"
     )
-    qv = _collect_query_vec(embeddings, query_id, id_col, vec_col)
-    qc = _py_sq8_codes(qv, lo, hi)
-    scored_cells = []
-    for row in centroids.collect():
-        d2 = 0.0
-        for x, cval in zip(qv, row["centroid"]):
-            d2 += (float(x) - float(cval)) * (float(x) - float(cval))
-        scored_cells.append((d2, int(row["centroid_id"])))
-    scored_cells.sort()
-    probed = [cid for _, cid in scored_cells[:n_probe]]
-    lut = [
-        [
-            sum(
-                (qc[m * sub_dim + t] - e[t]) * (qc[m * sub_dim + t] - e[t])
-                for t in range(sub_dim)
-            )
-            for e in book[m]
-        ]
-        for m in range(m_sub)
-    ]
-    code = sq8_code_expr("v", dim, lo=_dlit(lo), hi=_dlit(hi))
-    cand_ids = cell_of.filter(F.col("centroid_id").isin(probed)).select(id_col)
-    base = (
-        spread(embeddings)
-        .filter(F.col(id_col) != query_id)
-        # broadcast: the probe set is n_probe cells (~n_probe*N/K ids of
-        # 8 bytes) — without the hint the planner picks a SortMergeJoin
-        # and shuffles the whole corpus by id (2 Exchange + 2 Sort,
-        # plans/r12/embedding_ivfpq_topk_after.txt history)
-        .join(F.broadcast(cand_ids), id_col, "left_semi")
-        .selectExpr(id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v")
-        .selectExpr(id_col, "v", f"{code} AS c")
+    probe = (
+        bcast_attach(centroids, qv, "centroid_id", "__qid")
         .selectExpr(
-            id_col,
-            "v",
-            *[
-                f"{pq_d2_array_expr('c', book[m], m, sub_dim)} AS __d2_{m}"
-                for m in range(m_sub)
-            ],
+            "centroid_id", f"{dist2_unrolled('qv', 'centroid', dim)} AS d2"
         )
+        .orderBy("d2", "centroid_id")
+        .limit(n_probe)
+        .select("centroid_id")
     )
-    adc = " + ".join(_adc_lit_term(lut[m], m) for m in range(m_sub))
-    cand = (
-        base.selectExpr(id_col, "v", f"CAST({adc} AS BIGINT) AS adc_d2")
-        .orderBy("adc_d2", id_col)
-        .limit(rerank)
+    cand_ids = (
+        cell_of.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col(id_col) != query_id)
+        .select(id_col)
     )
-    scored = cand.withColumn(
-        "__qv", F.array(*[F.lit(x) for x in qv])
-    ).selectExpr(id_col, "adc_d2", f"{cosine_expr('v', '__qv')} AS cosine")
+    qsubs = (
+        codes.filter(F.col(id_col) == query_id)
+        .selectExpr(f"explode(sequence(0, {m_sub - 1})) AS m", "c")
+        .selectExpr("m", f"{pq_sub_expr('c', 'm', sub_dim)} AS qsub")
+    )
+    lut = book.join(F.broadcast(qsubs), "m").selectExpr(
+        "m", "code_id", f"{sq8_dist2_expr('qsub', 'entry', sub_dim)} AS t"
+    )
+    adc = (
+        pq.join(cand_ids, id_col, "left_semi")
+        .join(F.broadcast(lut), ["m", "code_id"])
+        .groupBy(id_col)
+        .agg(F.sum("t").cast("bigint").alias("adc_d2"))
+    )
+    cand = adc.orderBy("adc_d2", id_col).limit(rerank)
+    scored = bcast_attach(
+        codes.join(F.broadcast(cand), id_col), qv, id_col, "__qid"
+    ).selectExpr(id_col, "adc_d2", f"{cosine_expr('v', 'qv')} AS cosine")
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
@@ -1364,25 +1239,20 @@ def pq_write_index(
                              quantize the query with the SAME range);
     - ``base_dir/centroids`` the coarse quantizer (probe_cells metadata).
 
-    Plan shape (optimization r12): the range and the codebook are
-    collected driver-side — bounded FIXED-SIZE quantizer metadata, the
-    serving-shape exception — so code derivation is one scan → quantize
-    → literal d2 arrays → flat argmin code array (the pq_topk candidate
-    stage, one codegen class of bounded size). The coarse-cell
-    assignment deliberately stays the broadcast ``_assign_to`` aggregate
-    and NOT a literal-centroid expression: the codebook is m_sub×n_codes
-    by construction, but K tracks the corpus (adaptive-K ivf), so a
-    K×dim literal d2 array grows the generated code with the DATA — at
-    K=16 it already pushed the fused Janino class past the plain
-    1 GiB driver heap (compile-time OOM, found by the sf0.01 driver
-    probe). The code array rides through the aggregate as a carry
-    column, so there is still no join; one exchange total (the
-    map-side-combined argmin). Versus the previous shape this drops one
-    checkpoint, the explode/join/aggregate PQ assignment, a collect_list
-    re-agg and the assignment join. The five writes are independent once
-    the base frame is materialized and run OVERLAPPED from a small
-    thread pool (guide §2.6 — the tail of one write's job backfills the
-    next's task wave).
+    Both data tables repartition BY THE PARTITION COLUMN before the
+    partitioned write (one file per cell per wave — the round-9 rule).
+
+    Optimization r12: the five writes are independent once ``codes`` and
+    ``cells`` are materialized (eager checkpoints), so they run
+    OVERLAPPED from a small thread pool (guide §2.6 — the tail of one
+    write's job backfills the next's task wave). The derivations
+    themselves deliberately stay the engine-side join/aggregate shapes:
+    inlining the full m_sub×n_codes codebook as literal d2 arrays puts
+    ~2k terms in one WholeStageCodegen stage, Janino's 64 KB method
+    limit kills codegen and the whole projection runs INTERPRETED —
+    measured 4.2 s → 9.7 s on the persisted carrier before this was
+    reverted (only the bounded query-side LUT of the serving probe is
+    literal-safe, ivfpq_topk_persisted).
     """
     import os as _os
     from concurrent.futures import ThreadPoolExecutor
@@ -1390,57 +1260,42 @@ def pq_write_index(
     from ..sources.sink import write_full_refresh
 
     sub_dim = dim // m_sub
-    spark = embeddings.sparkSession
-    lo, hi = collect_sq8_range(embeddings, dim, vec_col)
-    book = collect_pq_codebook(
-        embeddings, lo, hi, n_codes, m_sub, sub_dim, id_col, vec_col
-    )
-    code = sq8_code_expr("v", dim, lo=_dlit(lo), hi=_dlit(hi))
-    code_arr = "array(" + ", ".join(
-        pq_argmin_expr(f"__d2_{m}") for m in range(m_sub)
-    ) + ")"
-    coded = (
-        spread(embeddings)
-        .selectExpr(id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v")
-        .selectExpr(id_col, "v", f"{code} AS c")
-        .selectExpr(
-            id_col,
-            "v",
-            *[
-                f"{pq_d2_array_expr('c', book[m], m, sub_dim)} AS __d2_{m}"
-                for m in range(m_sub)
-            ],
-        )
-        .selectExpr(id_col, "v", f"{code_arr} AS code")
-        # codegen barrier, not just lineage: fused with _assign_to's
-        # sort-aggregate the single generated class passed ~37k lines
-        # and Janino's compile OOMed the plain 1 GiB driver heap. Split,
-        # each class is a shape that already compiles elsewhere
-        # (pq_topk's candidate stage / the old assignment stage).
-        .localCheckpoint()
-    )
-    base = _assign_to(
-        coded, centroids, dim, id_col, carry=("code",)
+    codes = sq8_codes(embeddings, dim, id_col, vec_col).localCheckpoint()
+    book = pq_codebook(codes, n_codes, m_sub, sub_dim, id_col)
+    pq = pq_assign(codes, book, m_sub, sub_dim, id_col)
+    cells = _assign_to(
+        codes.select(id_col, "v"), centroids, dim, id_col
     ).localCheckpoint()
-    book_df = spark.createDataFrame(
-        [(m, j, book[m][j]) for m in range(m_sub) for j in range(n_codes)],
-        "m INT, code_id INT, entry ARRAY<INT>",
+    pq_rows = (
+        pq.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("m", "code_id"))).alias("mc")
+        )
+        .selectExpr(id_col, "transform(mc, s -> s.code_id) AS code")
+        .join(cells.select(id_col, "centroid_id"), id_col)
     )
-    rng_df = spark.createDataFrame([(lo, hi)], "__lo DOUBLE, __hi DOUBLE")
+    emb_rows = cells.select(
+        id_col, F.col("v").alias(vec_col), "centroid_id"
+    )
+    # recover the exact training range from the code frame's source the
+    # same way sq8_codes derived it (one MIN/MAX aggregate)
+    rmin, rmax = sq8_range_exprs("v", dim)
+    rng = (
+        codes.selectExpr(f"{rmin} AS __rmin", f"{rmax} AS __rmax")
+        .agg(F.min("__rmin").alias("__lo"), F.max("__rmax").alias("__hi"))
+    )
     writes = [
         lambda: write_full_refresh(
-            base.select(id_col, F.col("v").alias(vec_col), "centroid_id"),
-            _os.path.join(base_dir, "ivf"),
-            ["centroid_id"],
+            emb_rows, _os.path.join(base_dir, "ivf"), ["centroid_id"]
         ),
         lambda: write_full_refresh(
-            base.select(id_col, "code", "centroid_id"),
-            _os.path.join(base_dir, "pq"),
-            ["centroid_id"],
+            pq_rows, _os.path.join(base_dir, "pq"), ["centroid_id"]
         ),
-        lambda: write_full_refresh(book_df, _os.path.join(base_dir, "codebook")),
-        lambda: write_full_refresh(centroids, _os.path.join(base_dir, "centroids")),
-        lambda: write_full_refresh(rng_df, _os.path.join(base_dir, "sq8_range")),
+        lambda: write_full_refresh(book, _os.path.join(base_dir, "codebook")),
+        lambda: write_full_refresh(
+            centroids, _os.path.join(base_dir, "centroids")
+        ),
+        lambda: write_full_refresh(rng, _os.path.join(base_dir, "sq8_range")),
     ]
     with ThreadPoolExecutor(max_workers=3) as pool:
         for fut in [pool.submit(w) for w in writes]:

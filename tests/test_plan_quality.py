@@ -551,35 +551,24 @@ def test_sq8_topk_flat_literal_plan(spark):
     assert plan.count("Location: InMemoryFileIndex") == 1
 
 
-def test_pq_topk_flat_literal_plan(spark):
-    # optimization r12: PQ/ADC search is the same flat-literal shape as
-    # SQ8 — scan -> quantize -> per-subspace literal d2 arrays -> argmin
-    # + literal LUT lookup -> TakeOrdered. No joins (the codebook and
-    # the query LUT are inlined as literals), no explodes, no aggregate
-    # exchanges; the candidate and final cuts are TakeOrdered, never
-    # global sorts.
+def test_pq_topk_plan_shape(spark):
+    # PQ/ADC search keeps the legacy join-based shape ON PURPOSE
+    # (optimization r12): inlining the m_sub x n_codes codebook as
+    # literal d2 arrays puts ~2k terms into one WholeStageCodegen stage,
+    # Janino's 64 KB method limit kills codegen and the projection runs
+    # INTERPRETED (measured 2.7 s -> 8.8 s). The quantizer must stay out
+    # of the search stage (the materialized-codes rule — a floor( in the
+    # plan means the 64-term quantization re-inlined per consumer);
+    # every join is a broadcast hash join; the candidate and final cuts
+    # are TakeOrdered, never global sorts.
     plan = _explain(QUERIES["embedding_pq_topk"](spark, SF_CORRECT))
-    assert 1 <= plan.count("FLOOR") <= 130, plan.count("FLOOR")
-    assert "Join" not in plan, plan
-    assert "Scan ExistingRDD" not in plan
-    assert "Generate" not in plan  # no subvector explode
-    assert "HashAggregate" not in plan  # no ADC groupBy-sum
-    assert plan.count("TakeOrderedAndProject") == 4
-    assert "rangepartitioning" not in plan
-    assert plan.count("Location: InMemoryFileIndex") == 1
-
-
-def test_ivfpq_topk_flat_literal_plan(spark):
-    # optimization r12: ivfpq = the pq flat-literal shape restricted to
-    # probed cells by ONE broadcast left-semi join against the prebuilt
-    # inverted file (driver-side probe-cell selection over centroid
-    # metadata). Everything else pins like pq_topk.
-    plan = _explain(QUERIES["embedding_ivfpq_topk"](spark, SF_CORRECT))
-    assert 1 <= plan.count("FLOOR") <= 130, plan.count("FLOOR")
-    assert plan.count("BroadcastHashJoin") == 2  # the semi-join, x2
-    assert "SortMergeJoin" not in plan
-    assert "Generate" not in plan
-    assert plan.count("TakeOrderedAndProject") == 4
+    assert "floor(" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # 4 TakeOrdered ops x 2 (formatted explain prints tree + details):
+    # the final top-k, the rerank candidate cut, and the bounded
+    # codebook-seed limit once per book consumer (assignment + LUT)
+    assert plan.count("TakeOrderedAndProject") == 8
     assert "rangepartitioning" not in plan
 
 

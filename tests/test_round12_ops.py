@@ -190,36 +190,24 @@ def test_pq_lut_is_query_only_and_tiny(spark, emb):
     assert all(r.t >= 0 for r in rows)
 
 
-def test_flat_literal_pq_path_matches_legacy_building_blocks(spark, emb):
-    """Optimization r12: the literal-LUT flat projections (driver-side
-    range/codebook — serving-shape quantizer metadata) must be
-    bit-identical to the engine-derived sq8_codes / pq_codebook /
-    pq_assign pipeline they replaced in sq8_topk / pq_topk / ivfpq_topk /
-    pq_write_index. The legacy building blocks stay as the reference
-    implementation this test compares against."""
+def test_flat_literal_sq8_path_matches_legacy_building_blocks(spark, emb):
+    """Optimization r12: sq8_topk's literal-range quantize projection
+    (driver-side collect_sq8_range — serving-shape quantizer metadata)
+    must be bit-identical to the engine-derived attached-range
+    sq8_codes it replaced. (pq_topk/ivfpq_topk deliberately KEEP the
+    engine-side codebook pipeline: the full-codebook literal form blows
+    Janino's 64 KB codegen limit and runs interpreted — see
+    pq_write_index's docstring.)"""
     from etl_gamma_spark.operators.similarity import (
         _dlit,
-        collect_pq_codebook,
         collect_sq8_range,
-        pq_argmin_expr,
-        pq_assign,
-        pq_codebook,
-        pq_d2_array_expr,
         sq8_code_expr,
         sq8_codes,
     )
 
     lo, hi = collect_sq8_range(emb)
-    book_py = collect_pq_codebook(emb, lo, hi, n_codes=32, m_sub=8, sub_dim=8)
     codes = sq8_codes(emb).localCheckpoint()
     try:
-        # 1. the driver-side codebook equals the engine-derived one
-        book = pq_codebook(codes, n_codes=32, m_sub=8, sub_dim=8)
-        entries = {(r.m, r.code_id): list(r.entry) for r in book.collect()}
-        for m in range(8):
-            for j in range(32):
-                assert book_py[m][j] == entries[(m, j)], (m, j)
-        # 2. literal-range quantization equals the attached-range codes
         code = sq8_code_expr("v", 64, lo=_dlit(lo), hi=_dlit(hi))
         flat_frame = (
             emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
@@ -228,25 +216,6 @@ def test_flat_literal_pq_path_matches_legacy_building_blocks(spark, emb):
         eng_c = {r.vec_id: list(r.c) for r in codes.collect()}
         for r in flat_frame.collect():
             assert list(r.c) == eng_c[r.vec_id], r.vec_id
-        # 3. the flat argmin assignment equals pq_assign (incl. tiebreaks)
-        flat = flat_frame.selectExpr(
-            "vec_id",
-            *[
-                f"{pq_d2_array_expr('c', book_py[m], m, 8)} AS __d2_{m}"
-                for m in range(8)
-            ],
-        ).selectExpr(
-            "vec_id",
-            *[f"{pq_argmin_expr(f'__d2_{m}')} AS code_{m}" for m in range(8)],
-        )
-        got = {
-            (r.vec_id, m): r[f"code_{m}"] for r in flat.collect() for m in range(8)
-        }
-        want = {
-            (r.vec_id, r.m): r.code_id
-            for r in pq_assign(codes, book).collect()
-        }
-        assert got == want
     finally:
         codes.unpersist()
 
