@@ -446,10 +446,11 @@ def neardup_clusters(
     left join after convergence.
 
     ``stats`` (optional dict) receives ``{"rounds": k}`` — the number of
-    label-propagation rounds (== per-round localCheckpoint count) the
-    loop ran before converging; the scale probes report it so a
-    100×-duplicate corpus shows whether giant clusters deepen the
-    iteration or only widen the rounds (tools/scale_probe.py).
+    label-propagation rounds the loop ran before converging (round 1 is
+    folded into the label init and counted; per-round localCheckpoints
+    number rounds-1); the scale probes report it so a 100×-duplicate
+    corpus shows whether giant clusters deepen the iteration or only
+    widen the rounds (tools/scale_probe.py).
     """
     edges = (
         pairs.selectExpr(f"doc_a AS {id_col}", "doc_b AS nbr")
@@ -457,14 +458,24 @@ def neardup_clusters(
         .distinct()
         .localCheckpoint()
     )
-    # both edge directions are present, so the id_col projection alone is
-    # the full endpoint set
-    labels = edges.select(id_col).distinct().select(
-        F.col(id_col), F.col(id_col).alias("cluster_id")
+    # Round 1 folded into the label init (optimization r12, guide §2.4):
+    # with init label == own id, the first propagation round computes
+    # exactly least(id, min(nbr)) — an aggregate over the edge list. The
+    # groupBy replaces the endpoint-set distinct (both edge directions
+    # are present, so the id_col group keys ARE the endpoint set) at the
+    # SAME exchange count, so the first full join round (edges⋈labels +
+    # groupBy + left join + checkpoint + convergence count) disappears
+    # outright. Round 1 always changes some label whenever an edge
+    # exists (every edge has a higher endpoint), so skipping its change
+    # check never misses convergence; an empty edge set converges in the
+    # first loop round exactly as before.
+    labels = edges.groupBy(id_col).agg(F.min("nbr").alias("__mn")).select(
+        F.col(id_col),
+        F.least(F.col(id_col), F.col("__mn")).alias("cluster_id"),
     )
     converged = False
-    rounds = 0
-    for _ in range(max_iters):
+    rounds = 1
+    for _ in range(max_iters - 1):
         rounds += 1
         nbr_min = (
             edges.join(labels, id_col)
@@ -1718,15 +1729,17 @@ def minhash_jaccard_calibration(
     )
 
 
-def minhash_band_index(
+def minhash_banded_sigs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Persistable banded-MinHash index: one (band, bkey, id, m0..m15)
-    row per band per document. Written once (partition by ``band`` so a
-    probe prunes to its band's files), it lets every FUTURE ingest dedupe
-    against the corpus without re-reading or re-signing it — see
-    :func:`incremental_neardup_pairs`. The signature columns ride along
-    so the verify stage needs no second corpus lookup."""
+    """(id, m0..m15, band0..band3), materialized: the checkpointed
+    signature+band-key frame behind :func:`minhash_band_index`. Exposed
+    so a caller that needs several SLICES of one corpus (the maintain
+    carriers: build half, append half, probe batch) can run the
+    shingle-md5-minhash pipeline ONCE and filter the checkpoint per
+    slice — signatures are per-document, so slicing after computing is
+    bit-identical to computing per slice (optimization r12, guide §2.4:
+    one pass + one materialization instead of three)."""
     sigs = minhash_signatures(docs, text_col, id_col, n)
     m_cols = [f"m{j}" for j in range(T.MINHASH_K)]
     # Materialize before the band union: Spark does not CSE across union
@@ -1734,9 +1747,31 @@ def minhash_band_index(
     # re-run the whole shingle-md5 + minhash-fold pipeline (the dominant
     # cost) from the docs scan — same reason minhash_lsh_pairs
     # checkpoints its signature frame.
-    banded = sigs.selectExpr(
+    return sigs.selectExpr(
         id_col, *m_cols, *T.band_key_exprs(S)
     ).localCheckpoint()
+
+
+def minhash_band_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    banded: DataFrame | None = None,
+) -> DataFrame:
+    """Persistable banded-MinHash index: one (band, bkey, id, m0..m15)
+    row per band per document. Written once (partition by ``band`` so a
+    probe prunes to its band's files), it lets every FUTURE ingest dedupe
+    against the corpus without re-reading or re-signing it — see
+    :func:`incremental_neardup_pairs`. The signature columns ride along
+    so the verify stage needs no second corpus lookup.
+
+    ``banded`` (a :func:`minhash_banded_sigs` frame or a filtered slice
+    of one) skips the signature pipeline — the shared-derivation path of
+    the maintain carriers."""
+    if banded is None:
+        banded = minhash_banded_sigs(docs, text_col, id_col, n)
+    m_cols = [f"m{j}" for j in range(T.MINHASH_K)]
     out = None
     for band in range(T.MINHASH_BANDS):
         part = banded.select(
@@ -1755,16 +1790,18 @@ def write_minhash_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    banded: DataFrame | None = None,
 ) -> None:
     """Full (re)build of the persisted banded-MinHash index: the
     :func:`minhash_band_index` frame written under ``index_path``
     PARTITIONED BY ``band`` (the probe's equi-join key prefix, so a
     band-sliced read prunes to one directory per band). The substring
     sibling is :func:`write_substring_index`; probe with
-    :func:`incremental_neardup_pairs` over the read-back."""
+    :func:`incremental_neardup_pairs` over the read-back. ``banded``
+    passes a precomputed :func:`minhash_banded_sigs` slice through."""
     from ..sources.sink import write_full_refresh
 
-    rows = minhash_band_index(docs, text_col, id_col, n)
+    rows = minhash_band_index(docs, text_col, id_col, n, banded=banded)
     # cluster by the partition column first — same rule as the substring
     # index writer: one file per band directory per write wave instead of
     # one per (task, band)
@@ -1778,6 +1815,7 @@ def append_minhash_index(
     id_col: str = "doc_id",
     n: int = 3,
     compact_target_mb: int | None = None,
+    banded: DataFrame | None = None,
 ) -> None:
     """Fold an ACCEPTED ingest batch into the stored MinHash band index —
     the maintenance step of the incremental near-dup loop (probe with
@@ -1786,8 +1824,9 @@ def append_minhash_index(
     signed; the stored corpus rows are never read, so the append costs
     O(batch). Job-atomic parquet append; pass ``compact_target_mb``
     every N appends to bin-pack the band directories through the
-    rename-aside swap."""
-    rows = minhash_band_index(accepted_docs, text_col, id_col, n)
+    rename-aside swap. ``banded`` passes a precomputed
+    :func:`minhash_banded_sigs` slice through."""
+    rows = minhash_band_index(accepted_docs, text_col, id_col, n, banded=banded)
     rows.repartition("band").write.mode("append").partitionBy(
         "band"
     ).parquet(index_path)
@@ -1795,7 +1834,7 @@ def append_minhash_index(
         from ..sources.sink import compact_small_files
 
         compact_small_files(
-            accepted_docs.sparkSession, index_path, compact_target_mb, ["band"]
+            rows.sparkSession, index_path, compact_target_mb, ["band"]
         )
 
 
@@ -1805,6 +1844,7 @@ def incremental_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 1024,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection — the daily-ingest path: match a
     NEW batch against an already-indexed corpus (``minhash_band_index``
@@ -1819,11 +1859,14 @@ def incremental_neardup_pairs(
     INDEX side — at 100 TB the index is the big side; the batch is
     assumed ingest-sized). Callers keeping an oracle in sync mirror the
     cap as a HAVING on the corpus band table.
+
+    ``new_banded`` passes a precomputed :func:`minhash_banded_sigs`
+    slice for the batch through (shared-derivation maintain path).
     """
     m_cols = [f"m{j}" for j in range(T.MINHASH_K)]
     # minhash_band_index checkpoints the signature frame itself; the
     # band union over it is a cheap projection, no second checkpoint.
-    new_idx = minhash_band_index(new_docs, text_col, id_col)
+    new_idx = minhash_band_index(new_docs, text_col, id_col, banded=new_banded)
     corpus_ok = cap_hot_keys(index, ["band", "bkey"], max_bucket)
     left = new_idx.select(
         F.col(id_col).alias("new_id"),

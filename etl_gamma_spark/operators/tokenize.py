@@ -108,25 +108,26 @@ def bpe_train(
             .groupBy("a", "b")
             .agg(F.sum("n").alias("pair_count"))
         )
-        # materialize the 1-row argmax ONCE: without it the emptiness
-        # probe and the broadcast join each re-run the whole pair
-        # aggregate (measured 6.2 s -> 3.4 s for 8 rounds at sf0.1)
-        top = (
-            pairs.orderBy(F.desc("pair_count"), "a", "b")
-            .limit(1)
-            .selectExpr(
-                "a AS __pa", "b AS __pb", "pair_count AS __pc"
-            )
-            .localCheckpoint()
+        # the 1-row argmax rides as the LAZY broadcast build side of the
+        # merge-fold checkpoint job (optimization r12): a broadcast
+        # exchange materializes its subplan exactly once per job, so the
+        # pair aggregate still runs ONCE per round but the separate
+        # argmax checkpoint job disappears (one eager job per round
+        # instead of two). The degenerate-corpus exit moves to the
+        # (cheap, checkpoint-probing) emptiness check on the folded
+        # frame: an empty argmax makes the attach join empty, and the
+        # pre-assignment ``syms`` binding is untouched on break.
+        top = pairs.orderBy(F.desc("pair_count"), "a", "b").limit(1).selectExpr(
+            "a AS __pa", "b AS __pb", "pair_count AS __pc"
         )
-        if top.isEmpty():  # degenerate corpus: nothing left to merge
-            break
-        syms = (
+        folded = (
             bcast_attach(syms, top, "word", "__pa")
             .selectExpr("word", "n", f"{_MERGE_FOLD} AS syms", "__pa", "__pb", "__pc")
             .localCheckpoint()
         )
-        row = syms.select("__pa", "__pb", "__pc").limit(1)
+        if folded.isEmpty():  # degenerate corpus: nothing left to merge
+            break
+        row = folded.select("__pa", "__pb", "__pc").limit(1)
         merges.append(
             row.selectExpr(
                 f"CAST({rank} AS INT) AS merge_rank",
@@ -135,7 +136,7 @@ def bpe_train(
                 "CAST(__pc AS BIGINT) AS pair_count",
             )
         )
-        syms = syms.select("word", "n", "syms")
+        syms = folded.select("word", "n", "syms")
     if not merges:
         raise ValueError("corpus produced no mergeable pairs")
     out = merges[0]

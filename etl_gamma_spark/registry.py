@@ -4984,11 +4984,18 @@ def q_supplier_triangles(spark, sf_dir):
     from .operators.graph import cooccurrence_edges, triangle_counts
 
     sp = spark.table("lineitem").select("l_partkey", "l_suppkey")
+    # materialize the 300-row top-edge frame before triangle_counts: its
+    # degree aggregate and oriented ranking are DIFFERING consumer plans
+    # (the round-11 bounded-aggregate rule), so without the checkpoint
+    # the whole pair-join + aggregate + TakeOrdered upstream re-executes
+    # per consumer — only the agg exchange is reused, never the
+    # TakeOrderedAndProject above it (optimization r12: 3.4 -> 2.4 s).
     edges = (
         cooccurrence_edges(sp, "l_partkey", "l_suppkey", max_df=64)
         .orderBy(F.col("n_shared").desc(), "x", "y")
         .limit(300)
         .select("x", "y")
+        .localCheckpoint()
     )
     return triangle_counts(edges)
 
@@ -6254,11 +6261,22 @@ JOIN sigs b ON b.doc_id = cd.corpus_id
 
 @query("incremental_neardup", _incremental_neardup_sql(_D))
 def q_incremental_neardup(spark, sf_dir):
+    # ONE signature pipeline over the whole corpus, sliced per side
+    # (optimization r12, same shape as minhash_index_maintain): the
+    # previous form paid two eager signature checkpoints (corpus-side
+    # inside minhash_band_index, plus a redundant outer checkpoint of
+    # the 4x-band union) and a third for the batch; the band union over
+    # the shared checkpoint is a cheap projection per scan.
     docs = spark.table("documents")
-    corpus = docs.filter("doc_id % 10 <> 0")
-    batch = docs.filter("doc_id % 10 = 0")
-    index = DD.minhash_band_index(corpus).localCheckpoint()
-    return DD.incremental_neardup_pairs(batch, index)
+    banded = DD.minhash_banded_sigs(docs)
+    index = DD.minhash_band_index(
+        None, banded=banded.filter("doc_id % 10 <> 0")
+    )
+    return DD.incremental_neardup_pairs(
+        docs.filter("doc_id % 10 = 0"),
+        index,
+        new_banded=banded.filter("doc_id % 10 = 0"),
+    )
 
 
 @query("minhash_index_maintain", _incremental_neardup_sql(_D))
@@ -6277,25 +6295,39 @@ def q_minhash_index_maintain(spark, sf_dir):
 
     docs = spark.table("documents")
     batch = docs.filter("doc_id % 10 = 0")
-    corpus = docs.filter("doc_id % 10 <> 0")
     tmp = _tf.mkdtemp(prefix="etl_gamma_minhash_idx_")
     try:
-        # pmod splits the corpus into a true partition for ANY integer id
-        # (sign-preserving % would drop negative ids from both halves —
-        # ADVICE r10); fixture ids are non-negative, so the graded answer
-        # is unchanged.
+        # ONE shingle-md5-minhash pipeline over the whole corpus, sliced
+        # per maintain step (optimization r12): signatures are
+        # per-document, so filtering the shared checkpoint is
+        # bit-identical to signing each slice separately — the previous
+        # shape paid three eager signature checkpoints (build half,
+        # append half, probe batch). pmod splits the corpus into a true
+        # partition for ANY integer id (sign-preserving % would drop
+        # negative ids from both halves — ADVICE r10); fixture ids are
+        # non-negative, so the graded answer is unchanged.
+        banded = DD.minhash_banded_sigs(docs)
         DD.write_minhash_index(
-            corpus.filter(F.pmod(F.col("doc_id"), 2) == 0), tmp
+            None,
+            tmp,
+            banded=banded.filter(
+                "doc_id % 10 <> 0 AND pmod(doc_id, 2) = 0"
+            ),
         )
         DD.append_minhash_index(
-            corpus.filter(F.pmod(F.col("doc_id"), 2) != 0),
+            None,
             tmp,
             compact_target_mb=64,
+            banded=banded.filter(
+                "doc_id % 10 <> 0 AND pmod(doc_id, 2) <> 0"
+            ),
         )
         stored = spark.read.parquet(tmp)
-        return DD.incremental_neardup_pairs(batch, stored).localCheckpoint(
-            eager=True
-        )
+        return DD.incremental_neardup_pairs(
+            batch,
+            stored,
+            new_banded=banded.filter("doc_id % 10 = 0"),
+        ).localCheckpoint(eager=True)
     finally:
         _sh.rmtree(tmp, ignore_errors=True)
 
