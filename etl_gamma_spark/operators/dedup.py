@@ -144,7 +144,11 @@ def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, m0..m15): K=16 MinHash values per document.
 
@@ -159,12 +163,25 @@ def minhash_signatures(
     the full LSH-pairs query at sf0.1 (the 16 interpreted transform()
     passes were the dominant term). explode_outer keeps zero-shingle
     docs with a NULL signature, matching array_min over an empty array.
+
+    ``shingles`` — an already-derived :func:`shingle_sets` frame
+    (id, shingle) — skips the shingle pipeline so a caller that also
+    needs the exploded sets (minhash_jaccard_calibration's exact
+    intersections) tokenizes the corpus ONCE (optimization r12, guide
+    §2.4). Bit-identical: word_shingles always yields >= 1 shingle
+    (short docs shingle to the whole text), so the exploded frame covers
+    every document and explode == explode_outer here.
     """
-    ex = (
-        _with_shingles(docs, text_col, id_col, n)
-        .selectExpr(id_col, "explode_outer(shingles) AS __s")
-        .selectExpr(id_col, f"{T.hexint('__s', S)} % {T.MINHASH_P} AS __h")
-    )
+    if shingles is not None:
+        ex = shingles.selectExpr(
+            id_col, f"{T.hexint('shingle', S)} % {T.MINHASH_P} AS __h"
+        )
+    else:
+        ex = (
+            _with_shingles(docs, text_col, id_col, n)
+            .selectExpr(id_col, "explode_outer(shingles) AS __s")
+            .selectExpr(id_col, f"{T.hexint('__s', S)} % {T.MINHASH_P} AS __h")
+        )
     perms = ex.selectExpr(
         id_col,
         *[
@@ -188,6 +205,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_bucket: int = 1024,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over the MinHash
     signature (4 bands × 4 rows), with the MinHash-estimated Jaccard.
@@ -206,7 +224,9 @@ def minhash_lsh_pairs(
     # localCheckpoint (not cache): materialized once, lineage truncated,
     # and storage is released by the ContextCleaner when the frame goes out
     # of scope — cache() would pin it for the whole session
-    sigs = minhash_signatures(docs, text_col, id_col, n).localCheckpoint()
+    sigs = minhash_signatures(
+        docs, text_col, id_col, n, shingles=shingles
+    ).localCheckpoint()
     m_cols = [f"m{j}" for j in range(T.MINHASH_K)]
 
     banded = sigs.selectExpr(id_col, *m_cols, *T.band_key_exprs(S))
@@ -743,40 +763,35 @@ def content_defined_chunks(
     dense from 1 per document, ``chunk_start`` the 1-based token
     position of the chunk's first token.
 
-    Scale posture: the cut scan is one posexplode + md5 projection per
-    gram (codegen, never a per-element lambda), the boundary flags join
-    token rows on (doc, position), and the running-sum window that
-    assigns chunk ids partitions by document — bounded by document
-    length, never corpus size.
+    Scale posture: the cut decision at token position p depends only on
+    the ``w``-gram STARTING at p, so the flag is computed from the
+    carried word array in the SAME projection as the token explode
+    (optimization r12, guide §2.4): the separate gram explode, the
+    (doc, position) equi-join — two token-grain exchanges — and the
+    eager word-array checkpoint of the original shape all disappear;
+    the only remaining token-grain exchange is the chunk-id window's
+    partition by document (bounded by document length, never corpus
+    size). The per-gram md5 count is unchanged (positions 2..n-w+1),
+    and the cut set is identical by construction: the old gram at
+    explode position gpos0 started at token gpos0+1, exactly the gram
+    this projection hashes at wpos0 = gpos0.
     """
-    base = (
-        spread(docs)
-        .selectExpr(id_col, f"{T.split_ws(text_col, S)} AS __w")
-        .localCheckpoint()
+    base = spread(docs).selectExpr(id_col, f"{T.split_ws(text_col, S)} AS __w")
+    gram = (
+        "concat("
+        + ", ' ', ".join(T.elem("__w", f"wpos0 + {k + 1}", S) for k in range(w))
+        + ")"
     )
-    grams = base.selectExpr(
-        id_col, f"posexplode({T.word_ngrams('__w', S, w)}) AS (gpos0, gram)"
-    )
-    cuts = (
-        grams.filter(F.col("gpos0") > 0)
-        .selectExpr(
-            id_col,
-            "gpos0 + 1 AS wpos1",
-            f"({T.hexint('gram', S)} % {mask_mod}) = 0 AS __cut",
-        )
-        .filter("__cut")
-        .select(id_col, "wpos1")
-    )
-    toks = base.selectExpr(
-        id_col, "posexplode(__w) AS (wpos0, word)"
-    ).selectExpr(id_col, "wpos0 + 1 AS wpos1", "word")
-    flagged = toks.join(
-        cuts.withColumn("__b", F.lit(1)), [id_col, "wpos1"], "left"
+    flagged = base.select(
+        id_col, "__w", F.posexplode("__w").alias("wpos0", "word")
     ).selectExpr(
         id_col,
-        "wpos1",
+        "wpos0 + 1 AS wpos1",
         "word",
-        "CASE WHEN wpos1 = 1 OR __b IS NOT NULL THEN 1 ELSE 0 END AS flag",
+        "CASE WHEN wpos0 = 0 THEN 1"
+        f" WHEN wpos0 + {w} > {T.asize('__w', S)} THEN 0"
+        f" WHEN ({T.hexint(gram, S)} % {mask_mod}) = 0 THEN 1"
+        " ELSE 0 END AS flag",
     )
     from pyspark.sql.window import Window
 
@@ -1663,11 +1678,17 @@ def minhash_jaccard_calibration(
     frame (fan-out bounded by pairs x shingles-per-doc — the pairs and
     postings frames are each materialized once, two consumers each);
     the report is one 17-row-bounded hash aggregate.
+
+    Optimization r12 (guide §2.4): the corpus is tokenized ONCE — the
+    exploded shingle checkpoint feeds BOTH the signature pipeline
+    (via minhash_lsh_pairs' ``shingles=`` passthrough) and the exact
+    intersections; before, minhash_lsh_pairs re-split and re-shingled
+    every document internally.
     """
-    pairs = minhash_lsh_pairs(
-        docs, text_col, id_col, n, max_bucket
-    ).localCheckpoint()
     sh = shingle_sets(docs, text_col, id_col, n).localCheckpoint()
+    pairs = minhash_lsh_pairs(
+        docs, text_col, id_col, n, max_bucket, shingles=sh
+    ).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

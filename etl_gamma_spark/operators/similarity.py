@@ -1057,26 +1057,81 @@ def pq_assign(
     m_sub: int = 8,
     sub_dim: int = 8,
     id_col: str = "vec_id",
+    n_codes: int = 32,
 ) -> DataFrame:
     """(id, m, code_id): nearest codebook entry per (vector, subspace) by
     exact integer squared distance, code_id tiebreak. The argmin is a
-    reducible ``min(struct(d2, code_id))`` aggregate (round-5 keep-first
-    rule — map-side combine reduces each vector's n_codes candidates
-    before the exchange), never a row_number window."""
+    reducible aggregate (round-5 keep-first rule — map-side combine
+    reduces each vector's n_codes candidates before the exchange), never
+    a row_number window; and because BOTH components are bounded
+    non-negative integers (d2 <= sub_dim * 255², code_id < n_codes) the
+    (d2, code_id) lexicographic struct order is encoded losslessly into
+    ONE bigint ``d2 * n_codes + code_id`` — min(bigint) HASH-aggregates
+    where min(struct) planned as a partial+final SortAggregate sorting
+    the full |vectors| x m_sub x n_codes candidate fan-out by group key
+    (optimization r12, guide §2.4/§2.3: same exchange, narrower rows,
+    no per-partition sort). The winner is bit-identical: the encoding is
+    a strictly order-preserving bijection on the candidate set.
+    ``n_codes`` only needs to exceed every code_id (codebook ids are
+    dense 0..n_codes-1 by construction)."""
+    scored = _pq_scored(codes, book, m_sub, sub_dim, id_col, n_codes)
+    enc = int(n_codes)
+    return (
+        scored.groupBy(id_col, "m")
+        .agg(F.min("__e").alias("__e"))
+        .selectExpr(id_col, "m", f"CAST(__e % {enc} AS INT) AS code_id")
+    )
+
+
+def _pq_scored(
+    codes: DataFrame,
+    book: DataFrame,
+    m_sub: int,
+    sub_dim: int,
+    id_col: str,
+    n_codes: int,
+) -> DataFrame:
+    """(id, m, __e): every (vector, subspace, codebook entry) candidate,
+    encoded as the order-preserving bigint d2 * n_codes + code_id (see
+    :func:`pq_assign`). Shared by the long-format argmin and the packed
+    per-vector array form."""
     subs = codes.selectExpr(
         id_col, f"explode(sequence(0, {m_sub - 1})) AS m", "c"
     ).selectExpr(id_col, "m", f"{pq_sub_expr('c', 'm', sub_dim)} AS sub")
-    scored = subs.join(F.broadcast(book), "m").selectExpr(
+    return subs.join(F.broadcast(book), "m").selectExpr(
         id_col,
         "m",
-        "code_id",
-        f"{sq8_dist2_expr('sub', 'entry', sub_dim)} AS d2",
+        f"CAST({sq8_dist2_expr('sub', 'entry', sub_dim)} AS BIGINT)"
+        f" * {int(n_codes)} + code_id AS __e",
     )
-    return (
-        scored.groupBy(id_col, "m")
-        .agg(F.min(F.struct("d2", "code_id")).alias("__best"))
-        .select(id_col, "m", F.col("__best.code_id").alias("code_id"))
+
+
+def pq_assign_packed(
+    codes: DataFrame,
+    book: DataFrame,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    n_codes: int = 32,
+) -> DataFrame:
+    """(id, code int[m_sub]): the per-vector PQ code ARRAY — the storage
+    layout :func:`pq_write_index` persists. One hash aggregate keyed by
+    id with ``m_sub`` conditional min(bigint) columns replaces the
+    (id, m) argmin + a second id-keyed collect_list/array_sort regroup
+    (optimization r12, guide §2.4: one exchange instead of two, and no
+    per-row sort/lambda in the regroup). Identical to packing
+    :func:`pq_assign` by construction: min(CASE WHEN m=j ...) over the
+    id group IS the (id, j) argmin."""
+    scored = _pq_scored(codes, book, m_sub, sub_dim, id_col, n_codes)
+    enc = int(n_codes)
+    packed = scored.groupBy(id_col).agg(
+        *[
+            F.min(F.expr(f"CASE WHEN m = {j} THEN __e END")).alias(f"__e{j}")
+            for j in range(m_sub)
+        ]
     )
+    arr = ", ".join(f"CAST(__e{j} % {enc} AS INT)" for j in range(m_sub))
+    return packed.selectExpr(id_col, f"array({arr}) AS code")
 
 
 def pq_topk(
@@ -1111,7 +1166,7 @@ def pq_topk(
     # quantization array per consumer.
     codes = sq8_codes(embeddings, dim, id_col, vec_col).localCheckpoint()
     book = pq_codebook(codes, n_codes, m_sub, sub_dim, id_col)
-    assign = pq_assign(codes, book, m_sub, sub_dim, id_col)
+    assign = pq_assign(codes, book, m_sub, sub_dim, id_col, n_codes)
     qsubs = (
         codes.filter(F.col(id_col) == query_id)
         .selectExpr(f"explode(sequence(0, {m_sub - 1})) AS m", "c")
@@ -1174,7 +1229,6 @@ def ivfpq_topk(
     cell_of, centroids = index
     codes = sq8_codes(embeddings, dim, id_col, vec_col).localCheckpoint()
     book = pq_codebook(codes, n_codes, m_sub, sub_dim, id_col)
-    pq = pq_assign(codes, book, m_sub, sub_dim, id_col)
     qv = codes.filter(F.col(id_col) == query_id).selectExpr(
         "v AS qv", f"{id_col} AS __qid"
     )
@@ -1192,6 +1246,22 @@ def ivfpq_topk(
         .filter(F.col(id_col) != query_id)
         .select(id_col)
     )
+    # PQ-assign ONLY the probed-cell candidates (optimization r12, guide
+    # §1.2 "don't compute things you throw away"): per-row assignment is
+    # independent of every other row (the codebook is seeded corpus-wide
+    # from `codes`, NOT from the candidate slice), so restricting the
+    # input to the rows the ADC aggregate keeps is bit-identical — the
+    # old shape assigned the whole corpus and semi-joined after. The
+    # semi-join also hash-partitions the candidate codes by id, so the
+    # (id, m) argmin AND the per-id ADC sum reuse that one exchange.
+    pq = pq_assign(
+        codes.select(id_col, "c").join(cand_ids, id_col, "left_semi"),
+        book,
+        m_sub,
+        sub_dim,
+        id_col,
+        n_codes,
+    )
     qsubs = (
         codes.filter(F.col(id_col) == query_id)
         .selectExpr(f"explode(sequence(0, {m_sub - 1})) AS m", "c")
@@ -1201,8 +1271,7 @@ def ivfpq_topk(
         "m", "code_id", f"{sq8_dist2_expr('qsub', 'entry', sub_dim)} AS t"
     )
     adc = (
-        pq.join(cand_ids, id_col, "left_semi")
-        .join(F.broadcast(lut), ["m", "code_id"])
+        pq.join(F.broadcast(lut), ["m", "code_id"])
         .groupBy(id_col)
         .agg(F.sum("t").cast("bigint").alias("adc_d2"))
     )
@@ -1262,18 +1331,12 @@ def pq_write_index(
     sub_dim = dim // m_sub
     codes = sq8_codes(embeddings, dim, id_col, vec_col).localCheckpoint()
     book = pq_codebook(codes, n_codes, m_sub, sub_dim, id_col)
-    pq = pq_assign(codes, book, m_sub, sub_dim, id_col)
     cells = _assign_to(
         codes.select(id_col, "v"), centroids, dim, id_col
     ).localCheckpoint()
-    pq_rows = (
-        pq.groupBy(id_col)
-        .agg(
-            F.array_sort(F.collect_list(F.struct("m", "code_id"))).alias("mc")
-        )
-        .selectExpr(id_col, "transform(mc, s -> s.code_id) AS code")
-        .join(cells.select(id_col, "centroid_id"), id_col)
-    )
+    pq_rows = pq_assign_packed(
+        codes, book, m_sub, sub_dim, id_col, n_codes
+    ).join(cells.select(id_col, "centroid_id"), id_col)
     emb_rows = cells.select(
         id_col, F.col("v").alias(vec_col), "centroid_id"
     )
