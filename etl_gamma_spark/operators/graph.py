@@ -62,14 +62,26 @@ def pagerank(
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     e = edges.join(deg, "src").localCheckpoint()
-    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
+    ranks = None
     for i in range(iters):
-        contrib = e.join(
-            ranks, e["src"] == ranks["node"]
-        ).select(
-            F.col("dst").alias("node"),
-            F.expr("rank DIV out_deg").alias("c"),
-        )
+        if ranks is None:
+            # Round 1 folded into the init (optimization r13, guide §2.4,
+            # the CC round-1 fold pattern): with every rank == SCALE, the
+            # first round's contribution is SCALE DIV out_deg — a pure
+            # projection of the degree-joined edge list, no rank join.
+            # Identical integers by construction (the join would attach
+            # the constant SCALE to every src).
+            contrib = e.select(
+                F.col("dst").alias("node"),
+                F.expr(f"{SCALE}L DIV out_deg").alias("c"),
+            )
+        else:
+            contrib = e.join(
+                ranks, e["src"] == ranks["node"]
+            ).select(
+                F.col("dst").alias("node"),
+                F.expr("rank DIV out_deg").alias("c"),
+            )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = nodes.join(sums, "node", "left").select(
             "node",
@@ -79,6 +91,8 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
             ranks = ranks.localCheckpoint()
+    if ranks is None:
+        ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
     return ranks
 
 

@@ -7881,23 +7881,63 @@ def q_ivf_recall_sweep(spark, sf_dir):
     width for a 100 TB corpus (widen until recall plateaus, every extra
     cell is linear probe cost). Extends graded ivf_recall_at_10 from a
     point to the curve: same bit-identical cosine, same total order,
-    exact integer overlap counts per sweep leg; the four legs reuse ONE
-    index build and ONE materialized brute-force top-10 (10-row
-    checkpoint — the probes join against it, never recompute it)."""
-    from .operators.similarity import brute_force_topk
+    exact integer overlap counts per sweep leg.
+
+    Optimization r13 (guide §1.2/§2.4): every leg's candidate set is a
+    probed-cell subset of the SAME corpus and the brute ranking is that
+    corpus unfiltered, so the exact cosine is computed in ONE scoring
+    pass with each row's cell id attached; brute = top-10 of the scored
+    frame, leg np = top-10 of the rows whose cell is in that leg's
+    probe set. The old shape ran five independent scoring subplans
+    (brute + one semi-join + rescore per leg). Bit-identical: the
+    per-leg probe sets are the same (d2, centroid_id) TakeOrdered
+    prefixes, the cosine is the same expression over the same rows
+    (floats are exact in double, pinned green by embedding_topk), and
+    the (cosine DESC, vec_id) top-10 cut is unchanged."""
+    from .operators.similarity import bcast_attach, cosine_expr
 
     emb = spark.table("embeddings")
-    index = _ivf_index(spark)
+    assign, centroids = _ivf_index(spark)
+    q = emb.filter(F.col("vec_id") == 0).selectExpr(
+        "CAST(embedding AS ARRAY<DOUBLE>) AS qv", "vec_id AS __qid"
+    )
+    # one exact-cosine pass, cell id attached; materialized because five
+    # TakeOrdered consumers read it (differing consumer plans — the
+    # round-11 bounded-aggregate rule)
+    scored = (
+        bcast_attach(emb.filter(F.col("vec_id") != 0), q, "vec_id", "__qid")
+        .selectExpr("vec_id", f"{cosine_expr('embedding', 'qv')} AS cosine")
+        .join(assign, "vec_id")
+        .localCheckpoint()
+    )
+    # cell distances once (16 rows); each probe set is a rank prefix
+    cellscore = (
+        bcast_attach(centroids, q, "centroid_id", "__qid")
+        .selectExpr(
+            "centroid_id",
+            f"{dist2_unrolled('qv', 'centroid', 64)} AS d2",
+        )
+        .localCheckpoint()
+    )
     brute = (
-        brute_force_topk(emb, query_id=0, k=10)
+        scored.orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
         .select("vec_id")
         .localCheckpoint()
     )
     legs = []
     for np_ in _SWEEP_PROBES:
-        ivf = ivf_topk(
-            emb, query_id=0, k=10, n_probe=np_, index=index
-        ).select("vec_id")
+        probe = (
+            cellscore.orderBy("d2", "centroid_id")
+            .limit(np_)
+            .select("centroid_id")
+        )
+        ivf = (
+            scored.join(F.broadcast(probe), "centroid_id")
+            .orderBy(F.col("cosine").desc(), "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
         legs.append(
             ivf.join(brute, "vec_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
@@ -8854,9 +8894,35 @@ def q_vocab_coverage(spark, sf_dir):
 #                       (same oracle as embedding_ivfpq_topk; the
 #                       embedding_ivf_persisted side-effect shape)
 UNGRADED_QUERIES: tuple[str, ...] = (
-    "embedding_pq_topk",
-    "embedding_ivfpq_topk",
-    "embedding_ivfpq_persisted",
+    # --- r13 rotation (the banked plan below, executed): the 14
+    # never-driver-graded oracle-backed queries rotated IN; displaced OUT
+    # are the 14 most-proven by the banked-rounds audit over
+    # CORRECTNESS_r{1..12}: all nine 4-round queries
+    # (embedding_ivf_persisted, decontaminate_corpus, attribution_linear,
+    # event_type_transitions, batch_session_windows, jdbc_roundtrip_agg,
+    # embedding_sq8_topk, customer_fd_report, customer_k_anonymity —
+    # each green r9..r12) plus five of the thirteen 3-round (r10..r12)
+    # queries, tiebroken by graded-tuple order (receita_cube,
+    # sequence_pack, dataset_split, content_chunk_dedup,
+    # incremental_chunk_dedup). Rotation protocol: the 14 entrants were
+    # banked green on the exact final r12 tree (both-SF driver_sim, see
+    # the banked-batch comments below) and the post-edit sf0.01
+    # driver_sim re-ran green on this tree (plans/r13/ds_sf001_rotation
+    # log cited in OPTIMIZATION_r13.md).
+    "embedding_ivf_persisted",
+    "decontaminate_corpus",
+    "attribution_linear",
+    "event_type_transitions",
+    "batch_session_windows",
+    "jdbc_roundtrip_agg",
+    "embedding_sq8_topk",
+    "customer_fd_report",
+    "customer_k_anonymity",
+    "receita_cube",
+    "sequence_pack",
+    "dataset_split",
+    "content_chunk_dedup",
+    "incremental_chunk_dedup",
     "twap_hourly",
     "tpch_q5_local_supplier_volume",
     "supplier_shipping_coverage",
@@ -8955,11 +9021,7 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     "streaming_windowed_events",
     "ngram_jaccard_pairs",
     "cluster_prune",
-    "user_rank_by_events",
-    "clients_per_farmer_list",
-    "client_revenue_pct_rank",
     "cumulative_revenue",
-    "client_revenue_quartiles",
     "clients_churned_feb",
     "lang_id",
     "active_clients_dedup_union",
@@ -8988,17 +9050,10 @@ UNGRADED_QUERIES: tuple[str, ...] = (
     # the exact final r12 tree (/tmp/ds_r12G_sf001.log 183/181 fails=[];
     # /tmp/ds_r12H_sf01.log 183/181 fails=[], commit of record is the
     # ivf_cell_balance/packing_efficiency registration commit):
-    "mixture_token_plan",
-    "collocations_pmi",
-    "hard_negative_mining",
-    "packing_efficiency",
-    "ivf_cell_balance",
     # batch 4 — ALSO banked: a second both-SF driver_sim ran green on the
     # exact final r12 tree containing all seven additions
     # (/tmp/ds_r12I_sf001.log 185/183 fails=[] and /tmp/ds_r12J_sf01.log
     # 185/183 fails=[], tree = the vocab_coverage registration commit):
-    "classifier_threshold_sweep",
-    "vocab_coverage",
     # batch 5 (needs its own banked both-SF proof before rotating):
     "boilerplate_share",
 )
