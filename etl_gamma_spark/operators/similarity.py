@@ -1090,19 +1090,23 @@ def _pq_scored(
     sub_dim: int,
     id_col: str,
     n_codes: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, m, __e): every (vector, subspace, codebook entry) candidate,
     encoded as the order-preserving bigint d2 * n_codes + code_id (see
     :func:`pq_assign`). Shared by the long-format argmin and the packed
-    per-vector array form."""
+    per-vector array form. ``carry`` columns pass through unchanged."""
     subs = codes.selectExpr(
-        id_col, f"explode(sequence(0, {m_sub - 1})) AS m", "c"
-    ).selectExpr(id_col, "m", f"{pq_sub_expr('c', 'm', sub_dim)} AS sub")
+        id_col, f"explode(sequence(0, {m_sub - 1})) AS m", "c", *carry
+    ).selectExpr(
+        id_col, "m", f"{pq_sub_expr('c', 'm', sub_dim)} AS sub", *carry
+    )
     return subs.join(F.broadcast(book), "m").selectExpr(
         id_col,
         "m",
         f"CAST({sq8_dist2_expr('sub', 'entry', sub_dim)} AS BIGINT)"
         f" * {int(n_codes)} + code_id AS __e",
+        *carry,
     )
 
 
@@ -1113,6 +1117,7 @@ def pq_assign_packed(
     sub_dim: int = 8,
     id_col: str = "vec_id",
     n_codes: int = 32,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, code int[m_sub]): the per-vector PQ code ARRAY — the storage
     layout :func:`pq_write_index` persists. One hash aggregate keyed by
@@ -1121,17 +1126,100 @@ def pq_assign_packed(
     (optimization r12, guide §2.4: one exchange instead of two, and no
     per-row sort/lambda in the regroup). Identical to packing
     :func:`pq_assign` by construction: min(CASE WHEN m=j ...) over the
-    id group IS the (id, j) argmin."""
-    scored = _pq_scored(codes, book, m_sub, sub_dim, id_col, n_codes)
+    id group IS the (id, j) argmin.
+
+    ``carry`` columns ride through the aggregate via first() — constant
+    within each id's fan-out rows (the _assign_to convention), so no
+    second id-keyed join is needed to re-attach them (optimization
+    r13)."""
+    scored = _pq_scored(codes, book, m_sub, sub_dim, id_col, n_codes, carry)
     enc = int(n_codes)
     packed = scored.groupBy(id_col).agg(
         *[
             F.min(F.expr(f"CASE WHEN m = {j} THEN __e END")).alias(f"__e{j}")
             for j in range(m_sub)
-        ]
+        ],
+        *[F.first(c).alias(c) for c in carry],
     )
     arr = ", ".join(f"CAST(__e{j} % {enc} AS INT)" for j in range(m_sub))
-    return packed.selectExpr(id_col, f"array({arr}) AS code")
+    return packed.selectExpr(id_col, f"array({arr}) AS code", *carry)
+
+
+def _pq_query_metadata(
+    embeddings: DataFrame,
+    query_id: int,
+    dim: int,
+    m_sub: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[float, float, list[float], list[list[int]]]:
+    """(lo, hi, query vector, per-subspace query code slices) — the
+    driver-side quantizer/query metadata of a PQ search (the serving-
+    shape exception: two doubles + one vector, exactly what the
+    persisted probe already reads from the stored index). The query
+    codes are bit-identical to the engine-quantized ones
+    (``_py_sq8_codes``)."""
+    sub_dim = dim // m_sub
+    rmin, rmax = sq8_range_exprs("v", dim)
+    row = (
+        embeddings.selectExpr(
+            f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v", id_col
+        )
+        .selectExpr(
+            f"{rmin} AS __rmin",
+            f"{rmax} AS __rmax",
+            f"CASE WHEN {id_col} = {int(query_id)} THEN v END AS __qv",
+        )
+        .agg(
+            F.min("__rmin").alias("lo"),
+            F.max("__rmax").alias("hi"),
+            # exactly one row is non-null, so first(ignorenulls) is
+            # deterministic regardless of combine order
+            F.first("__qv", ignorenulls=True).alias("qv"),
+        )
+        .head()
+    )
+    if row is None or row["lo"] is None or row["lo"] == row["hi"]:
+        raise ValueError("SQ8 range: empty or constant corpus")
+    if row["qv"] is None:
+        raise ValueError(f"query vector {query_id} not found")
+    lo, hi = float(row["lo"]), float(row["hi"])
+    qv = [float(x) for x in row["qv"]]
+    qc = _py_sq8_codes(qv, lo, hi)
+    qsubs = [qc[m * sub_dim : (m + 1) * sub_dim] for m in range(m_sub)]
+    return lo, hi, qv, qsubs
+
+
+def _pq_sub_explode(
+    emb: DataFrame,
+    dim: int,
+    m_sub: int,
+    lo: float,
+    hi: float,
+    id_col: str,
+) -> DataFrame:
+    """(id, m, sub): per-subspace SQ8 code slices, quantized INLINE with
+    the literal training range — one projection per row (each of the
+    ``dim`` code terms appears exactly once, built directly into its
+    subspace array, so CollapseProject cannot duplicate the quantization
+    per consumer), then a posexplode to the (id, m) grain. Replaces the
+    eager full-corpus codes checkpoint + slice-of-c derivation
+    (optimization r13, guide §2.4: the checkpoint job disappears and the
+    scan quantizes only the rows that reach it). Input ``emb`` must
+    carry a pre-cast ``v`` array<double>."""
+    sub_dim = dim // m_sub
+    subs = []
+    for m in range(m_sub):
+        els = ", ".join(
+            f"CAST(least(255.0D, greatest(0.0D, floor(((element_at(v, {i})"
+            f" - {_dlit(lo)}) * 255.0D)"
+            f" / nullif({_dlit(hi)} - {_dlit(lo)}, 0.0D)))) AS INT)"
+            for i in range(m * sub_dim + 1, (m + 1) * sub_dim + 1)
+        )
+        subs.append(f"array({els})")
+    return emb.selectExpr(
+        id_col, f"posexplode(array({', '.join(subs)})) AS (m, sub)"
+    )
 
 
 def pq_topk(
@@ -1158,6 +1246,18 @@ def pq_topk(
     Returns (id, adc_d2, cosine) — the compressed-domain distance rides
     along for calibration. Recall vs brute force is measured in tests;
     the dials are ``rerank`` and ``n_codes``.
+
+    Plan shape: the eager codes checkpoint is KEPT on purpose
+    (optimization r13 negative result, interleaved A/B in
+    plans/r13/ab_cur_embedding_pq_topk_vs_old_embedding_pq_topk.txt):
+    the full corpus must be quantized here regardless (assignment scores
+    every vector), so the checkpoint amortizes ONE quantization across
+    its four consumers (book, assignment, query subvectors, rerank),
+    while the driver-metadata/literal-range form that wins for
+    ivfpq_topk re-derived it per consumer with extra scans and
+    exchanges — measured ~30% slower pairwise. The metadata form pays
+    exactly where it SHRINKS the quantized set (ivfpq's probed-cell
+    slice) or removes a disk round-trip (pq_write_index).
     """
     sub_dim = dim // m_sub
     # materialize the codes ONCE (the sq8_topk lesson): the codebook, the
@@ -1227,15 +1327,27 @@ def ivfpq_topk(
         cents = seed_centroids(embeddings, n_centroids, id_col, vec_col)
         index = (ivf_build(embeddings, cents, dim, id_col, vec_col), cents)
     cell_of, centroids = index
-    codes = sq8_codes(embeddings, dim, id_col, vec_col).localCheckpoint()
-    book = pq_codebook(codes, n_codes, m_sub, sub_dim, id_col)
-    qv = codes.filter(F.col(id_col) == query_id).selectExpr(
-        "v AS qv", f"{id_col} AS __qid"
+    # driver-side quantizer/query metadata (optimization r13, the pq_topk
+    # shape — see that docstring): no eager codes checkpoint, the query
+    # vector/codes are literals, and candidate quantization happens
+    # INSIDE the probed-cell slice only (guide §1.2).
+    lo, hi, qv, qsubs = _pq_query_metadata(
+        embeddings, query_id, dim, m_sub, id_col, vec_col
     )
+    emb = spread(embeddings).selectExpr(
+        id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v"
+    )
+    # semi-join input deliberately NOT spread: the join's own hash
+    # exchange already redistributes; a round-robin repartition ahead of
+    # it is a second full shuffle for nothing
+    emb_cand = embeddings.selectExpr(
+        id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v"
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
     probe = (
-        bcast_attach(centroids, qv, "centroid_id", "__qid")
+        centroids.withColumn("__qv", qlit)
         .selectExpr(
-            "centroid_id", f"{dist2_unrolled('qv', 'centroid', dim)} AS d2"
+            "centroid_id", f"{dist2_unrolled('__qv', 'centroid', dim)} AS d2"
         )
         .orderBy("d2", "centroid_id")
         .limit(n_probe)
@@ -1248,26 +1360,44 @@ def ivfpq_topk(
     )
     # PQ-assign ONLY the probed-cell candidates (optimization r12, guide
     # §1.2 "don't compute things you throw away"): per-row assignment is
-    # independent of every other row (the codebook is seeded corpus-wide
-    # from `codes`, NOT from the candidate slice), so restricting the
-    # input to the rows the ADC aggregate keeps is bit-identical — the
-    # old shape assigned the whole corpus and semi-joined after. The
-    # semi-join also hash-partitions the candidate codes by id, so the
-    # (id, m) argmin AND the per-id ADC sum reuse that one exchange.
-    pq = pq_assign(
-        codes.select(id_col, "c").join(cand_ids, id_col, "left_semi"),
-        book,
+    # independent of every other row (the codebook is seeded corpus-wide,
+    # NOT from the candidate slice), so restricting the input to the rows
+    # the ADC aggregate keeps is bit-identical. The semi-join hash-
+    # partitions the candidate subs by id, so the (id, m) argmin and the
+    # per-id ADC sum reuse that one exchange.
+    book = pq_codebook(
+        emb.selectExpr(
+            id_col, f"{sq8_code_expr('v', dim, lo=_dlit(lo), hi=_dlit(hi))} AS c"
+        ),
+        n_codes,
         m_sub,
         sub_dim,
         id_col,
-        n_codes,
     )
-    qsubs = (
-        codes.filter(F.col(id_col) == query_id)
-        .selectExpr(f"explode(sequence(0, {m_sub - 1})) AS m", "c")
-        .selectExpr("m", f"{pq_sub_expr('c', 'm', sub_dim)} AS qsub")
+    subs = _pq_sub_explode(
+        emb_cand.join(cand_ids, id_col, "left_semi"),
+        dim,
+        m_sub,
+        lo,
+        hi,
+        id_col,
     )
-    lut = book.join(F.broadcast(qsubs), "m").selectExpr(
+    scored = subs.join(F.broadcast(book), "m").selectExpr(
+        id_col,
+        "m",
+        f"CAST({sq8_dist2_expr('sub', 'entry', sub_dim)} AS BIGINT)"
+        f" * {int(n_codes)} + code_id AS __e",
+    )
+    pq = (
+        scored.groupBy(id_col, "m")
+        .agg(F.min("__e").alias("__e"))
+        .selectExpr(id_col, "m", f"CAST(__e % {int(n_codes)} AS INT) AS code_id")
+    )
+    spark = embeddings.sparkSession
+    qsub_df = spark.createDataFrame(
+        [(m, qsubs[m]) for m in range(m_sub)], "m INT, qsub ARRAY<INT>"
+    )
+    lut = book.join(F.broadcast(qsub_df), "m").selectExpr(
         "m", "code_id", f"{sq8_dist2_expr('qsub', 'entry', sub_dim)} AS t"
     )
     adc = (
@@ -1276,10 +1406,12 @@ def ivfpq_topk(
         .agg(F.sum("t").cast("bigint").alias("adc_d2"))
     )
     cand = adc.orderBy("adc_d2", id_col).limit(rerank)
-    scored = bcast_attach(
-        codes.join(F.broadcast(cand), id_col), qv, id_col, "__qid"
-    ).selectExpr(id_col, "adc_d2", f"{cosine_expr('v', 'qv')} AS cosine")
-    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+    scored2 = (
+        emb.join(F.broadcast(cand), id_col)
+        .withColumn("__qv", qlit)
+        .selectExpr(id_col, "adc_d2", f"{cosine_expr('v', '__qv')} AS cosine")
+    )
+    return scored2.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
 def pq_write_index(
@@ -1329,23 +1461,42 @@ def pq_write_index(
     from ..sources.sink import write_full_refresh
 
     sub_dim = dim // m_sub
-    codes = sq8_codes(embeddings, dim, id_col, vec_col).localCheckpoint()
-    book = pq_codebook(codes, n_codes, m_sub, sub_dim, id_col)
-    cells = _assign_to(
-        codes.select(id_col, "v"), centroids, dim, id_col
+    # Optimization r13 (guide §2.4/§1.2): the training range is collected
+    # driver-side (two doubles — the same aggregate the old shape ran as
+    # a per-write job; collected values are the exact doubles the stored
+    # sq8_range row must hold), quantization + cell assignment fuse into
+    # ONE materialization (was two eager checkpoints: a codes frame, then
+    # a second _assign_to scan over it), and the packed PQ write carries
+    # centroid_id through its aggregate instead of re-joining the cells
+    # frame by id.
+    lo, hi = collect_sq8_range(embeddings, dim, vec_col)
+    emb = spread(embeddings).selectExpr(
+        id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS v"
+    )
+    code = sq8_code_expr("v", dim, lo=_dlit(lo), hi=_dlit(hi))
+    combined = _assign_to(
+        emb.selectExpr(id_col, "v", f"{code} AS c"),
+        centroids,
+        dim,
+        id_col,
+        carry=("c",),
     ).localCheckpoint()
+    book = pq_codebook(combined, n_codes, m_sub, sub_dim, id_col)
     pq_rows = pq_assign_packed(
-        codes, book, m_sub, sub_dim, id_col, n_codes
-    ).join(cells.select(id_col, "centroid_id"), id_col)
-    emb_rows = cells.select(
+        combined.select(id_col, "c", "centroid_id"),
+        book,
+        m_sub,
+        sub_dim,
+        id_col,
+        n_codes,
+        carry=("centroid_id",),
+    )
+    emb_rows = combined.select(
         id_col, F.col("v").alias(vec_col), "centroid_id"
     )
-    # recover the exact training range from the code frame's source the
-    # same way sq8_codes derived it (one MIN/MAX aggregate)
-    rmin, rmax = sq8_range_exprs("v", dim)
-    rng = (
-        codes.selectExpr(f"{rmin} AS __rmin", f"{rmax} AS __rmax")
-        .agg(F.min("__rmin").alias("__lo"), F.max("__rmax").alias("__hi"))
+    spark = embeddings.sparkSession
+    rng = spark.range(1).selectExpr(
+        f"{_dlit(lo)} AS __lo", f"{_dlit(hi)} AS __hi"
     )
     writes = [
         lambda: write_full_refresh(

@@ -560,7 +560,11 @@ def test_pq_topk_plan_shape(spark):
     # of the search stage (the materialized-codes rule — a floor( in the
     # plan means the 64-term quantization re-inlined per consumer);
     # every join is a broadcast hash join; the candidate and final cuts
-    # are TakeOrdered, never global sorts.
+    # are TakeOrdered, never global sorts. Optimization r13 re-confirmed
+    # this by interleaved A/B: the no-checkpoint driver-metadata form
+    # that wins for ivfpq_topk (where it shrinks the quantized set) was
+    # ~30% SLOWER here, where the full corpus must be quantized anyway
+    # and the checkpoint amortizes it across four consumers.
     plan = _explain(QUERIES["embedding_pq_topk"](spark, SF_CORRECT))
     assert "floor(" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan

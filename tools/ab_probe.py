@@ -139,8 +139,212 @@ def _old_ivf_recall_sweep(spark, sf_dir):
     return out
 
 
+def _old_pq_topk(spark, sf_dir):
+    """Pre-r13 pq_topk: eager full-corpus codes checkpoint; book, query
+    subvectors and rerank vectors all read the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from etl_gamma_spark import registry as R
+    from etl_gamma_spark.operators.similarity import (
+        bcast_attach,
+        cosine_expr,
+        pq_assign,
+        pq_codebook,
+        pq_sub_expr,
+        sq8_codes,
+        sq8_dist2_expr,
+    )
+
+    embeddings = spark.table("embeddings")
+    query_id, k, rerank = 0, 10, R._PQ_RERANK
+    dim, m_sub, n_codes = 64, R._PQ_M, R._PQ_CODES
+    id_col = "vec_id"
+    sub_dim = dim // m_sub
+    codes = sq8_codes(embeddings, dim, id_col, "embedding").localCheckpoint()
+    book = pq_codebook(codes, n_codes, m_sub, sub_dim, id_col)
+    assign = pq_assign(codes, book, m_sub, sub_dim, id_col, n_codes)
+    qsubs = (
+        codes.filter(F.col(id_col) == query_id)
+        .selectExpr(f"explode(sequence(0, {m_sub - 1})) AS m", "c")
+        .selectExpr("m", f"{pq_sub_expr('c', 'm', sub_dim)} AS qsub")
+    )
+    lut = book.join(F.broadcast(qsubs), "m").selectExpr(
+        "m", "code_id", f"{sq8_dist2_expr('qsub', 'entry', sub_dim)} AS t"
+    )
+    adc = (
+        assign.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(lut), ["m", "code_id"])
+        .groupBy(id_col)
+        .agg(F.sum("t").cast("bigint").alias("adc_d2"))
+    )
+    cand = adc.orderBy("adc_d2", id_col).limit(rerank)
+    q = codes.filter(F.col(id_col) == query_id).selectExpr(
+        "v AS qv", f"{id_col} AS __qid"
+    )
+    scored = bcast_attach(
+        codes.join(F.broadcast(cand), id_col), q, id_col, "__qid"
+    ).selectExpr(id_col, "adc_d2", f"{cosine_expr('v', 'qv')} AS cosine")
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _old_ivfpq_topk(spark, sf_dir):
+    """Pre-r13 ivfpq_topk (the r12 shape): eager full-corpus codes
+    checkpoint; book/qsubs/probe/rerank all read it; candidate codes
+    via semi-join of the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from etl_gamma_spark import registry as R
+    from etl_gamma_spark.operators.similarity import (
+        bcast_attach,
+        cosine_expr,
+        dist2_unrolled,
+        pq_assign,
+        pq_codebook,
+        pq_sub_expr,
+        sq8_codes,
+        sq8_dist2_expr,
+    )
+
+    embeddings = spark.table("embeddings")
+    query_id, k, rerank = 0, 10, R._PQ_RERANK
+    dim, m_sub, n_codes = 64, R._PQ_M, R._PQ_CODES
+    n_probe = R._IVF_PROBE
+    id_col = "vec_id"
+    sub_dim = dim // m_sub
+    cell_of, centroids = R._ivf_index(spark)
+    codes = sq8_codes(embeddings, dim, id_col, "embedding").localCheckpoint()
+    book = pq_codebook(codes, n_codes, m_sub, sub_dim, id_col)
+    qv = codes.filter(F.col(id_col) == query_id).selectExpr(
+        "v AS qv", f"{id_col} AS __qid"
+    )
+    probe = (
+        bcast_attach(centroids, qv, "centroid_id", "__qid")
+        .selectExpr(
+            "centroid_id", f"{dist2_unrolled('qv', 'centroid', dim)} AS d2"
+        )
+        .orderBy("d2", "centroid_id")
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    cand_ids = (
+        cell_of.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col(id_col) != query_id)
+        .select(id_col)
+    )
+    pq = pq_assign(
+        codes.select(id_col, "c").join(cand_ids, id_col, "left_semi"),
+        book,
+        m_sub,
+        sub_dim,
+        id_col,
+        n_codes,
+    )
+    qsubs = (
+        codes.filter(F.col(id_col) == query_id)
+        .selectExpr(f"explode(sequence(0, {m_sub - 1})) AS m", "c")
+        .selectExpr("m", f"{pq_sub_expr('c', 'm', sub_dim)} AS qsub")
+    )
+    lut = book.join(F.broadcast(qsubs), "m").selectExpr(
+        "m", "code_id", f"{sq8_dist2_expr('qsub', 'entry', sub_dim)} AS t"
+    )
+    adc = (
+        pq.join(F.broadcast(lut), ["m", "code_id"])
+        .groupBy(id_col)
+        .agg(F.sum("t").cast("bigint").alias("adc_d2"))
+    )
+    cand = adc.orderBy("adc_d2", id_col).limit(rerank)
+    scored = bcast_attach(
+        codes.join(F.broadcast(cand), id_col), qv, id_col, "__qid"
+    ).selectExpr(id_col, "adc_d2", f"{cosine_expr('v', 'qv')} AS cosine")
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _old_ivfpq_persisted(spark, sf_dir):
+    """Pre-r13 persisted carrier: two eager checkpoints (codes, cells),
+    engine-side rng aggregate, id-join to attach centroid_id to the
+    packed codes."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from etl_gamma_spark import registry as R
+    from etl_gamma_spark.operators.similarity import (
+        _assign_to,
+        ivfpq_topk_persisted,
+        pq_assign_packed,
+        pq_codebook,
+        seed_centroids,
+        sq8_codes,
+        sq8_range_exprs,
+    )
+    from etl_gamma_spark.sources.sink import write_full_refresh
+
+    emb = spark.table("embeddings")
+    dim, m_sub, n_codes = 64, R._PQ_M, R._PQ_CODES
+    sub_dim = dim // m_sub
+    id_col, vec_col = "vec_id", "embedding"
+    centroids = seed_centroids(emb, R._IVF_K)
+    tmp = _tf.mkdtemp(prefix="etl_gamma_ivfpq_ab_")
+    try:
+        codes = sq8_codes(emb, dim, id_col, vec_col).localCheckpoint()
+        book = pq_codebook(codes, n_codes, m_sub, sub_dim, id_col)
+        cells = _assign_to(
+            codes.select(id_col, "v"), centroids, dim, id_col
+        ).localCheckpoint()
+        pq_rows = pq_assign_packed(
+            codes, book, m_sub, sub_dim, id_col, n_codes
+        ).join(cells.select(id_col, "centroid_id"), id_col)
+        emb_rows = cells.select(
+            id_col, F.col("v").alias(vec_col), "centroid_id"
+        )
+        rmin, rmax = sq8_range_exprs("v", dim)
+        rng = (
+            codes.selectExpr(f"{rmin} AS __rmin", f"{rmax} AS __rmax")
+            .agg(F.min("__rmin").alias("__lo"), F.max("__rmax").alias("__hi"))
+        )
+        writes = [
+            lambda: write_full_refresh(
+                emb_rows, _os.path.join(tmp, "ivf"), ["centroid_id"]
+            ),
+            lambda: write_full_refresh(
+                pq_rows, _os.path.join(tmp, "pq"), ["centroid_id"]
+            ),
+            lambda: write_full_refresh(book, _os.path.join(tmp, "codebook")),
+            lambda: write_full_refresh(
+                centroids, _os.path.join(tmp, "centroids")
+            ),
+            lambda: write_full_refresh(rng, _os.path.join(tmp, "sq8_range")),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for fut in [pool.submit(w) for w in writes]:
+                fut.result()
+        qv = [
+            float(x)
+            for x in emb.filter("vec_id = 0").select("embedding").head()[0]
+        ]
+        return ivfpq_topk_persisted(
+            spark,
+            tmp,
+            qv,
+            k=10,
+            n_probe=R._IVF_PROBE,
+            rerank=R._PQ_RERANK,
+            m_sub=m_sub,
+            n_codes=n_codes,
+            exclude_id=0,
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(tmp, ignore_errors=True)
+
+
 ARMS = {
     "old:incremental_neardup": _old_incremental_neardup,
+    "old:embedding_pq_topk": _old_pq_topk,
+    "old:embedding_ivfpq_topk": _old_ivfpq_topk,
+    "old:embedding_ivfpq_persisted": _old_ivfpq_persisted,
     "old:ivf_recall_sweep": _old_ivf_recall_sweep,
     "pr:old": _pagerank_variant(fold=False, ckpt_nodes=True, ckpt_e=True),
     "pr:fold": _pagerank_variant(fold=True, ckpt_nodes=True, ckpt_e=True),
