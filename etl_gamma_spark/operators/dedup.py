@@ -445,6 +445,7 @@ def neardup_clusters(
     id_col: str = "doc_id",
     max_iters: int = 30,
     stats: dict | None = None,
+    assume_distinct_pairs: bool = False,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every document gets
     a ``cluster_id`` = the minimum doc id reachable through the pair graph
@@ -471,13 +472,25 @@ def neardup_clusters(
     number rounds-1); the scale probes report it so a 100×-duplicate
     corpus shows whether giant clusters deepen the iteration or only
     widen the rounds (tools/scale_probe.py).
+
+    ``assume_distinct_pairs``: min-label propagation is duplicate-SAFE
+    (every step is a min over a bag — duplicated edges change no label),
+    so the edge distinct() is purely the performance guard that stops a
+    duplicate-heavy pair list being re-joined every round. Callers whose
+    pairs are distinct by construction (minhash_lsh_pairs output: the
+    candidate set IS a distinct() on (doc_a, doc_b) with doc_a < doc_b,
+    and the two union directions cannot collide because one side has
+    id < nbr and the other id > nbr) pass True and skip a full
+    edge-mass exchange + aggregate in the edges materialization
+    (optimization r13, guide §2.4: "a distinct on data that is already
+    unique").
     """
-    edges = (
-        pairs.selectExpr(f"doc_a AS {id_col}", "doc_b AS nbr")
-        .unionByName(pairs.selectExpr(f"doc_b AS {id_col}", "doc_a AS nbr"))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = pairs.selectExpr(
+        f"doc_a AS {id_col}", "doc_b AS nbr"
+    ).unionByName(pairs.selectExpr(f"doc_b AS {id_col}", "doc_a AS nbr"))
+    if not assume_distinct_pairs:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint()
     # Round 1 folded into the label init (optimization r12, guide §2.4):
     # with init label == own id, the first propagation round computes
     # exactly least(id, min(nbr)) — an aggregate over the edge list. The

@@ -1337,7 +1337,7 @@ clusters AS (
 def q_neardup_clusters(spark, sf_dir):
     docs = spark.table("documents")
     pairs = _mh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
-    return _nd_clusters(docs, pairs)
+    return _nd_clusters(docs, pairs, assume_distinct_pairs=True)
 
 
 # the same clusters, pruned to one representative each (highest n_chars,
@@ -1361,7 +1361,8 @@ FROM (
 def q_cluster_prune(spark, sf_dir):
     docs = spark.table("documents")
     pairs = _mh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
-    return _cluster_prune(docs, _nd_clusters(docs, pairs))
+    clusters = _nd_clusters(docs, pairs, assume_distinct_pairs=True)
+    return _cluster_prune(docs, clusters)
 
 
 # the user-facing end product of the near-dup chain: the SURVIVING corpus
@@ -1388,7 +1389,8 @@ JOIN (
 def q_neardup_dedup_corpus(spark, sf_dir):
     docs = spark.table("documents")
     pairs = _mh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
-    keepers = _cluster_prune(docs, _nd_clusters(docs, pairs)).select("doc_id")
+    clusters = _nd_clusters(docs, pairs, assume_distinct_pairs=True)
+    keepers = _cluster_prune(docs, clusters).select("doc_id")
     return docs.join(keepers, "doc_id", "left_semi").select(
         "doc_id", "source", "lang", "n_chars"
     )
@@ -1414,7 +1416,8 @@ def q_cluster_aware_split(spark, sf_dir):
 
     docs = spark.table("documents")
     pairs = _mh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
-    return cluster_aware_split(_nd_clusters(docs, pairs))
+    clusters = _nd_clusters(docs, pairs, assume_distinct_pairs=True)
+    return cluster_aware_split(clusters)
 
 
 # the dedup decision input: cluster-size spectrum + redundant mass —
@@ -1439,7 +1442,8 @@ def q_dedup_cluster_histogram(spark, sf_dir):
 
     docs = spark.table("documents")
     pairs = _mh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
-    return cluster_size_histogram(_nd_clusters(docs, pairs))
+    clusters = _nd_clusters(docs, pairs, assume_distinct_pairs=True)
+    return cluster_size_histogram(clusters)
 
 
 from .streaming.windowed import run_windowed_stream  # noqa: E402

@@ -340,11 +340,30 @@ def _old_ivfpq_persisted(spark, sf_dir):
         _sh.rmtree(tmp, ignore_errors=True)
 
 
+def _old_cluster_prune(spark, sf_dir):
+    """Pre-r13 cluster_prune: edges distinct retained (redundant for the
+    distinct-by-construction LSH pair list)."""
+    from pyspark.sql import functions as F
+
+    from etl_gamma_spark.operators.dedup import (
+        cluster_prune,
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+
+    docs = spark.table("documents")
+    pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    return cluster_prune(
+        docs, neardup_clusters(docs, pairs, assume_distinct_pairs=False)
+    )
+
+
 ARMS = {
     "old:incremental_neardup": _old_incremental_neardup,
     "old:embedding_pq_topk": _old_pq_topk,
     "old:embedding_ivfpq_topk": _old_ivfpq_topk,
     "old:embedding_ivfpq_persisted": _old_ivfpq_persisted,
+    "old:cluster_prune": _old_cluster_prune,
     "old:ivf_recall_sweep": _old_ivf_recall_sweep,
     "pr:old": _pagerank_variant(fold=False, ckpt_nodes=True, ckpt_e=True),
     "pr:fold": _pagerank_variant(fold=True, ckpt_nodes=True, ckpt_e=True),
