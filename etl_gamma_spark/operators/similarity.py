@@ -1374,8 +1374,13 @@ def ivfpq_topk(
         sub_dim,
         id_col,
     )
+    # shuffled-hash semi-join (guide §3.1): the candidate-id build side
+    # is a per-partition hash table, no sort on either side — sort-merge
+    # would sort the corpus scan AND the id list for a membership probe.
+    # Never broadcast: cand_ids is ~n_probe/K of the corpus, which at
+    # 100 TB is not broadcastable.
     subs = _pq_sub_explode(
-        emb_cand.join(cand_ids, id_col, "left_semi"),
+        emb_cand.join(cand_ids.hint("shuffle_hash"), id_col, "left_semi"),
         dim,
         m_sub,
         lo,
