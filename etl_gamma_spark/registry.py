@@ -1765,12 +1765,31 @@ def _ivf_index(spark) -> tuple:
     return ivf_build(emb, cents), cents
 
 
+def _ivf_index_lazy(spark) -> tuple:
+    """(assign, cents) WITHOUT ivf_build's eager assignment checkpoint
+    (optimization r13, guide §2.4): the single-search carriers consume
+    the assignment exactly ONCE (the probed-cell candidate cut, or one
+    join into a materialized scored frame), so the checkpoint job is
+    pure overhead for them — ivf_build's checkpoint contract exists for
+    REPEATED searches over one built index. Same rows by construction
+    (the identical _assign_to plan, just not materialized)."""
+    from .operators.similarity import _assign_to
+
+    emb = spark.table("embeddings")
+    cents = seed_centroids(emb, _IVF_K)
+    e = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    assign = _assign_to(e, cents, 64, "vec_id").select(
+        "vec_id", "centroid_id"
+    )
+    return assign, cents
+
+
 @query(
     "embedding_ivf_build",
     _ivf_common_sql() + "SELECT vec_id, centroid_id FROM assign",
 )
 def q_embedding_ivf_build(spark, sf_dir):
-    assign, _ = _ivf_index(spark)
+    assign, _ = _ivf_index_lazy(spark)
     return assign
 
 
@@ -1802,7 +1821,7 @@ def q_embedding_ivf_topk(spark, sf_dir):
         query_id=0,
         k=10,
         n_probe=_IVF_PROBE,
-        index=_ivf_index(spark),
+        index=_ivf_index_lazy(spark),
     )
 
 
@@ -1853,7 +1872,8 @@ def q_ivf_recall_at_10(spark, sf_dir):
 
     emb = spark.table("embeddings")
     ivf = ivf_topk(
-        emb, query_id=0, k=10, n_probe=_IVF_PROBE, index=_ivf_index(spark)
+        emb, query_id=0, k=10, n_probe=_IVF_PROBE,
+        index=_ivf_index_lazy(spark),
     ).select("vec_id")
     brute = brute_force_topk(emb, query_id=0, k=10).select("vec_id")
     cnt = ivf.join(brute, "vec_id").agg(
@@ -6719,7 +6739,7 @@ def q_embedding_ivfpq_topk(spark, sf_dir):
         rerank=_PQ_RERANK,
         m_sub=_PQ_M,
         n_codes=_PQ_CODES,
-        index=_ivf_index(spark),
+        index=_ivf_index_lazy(spark),
     )
 
 
@@ -7901,7 +7921,7 @@ def q_ivf_recall_sweep(spark, sf_dir):
     from .operators.similarity import bcast_attach, cosine_expr
 
     emb = spark.table("embeddings")
-    assign, centroids = _ivf_index(spark)
+    assign, centroids = _ivf_index_lazy(spark)
     q = emb.filter(F.col("vec_id") == 0).selectExpr(
         "CAST(embedding AS ARRAY<DOUBLE>) AS qv", "vec_id AS __qid"
     )

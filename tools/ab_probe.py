@@ -358,8 +358,24 @@ def _old_cluster_prune(spark, sf_dir):
     )
 
 
+def _old_ivf_topk_eager(spark, sf_dir):
+    """embedding_ivf_topk with the eager checkpointed _ivf_index (the
+    pre-r13 carrier shape)."""
+    from etl_gamma_spark import registry as R
+    from etl_gamma_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        spark.table("embeddings"),
+        query_id=0,
+        k=10,
+        n_probe=R._IVF_PROBE,
+        index=R._ivf_index(spark),
+    )
+
+
 ARMS = {
     "old:incremental_neardup": _old_incremental_neardup,
+    "old:embedding_ivf_topk": _old_ivf_topk_eager,
     "old:embedding_pq_topk": _old_pq_topk,
     "old:embedding_ivfpq_topk": _old_ivfpq_topk,
     "old:embedding_ivfpq_persisted": _old_ivfpq_persisted,
