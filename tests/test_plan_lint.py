@@ -103,6 +103,10 @@ UNPARTITIONED_WINDOW_OK = {
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
     "embedding_ivf_topk",
+    # same seed_centroids LIMIT-K relabel — visible in the plan since
+    # the r13 lazy index (the eager checkpoint used to hide it behind
+    # an RDD scan); the returned assignment itself is window-free
+    "embedding_ivf_build",
     "ivf_recall_at_10",
     "ivf_recall_sweep",
     # seed_centroids' dense relabel: row_number over the LIMIT-K seed
