@@ -452,6 +452,8 @@ def ivf_write_index(
     with cell size, not corpus size (see :func:`ivf_topk_persisted` and
     the pruned-scan assert in tests/test_plan_quality.py).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..sources.sink import write_full_refresh
 
     import os as _os
@@ -460,8 +462,25 @@ def ivf_write_index(
     rows = _assign_to(emb, centroids, dim, id_col).select(
         id_col, F.col("v").alias(vec_col), "centroid_id"
     )
-    write_full_refresh(rows, _os.path.join(base_dir, "ivf"), ["centroid_id"])
-    write_full_refresh(centroids, _os.path.join(base_dir, "centroids"))
+    # the two writes are independent — overlap them (guide §2.6, the
+    # pq_write_index pattern: the small centroids write back-fills the
+    # partitioned write's task tail)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                write_full_refresh,
+                rows,
+                _os.path.join(base_dir, "ivf"),
+                ["centroid_id"],
+            ),
+            pool.submit(
+                write_full_refresh,
+                centroids,
+                _os.path.join(base_dir, "centroids"),
+            ),
+        ]
+        for f in futs:
+            f.result()
 
 
 def append_ivf_index(
